@@ -1,0 +1,155 @@
+"""Block state-space parametric EQ with vectorized crossfade (JAX, TPU-first).
+
+TPU-native re-design of the reference's per-sample float64 DF2T cascade and
+its 20 ms crossfade machine
+(/root/reference/Airwave/ParametricEqualizerProcessor.swift:58-97, 254-314).
+
+The cascade is lowered host-side (ops/biquad_design.block_ssm) to block form;
+here one step processes a [B, C, T] block with:
+
+    y    = irfft(rfft(pad(x)) * hf)[:T] + s0 @ O^T     (FFT conv + MXU matmul)
+    s_T  = s0 @ A_T^T + x @ G^T                        (MXU matmuls)
+
+Crossfade: the carry holds *two* cascade states (from/to) plus a per-stream
+sample counter; each block computes both cascades and blends with the exact
+per-sample ramp progress = (counter + t + 1) / L clipped to [0, 1] — outside
+a transition the clip makes the output exactly the 'to' cascade, matching the
+reference's active-state fast path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airwave_tpu.ops import biquad_design as bd
+
+# Counter value meaning "no transition in progress" (any value >= the longest
+# supported transition length works; ramps are <= 0.02 * 384kHz ≈ 7680).
+COUNTER_IDLE = np.int32(1 << 24)
+
+
+class EqParams(NamedTuple):
+    hf: jax.Array   # [K] complex64 — rfft of the zero-padded block impulse resp.
+    O: jax.Array    # [T, N] float32
+    A_T: jax.Array  # [N, N] float32
+    G: jax.Array    # [N, T] float32
+
+
+class EqState(NamedTuple):
+    s_from: jax.Array  # [B, C, N] float32
+    s_to: jax.Array    # [B, C, N] float32
+    counter: jax.Array  # [B] int32 — samples elapsed in the current crossfade
+
+
+def make_eq_params(
+    coefficients: Sequence[bd.BiquadCoefficients],
+    preamp_linear: float,
+    block_size: int,
+    state_dim: int = 128,
+    dtype=jnp.float32,
+) -> EqParams:
+    ssm = bd.block_ssm(coefficients, preamp_linear, block_size, state_dim)
+    h_padded = np.zeros(2 * block_size, np.float64)
+    h_padded[:block_size] = ssm.h
+    hf = np.fft.rfft(h_padded).astype(np.complex64)
+    return EqParams(
+        hf=jnp.asarray(hf),
+        O=jnp.asarray(ssm.O, dtype),
+        A_T=jnp.asarray(ssm.A_T, dtype),
+        G=jnp.asarray(ssm.G, dtype),
+    )
+
+
+def unity_eq_params(block_size: int, state_dim: int = 128) -> EqParams:
+    """The unity state (ref ParametricEqualizerProcessor.swift:128,158)."""
+    return make_eq_params([], 1.0, block_size, state_dim)
+
+
+def make_eq_state(batch: int, channels: int = 2, state_dim: int = 128) -> EqState:
+    return EqState(
+        s_from=jnp.zeros((batch, channels, state_dim), jnp.float32),
+        s_to=jnp.zeros((batch, channels, state_dim), jnp.float32),
+        counter=jnp.full((batch,), COUNTER_IDLE, jnp.int32),
+    )
+
+
+def _cascade_block(params: EqParams, s: jax.Array, x: jax.Array):
+    """Run one cascade over a block. x [B, C, T], s [B, C, N]."""
+    T = x.shape[-1]
+    xf = jnp.fft.rfft(x, n=2 * T, axis=-1)
+    fir = jnp.fft.irfft(xf * params.hf, n=2 * T, axis=-1)[..., :T]
+    y = fir.astype(x.dtype) + jnp.einsum(
+        "bcn,tn->bct", s, params.O, preferred_element_type=x.dtype
+    )
+    s_next = jnp.einsum(
+        "bcn,mn->bcm", s, params.A_T, preferred_element_type=s.dtype
+    ) + jnp.einsum("bct,nt->bcn", x, params.G, preferred_element_type=s.dtype)
+    return y, s_next
+
+
+def eq_step(
+    params_from: EqParams,
+    params_to: EqParams,
+    state: EqState,
+    x: jax.Array,
+    transition_length: int,
+):
+    """One EQ block: x [B, C, T] -> (state', y [B, C, T])."""
+    y_from, s_from = _cascade_block(params_from, state.s_from, x)
+    y_to, s_to = _cascade_block(params_to, state.s_to, x)
+
+    T = x.shape[-1]
+    t = jnp.arange(T, dtype=jnp.float32)
+    progress = jnp.clip(
+        (state.counter[:, None].astype(jnp.float32) + t + 1.0)
+        / float(transition_length),
+        0.0,
+        1.0,
+    )  # [B, T]
+    w = progress[:, None, :]
+    y = y_from * (1.0 - w) + y_to * w
+
+    counter = jnp.minimum(state.counter + T, COUNTER_IDLE)
+    return EqState(s_from=s_from, s_to=s_to, counter=counter), y
+
+
+def eq_begin_transition(state: EqState, stream_mask: Optional[jax.Array] = None) -> EqState:
+    """Host-published retarget: 'to' becomes 'from', counter restarts.
+
+    The caller swaps params_from <- params_to and installs the new params_to;
+    this mirrors beginTransition (ref ParametricEqualizerProcessor.swift:354-359).
+    Freshly-targeted cascades start from zero state, like a newly prepared
+    ParametricEqualizerState.
+    """
+    if stream_mask is None:
+        return EqState(
+            s_from=state.s_to,
+            s_to=jnp.zeros_like(state.s_to),
+            counter=jnp.zeros_like(state.counter),
+        )
+    m = stream_mask.astype(bool)
+    return EqState(
+        s_from=jnp.where(m[:, None, None], state.s_to, state.s_from),
+        s_to=jnp.where(m[:, None, None], 0, state.s_to),
+        counter=jnp.where(m, 0, state.counter),
+    )
+
+
+def eq_reset(state: EqState, stream_mask: Optional[jax.Array] = None) -> EqState:
+    """Zero filter histories (ref ParametricEqualizerProcessor.swift:341-352)."""
+    if stream_mask is None:
+        return EqState(
+            s_from=jnp.zeros_like(state.s_from),
+            s_to=jnp.zeros_like(state.s_to),
+            counter=state.counter,
+        )
+    m = stream_mask.astype(bool)[:, None, None]
+    return EqState(
+        s_from=jnp.where(m, 0, state.s_from),
+        s_to=jnp.where(m, 0, state.s_to),
+        counter=state.counter,
+    )

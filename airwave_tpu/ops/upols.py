@@ -1,0 +1,157 @@
+"""Batched Uniform Partitioned Overlap-Save convolution (JAX, TPU-first).
+
+TPU-native re-design of /root/reference/Airwave/ConvolutionEngine.swift:68-407.
+The reference runs one mono stream x one HRIR per engine object with vDSP;
+here a single functional step convolves a whole batch of streams, all virtual
+speakers, and both ears at once:
+
+    state:  fdl [B, S, P2, K] complex64   frequency-domain delay line
+            overlap [B, S, T] float32     previous input block (overlap-save)
+            write_pos int32               circular FDL write cursor
+    params: H [S, E, P2, K] complex64     HRIR partition spectra per ear
+
+Key TPU decisions:
+  - The FDL is written in place (one dynamic_update_slice per block); the
+    *HRIR* spectra are rotated instead of the delay line. Rotating H is
+    O(S*E*P*K) with no batch factor, so per-block HBM traffic is just the
+    unavoidable FDL read for the multiply-accumulate. (The reference instead
+    walks the FDL with a modulo cursor, ConvolutionEngine.swift:316-350.)
+  - Partition counts are padded to a power of two (mirroring the reference's
+    pow2 bucketing, ConvolutionEngine.swift:96) so preset hot-swaps reuse the
+    compiled step; zero partitions contribute nothing.
+  - vDSP's packed-real FFT scaling (2x forward each, 0.25/N output,
+    ConvolutionEngine.swift:356-358) algebraically cancels to plain
+    rfft -> sum(FDL*H) -> irfft, so no packing emulation is needed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvParams(NamedTuple):
+    # HRIR spectra, partition-flipped and doubled along the partition axis so
+    # the per-block rotation is a single dynamic slice: Hflip2[..., j, :] with
+    # j in [start, start+P2) yields H[(write_pos - j) % P2].
+    Hflip2: jax.Array  # [S, E, 2*P2, K] complex64
+
+    @property
+    def num_speakers(self) -> int:
+        return self.Hflip2.shape[0]
+
+    @property
+    def num_ears(self) -> int:
+        return self.Hflip2.shape[1]
+
+    @property
+    def partition_count(self) -> int:
+        return self.Hflip2.shape[2] // 2
+
+    @property
+    def num_bins(self) -> int:
+        return self.Hflip2.shape[3]
+
+
+class ConvState(NamedTuple):
+    fdl: jax.Array        # [B, S, P2, K] complex64
+    overlap: jax.Array    # [B, S, T] float32
+    write_pos: jax.Array  # [] int32
+
+
+def partition_spectra(hrir: np.ndarray, block_size: int,
+                      pad_to_pow2: bool = True) -> np.ndarray:
+    """FFT the HRIR into overlap-save partition spectra.
+
+    hrir: [..., L] float; returns [..., P2, K] complex64 where
+    P2 = next_pow2(ceil(L / block_size)) (or exact P if pad_to_pow2=False)
+    and K = block_size + 1.
+    """
+    hrir = np.asarray(hrir, np.float32)
+    length = hrir.shape[-1]
+    partitions = max(1, math.ceil(length / block_size))
+    p2 = 1 << (partitions - 1).bit_length() if pad_to_pow2 else partitions
+    lead = hrir.shape[:-1]
+    padded = np.zeros(lead + (p2 * block_size,), np.float32)
+    padded[..., :length] = hrir
+    parts = padded.reshape(lead + (p2, block_size))
+    parts = np.concatenate([parts, np.zeros_like(parts)], axis=-1)
+    return np.fft.rfft(parts, axis=-1).astype(np.complex64)
+
+
+def make_conv_params(hrir: np.ndarray, block_size: int) -> ConvParams:
+    """Build ConvParams from time-domain HRIRs [S, E, L]."""
+    H = partition_spectra(hrir, block_size)          # [S, E, P2, K]
+    Hflip = H[:, :, ::-1, :]
+    Hflip2 = np.concatenate([Hflip, Hflip], axis=2)  # [S, E, 2*P2, K]
+    return ConvParams(Hflip2=jnp.asarray(Hflip2))
+
+
+def make_conv_state(batch: int, num_speakers: int, partition_count: int,
+                    block_size: int) -> ConvState:
+    k = block_size + 1
+    return ConvState(
+        fdl=jnp.zeros((batch, num_speakers, partition_count, k), jnp.complex64),
+        overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
+        write_pos=jnp.zeros((), jnp.int32),
+    )
+
+
+def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
+    """One overlap-save block: x [B, S, T] float32 -> (state', y [B, E, T]).
+
+    y[b, e] = sum_s sum_p conv(x_s, H[s, e, p]) — per-speaker HRIR convolution
+    with the ear downmix fused in (the reference's processAndAccumulate loop,
+    RealtimeAudioProcessor.swift:145-163).
+    """
+    B, S, T = x.shape
+    P2 = state.fdl.shape[2]
+
+    frame = jnp.concatenate([state.overlap, x], axis=-1)      # [B, S, 2T]
+    X = jnp.fft.rfft(frame, axis=-1).astype(state.fdl.dtype)  # [B, S, K]
+
+    zero = jnp.zeros((), jnp.int32)
+    fdl = jax.lax.dynamic_update_slice(
+        state.fdl, X[:, :, None, :],
+        (zero, zero, state.write_pos.astype(jnp.int32), zero),
+    )
+
+    # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
+    # ago: Hrev[j] = H[(w - j) % P2] = Hflip2[(P2 - 1 - w) + j].
+    start = (P2 - 1) - state.write_pos
+    h_rev = jax.lax.dynamic_slice_in_dim(params.Hflip2, start, P2, axis=2)
+
+    # [B,S,P,K] x [S,E,P,K] -> [B,E,K]; complex multiply-accumulate.
+    Y = jnp.einsum("bspk,sepk->bek", fdl, h_rev)
+    y = jnp.fft.irfft(Y, n=2 * T, axis=-1)[..., T:].astype(x.dtype)
+
+    new_state = ConvState(
+        fdl=fdl,
+        overlap=x,
+        write_pos=(state.write_pos + 1) % P2,
+    )
+    return new_state, y
+
+
+def conv_reset(state: ConvState, stream_mask: jax.Array | None = None) -> ConvState:
+    """Zero conv history (ref ConvolutionEngine.reset, :397-407).
+
+    With a [B] bool mask, only masked streams are cleared (per-stream preset
+    swap / reset in a shared batch).
+    """
+    if stream_mask is None:
+        return ConvState(
+            fdl=jnp.zeros_like(state.fdl),
+            overlap=jnp.zeros_like(state.overlap),
+            write_pos=jnp.zeros_like(state.write_pos),
+        )
+    m = stream_mask.astype(bool)
+    return ConvState(
+        fdl=jnp.where(m[:, None, None, None], 0, state.fdl),
+        overlap=jnp.where(m[:, None, None], 0, state.overlap),
+        write_pos=state.write_pos,
+    )

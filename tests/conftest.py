@@ -15,4 +15,8 @@ if "--xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's site config force-registers the remote TPU ("axon")
+# platform ahead of CPU regardless of JAX_PLATFORMS; every dispatch would
+# then be a network roundtrip. Pin the config explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
