@@ -1,0 +1,102 @@
+"""Spatial renderer preparation: HRIR WAV -> device convolution params.
+
+Replicates the activation math of /root/reference/Airwave/HRIRManager.swift:347-448:
+choose a channel map from the HRIR channel count (7 -> hesuvi7, else
+hesuvi14, :355-360), resolve (left-ear, right-ear) HRIR channels per virtual
+speaker of the input layout, resample each HRIR to the output rate
+(:389-399), and build the convolution engines — here a single batched
+ConvParams [S, 2, P2, K] instead of 2 ConvolutionEngine objects per speaker.
+
+All of this runs on the host control path (the reference does it on a
+background QoS queue); the published artifact is an immutable RendererState
+whose device arrays the render step consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from airwave_tpu.assets import channel_maps as cm
+from airwave_tpu.io.wav import WAVData
+from airwave_tpu.ops import resample, upols
+from airwave_tpu.utils.errors import AirwaveError
+
+
+class RendererPreparationError(AirwaveError):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererState:
+    """Immutable published renderer (ref HRIRManager.swift:123-131)."""
+
+    conv_params: upols.ConvParams
+    speakers: tuple          # virtual speakers, input-channel order
+    sample_rate: float
+    block_size: int
+    generation: int = 0
+
+    @property
+    def num_speakers(self) -> int:
+        return len(self.speakers)
+
+    @property
+    def partition_count(self) -> int:
+        return self.conv_params.partition_count
+
+
+def build_hrir_time_domain(
+    wav: WAVData,
+    input_layout: cm.InputLayout,
+    output_sample_rate: float,
+    channel_map: Optional[cm.HRIRChannelMap] = None,
+    resampler=resample.resample_linear,
+) -> np.ndarray:
+    """Resolve + resample HRIRs into [S, 2, L] float32 (speaker, ear, taps)."""
+    if channel_map is None:
+        channel_map = cm.select_channel_map(wav.channel_count, input_layout.channels)
+
+    rows = []
+    speakers = []
+    for speaker in input_layout.channels:
+        indices = channel_map.indices(speaker)
+        if indices is None:
+            raise RendererPreparationError(
+                f"No HRIR mapping found for speaker: {cm.display_name(speaker)}"
+            )
+        left_idx, right_idx = indices
+        if not (0 <= left_idx < wav.channel_count and 0 <= right_idx < wav.channel_count):
+            raise RendererPreparationError(
+                f"HRIR channel indices {indices} out of range for "
+                f"{wav.channel_count}-channel file"
+            )
+        left = resampler(wav.audio[left_idx], wav.sample_rate, output_sample_rate)
+        right = resampler(wav.audio[right_idx], wav.sample_rate, output_sample_rate)
+        rows.append(np.stack([left, right]))
+        speakers.append(speaker)
+    return np.stack(rows).astype(np.float32)
+
+
+def prepare_renderer(
+    wav: WAVData,
+    input_layout: cm.InputLayout,
+    output_sample_rate: float,
+    block_size: int = 512,
+    channel_map: Optional[cm.HRIRChannelMap] = None,
+    generation: int = 0,
+    resampler=resample.resample_linear,
+) -> RendererState:
+    hrir_td = build_hrir_time_domain(
+        wav, input_layout, output_sample_rate, channel_map, resampler
+    )
+    params = upols.make_conv_params(hrir_td, block_size)
+    return RendererState(
+        conv_params=params,
+        speakers=tuple(input_layout.channels),
+        sample_rate=float(output_sample_rate),
+        block_size=block_size,
+        generation=generation,
+    )

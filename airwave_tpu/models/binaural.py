@@ -1,0 +1,202 @@
+"""Flagship model: batched virtual-speaker binaural render chain.
+
+One jitted step reproduces the reference's realtime render stack
+(SURVEY.md §3.1; /root/reference/Airwave/AudioEffectGraph.swift:179-246 ->
+HRIRManager.processAudio -> ConvolutionEngine x(2 speakers x 2 ears) ->
+ParametricEqualizerProcessor) for B streams at once:
+
+    (carry, x[B, S, T]) -> (carry', y[B, 2, T])
+
+with carry = {FDL, overlap, eq dual-state, crossfade counters}. The fixed
+spatial->EQ ordering, stereo passthrough, and unity-EQ retention semantics
+follow the reference graph; enable flags are static so each graph topology
+compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airwave_tpu.config import DEFAULT_CONFIG, AirwaveConfig
+from airwave_tpu.graph.eq_runtime import EqualizerRuntime
+from airwave_tpu.graph.renderer import RendererState
+from airwave_tpu.io.apo import EqualizerDefinition
+from airwave_tpu.ops import eq_block, upols
+
+
+class ChainState(NamedTuple):
+    conv: upols.ConvState
+    eq: eq_block.EqState
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("transition_length", "spatial_enabled", "eq_enabled"),
+    donate_argnums=(3,),
+)
+def chain_step(
+    conv_params: upols.ConvParams,
+    eq_from: eq_block.EqParams,
+    eq_to: eq_block.EqParams,
+    state: ChainState,
+    x: jax.Array,
+    transition_length: int,
+    spatial_enabled: bool,
+    eq_enabled: bool,
+):
+    """x [B, S, T] -> (state', y [B, 2, T]). Spatial THEN eq (fixed order)."""
+    conv_state, eq_state = state
+    if spatial_enabled:
+        conv_state, y = upols.conv_step(conv_params, conv_state, x)
+    else:
+        # Passthrough: stereo input forwarded, mono duplicated
+        # (ref AudioEffectGraph.swift:223-245).
+        if x.shape[1] >= 2:
+            y = x[:, :2, :]
+        else:
+            y = jnp.concatenate([x, x], axis=1)
+    if eq_enabled:
+        eq_state, y = eq_block.eq_step(
+            eq_from, eq_to, eq_state, y, transition_length
+        )
+    return ChainState(conv_state, eq_state), y
+
+
+class BinauralEngine:
+    """Host wrapper: owns device state, preset hot-swap, and the EQ runtime.
+
+    The analog of the reference's AudioEffectGraph + HRIRManager render path,
+    batched. Renderer swaps replace device params and reset conv state
+    (the reference builds fresh engines per activation, HRIRManager.swift:406-415);
+    EQ retargets crossfade via the EqualizerRuntime protocol.
+    """
+
+    def __init__(
+        self,
+        batch: int,
+        sample_rate: float,
+        block_size: int = 512,
+        renderer: Optional[RendererState] = None,
+        config: AirwaveConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.batch = int(batch)
+        self.sample_rate = float(sample_rate)
+        self.block_size = int(block_size)
+        self.config = config
+        self.eq_runtime = EqualizerRuntime(
+            sample_rate, block_size, config.eq_state_dim, config
+        )
+        self._eq_active = False
+        self.renderer: Optional[RendererState] = None
+        self._state: Optional[ChainState] = None
+        if renderer is not None:
+            self.set_renderer(renderer)
+        else:
+            self._alloc_state(num_speakers=2, partitions=1)
+
+    # --- control path ---------------------------------------------------------
+
+    def _alloc_state(self, num_speakers: int, partitions: int) -> None:
+        self._state = ChainState(
+            conv=upols.make_conv_state(
+                self.batch, num_speakers, partitions, self.block_size
+            ),
+            eq=(
+                self._state.eq
+                if self._state is not None
+                else eq_block.make_eq_state(
+                    self.batch, 2, self.config.eq_state_dim
+                )
+            ),
+        )
+
+    def set_renderer(self, renderer: Optional[RendererState]) -> None:
+        """Hot-swap the HRIR renderer; conv history starts fresh."""
+        old_shape = (
+            None
+            if self.renderer is None
+            else (self.renderer.num_speakers, self.renderer.partition_count)
+        )
+        self.renderer = renderer
+        if renderer is None:
+            return
+        new_shape = (renderer.num_speakers, renderer.partition_count)
+        if old_shape != new_shape or self._state is None:
+            self._alloc_state(*new_shape)
+        else:
+            self._state = ChainState(
+                conv=upols.conv_reset(self._state.conv), eq=self._state.eq
+            )
+
+    @property
+    def spatial_ready(self) -> bool:
+        return self.renderer is not None
+
+    def set_equalizer(self, definition: Optional[EqualizerDefinition]) -> None:
+        """Live retarget; keeps the EQ in the chain for the unity ramp when
+        removed (ref AudioEffectGraph.swift:147-151)."""
+        self.eq_runtime.set_target(definition)
+        self._eq_active = True
+
+    def prepare_equalizer(self, definition: Optional[EqualizerDefinition]) -> None:
+        """Full (re)prepare; a nil definition bypasses the EQ for a new
+        pipeline (ref AudioEffectGraph.swift:94-114)."""
+        self.eq_runtime.set_target(definition)
+        self._eq_active = definition is not None
+
+    def reset(self) -> None:
+        if self._state is not None:
+            self._state = ChainState(
+                conv=upols.conv_reset(self._state.conv),
+                eq=self._state.eq,
+            )
+        self.eq_runtime.reset()
+
+    # --- render path ------------------------------------------------------------
+
+    def process_block(self, x: np.ndarray) -> np.ndarray:
+        """x [B, S, T] float32 -> y [B, 2, T] float32 (one fixed block)."""
+        assert x.shape[0] == self.batch and x.shape[2] == self.block_size
+        spatial = self.spatial_ready
+        if spatial:
+            assert x.shape[1] == self.renderer.num_speakers, (
+                x.shape,
+                self.renderer.num_speakers,
+            )
+
+        eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(self._state.eq)
+        state = ChainState(self._state.conv, eq_state)
+        conv_params = (
+            self.renderer.conv_params
+            if spatial
+            else _dummy_conv_params(self.block_size)
+        )
+        state, y = chain_step(
+            conv_params,
+            p_from,
+            p_to,
+            state,
+            jnp.asarray(x, jnp.float32),
+            self.eq_runtime.transition_length,
+            spatial,
+            self._eq_active,
+        )
+        self._state = state
+        self.eq_runtime.after_block(self.block_size)
+        return np.asarray(y)
+
+    @property
+    def state(self) -> ChainState:
+        return self._state
+
+
+@functools.lru_cache(maxsize=4)
+def _dummy_conv_params(block_size: int) -> upols.ConvParams:
+    """Placeholder params for the passthrough topology (never read)."""
+    hrir = np.zeros((1, 2, 1), np.float32)
+    return upols.make_conv_params(hrir, block_size)
