@@ -34,12 +34,7 @@ class ChainState(NamedTuple):
     eq: eq_block.EqState
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("transition_length", "spatial_enabled", "eq_enabled"),
-    donate_argnums=(3,),
-)
-def chain_step(
+def chain_step_fn(
     conv_params: upols.ConvParams,
     eq_from: eq_block.EqParams,
     eq_to: eq_block.EqParams,
@@ -48,6 +43,7 @@ def chain_step(
     transition_length: int,
     spatial_enabled: bool,
     eq_enabled: bool,
+    eq_crossfading: bool = True,
 ):
     """x [B, S, T] -> (state', y [B, 2, T]). Spatial THEN eq (fixed order)."""
     conv_state, eq_state = state
@@ -62,9 +58,21 @@ def chain_step(
             y = jnp.concatenate([x, x], axis=1)
     if eq_enabled:
         eq_state, y = eq_block.eq_step(
-            eq_from, eq_to, eq_state, y, transition_length
+            eq_from, eq_to, eq_state, y, transition_length, eq_crossfading
         )
     return ChainState(conv_state, eq_state), y
+
+
+chain_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "transition_length",
+        "spatial_enabled",
+        "eq_enabled",
+        "eq_crossfading",
+    ),
+    donate_argnums=(3,),
+)(chain_step_fn)
 
 
 class BinauralEngine:
@@ -176,6 +184,10 @@ class BinauralEngine:
             if spatial
             else _dummy_conv_params(self.block_size)
         )
+        crossfading = (
+            self.eq_runtime.is_transitioning
+            or self.eq_runtime.pending_target is not None
+        )
         state, y = chain_step(
             conv_params,
             p_from,
@@ -185,6 +197,7 @@ class BinauralEngine:
             self.eq_runtime.transition_length,
             spatial,
             self._eq_active,
+            crossfading,
         )
         self._state = state
         self.eq_runtime.after_block(self.block_size)

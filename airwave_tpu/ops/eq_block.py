@@ -97,12 +97,22 @@ def eq_step(
     state: EqState,
     x: jax.Array,
     transition_length: int,
+    crossfade_active: bool = True,
 ):
-    """One EQ block: x [B, C, T] -> (state', y [B, C, T])."""
-    y_from, s_from = _cascade_block(params_from, state.s_from, x)
+    """One EQ block: x [B, C, T] -> (state', y [B, C, T]).
+
+    `crossfade_active` is a static flag: when False (steady state, no stream
+    mid-ramp) only the active cascade runs — the host flips it per block, so
+    the 2x dual-cascade cost is paid only during the 20 ms ramps.
+    """
+    T = x.shape[-1]
     y_to, s_to = _cascade_block(params_to, state.s_to, x)
 
-    T = x.shape[-1]
+    if not crossfade_active:
+        counter = jnp.minimum(state.counter + T, COUNTER_IDLE)
+        return EqState(s_from=state.s_from, s_to=s_to, counter=counter), y_to
+
+    y_from, s_from = _cascade_block(params_from, state.s_from, x)
     t = jnp.arange(T, dtype=jnp.float32)
     progress = jnp.clip(
         (state.counter[:, None].astype(jnp.float32) + t + 1.0)

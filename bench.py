@@ -1,0 +1,186 @@
+"""Headline benchmark: aggregate realtime multiple of the flagship chain.
+
+Measures the 48 kHz stereo HRIR(4320-tap, 9-partition)+10-filter-EQ render
+chain (BASELINE.md headline: >=5000x aggregate realtime per TPU chip), batched
+over B concurrent streams with device-resident data (the "offline bake"
+configuration, BASELINE.json config 5).
+
+Measurement is *sync-proof*: K chained blocks run inside one jitted
+lax.scan whose per-block checksums are fetched to the host, so the clock
+covers real device execution end-to-end (block_until_ready alone is not
+trusted — on tunneled platforms it can return before execution).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+vs_baseline is value / 5000 (the BASELINE.json target; the reference app
+publishes no benchmark numbers of its own).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+SAMPLE_RATE = 48_000.0
+BLOCK = 512
+
+
+def _watchdog(seconds: float, message: str):
+    """Hard-exit with an honest failure JSON if the device wedges."""
+    def fire():
+        print(json.dumps({
+            "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": message,
+        }))
+        sys.stdout.flush()
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def build(batch: int, hrir_len: int = 4320):
+    import jax
+    import jax.numpy as jnp
+
+    from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
+    from airwave_tpu.models.binaural import ChainState
+    from airwave_tpu.ops import biquad_design as bd
+    from airwave_tpu.ops import eq_block, upols
+
+    rng = np.random.default_rng(0)
+
+    # HRIR: prefer the real bundled asset; synthesize the same shape if absent.
+    try:
+        from airwave_tpu.assets import channel_maps as cm
+        from airwave_tpu.graph.renderer import build_hrir_time_domain
+        from airwave_tpu.io import wav
+
+        data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+        hrir = build_hrir_time_domain(data, cm.STEREO, SAMPLE_RATE)
+    except Exception:
+        hrir = (rng.standard_normal((2, 2, hrir_len)) * 0.05).astype(np.float32)
+        hrir[:, :, 0] += 0.8
+    conv_params = upols.make_conv_params(hrir, BLOCK)
+
+    filters = tuple(
+        EqualizerFilter(i + 1, i + 1, True,
+                        (FilterType.PEAKING, FilterType.LOW_SHELF,
+                         FilterType.HIGH_SHELF)[i % 3],
+                        100.0 * (i + 1) + 60.0, (-1.0) ** i * 2.0, 0.9)
+        for i in range(10)
+    )
+    preamp, coeffs = bd.design_cascade(EqualizerDefinition(-2.5, filters),
+                                       SAMPLE_RATE)
+    eq_params = eq_block.make_eq_params(coeffs, preamp, BLOCK)
+
+    state = ChainState(
+        conv=upols.make_conv_state(batch, 2, conv_params.partition_count, BLOCK),
+        eq=eq_block.make_eq_state(batch),
+    )
+    x = jnp.asarray(
+        (rng.standard_normal((batch, 2, BLOCK)) * 0.25).astype(np.float32)
+    )
+    return conv_params, eq_params, state, x
+
+
+def make_runner(blocks_per_call: int):
+    """One jit: scan `blocks_per_call` chained render blocks; return final
+    state + a [8, 128] checksum that depends on every block's output."""
+    import jax
+    import jax.numpy as jnp
+
+    from airwave_tpu.models.binaural import chain_step_fn
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(conv_params, eq_params, state, x):
+        def body(carry, _):
+            s, acc = carry
+            s, y = chain_step_fn(
+                conv_params, eq_params, eq_params, s, x,
+                transition_length=960, spatial_enabled=True,
+                eq_enabled=True, eq_crossfading=False,
+            )
+            acc = acc + jnp.sum(y.reshape(-1, 8, 128), axis=0)
+            return (s, acc), None
+        acc0 = jnp.zeros((8, 128), jnp.float32)
+        (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
+                                   length=blocks_per_call)
+        return s, acc
+
+    return run
+
+
+def measure(batch: int, blocks_per_call: int, calls: int):
+    import jax
+
+    conv_params, eq_params, state, x = build(batch)
+    runner = make_runner(blocks_per_call)
+
+    # Warmup: compile + one real execution, checksum fetched (true sync).
+    state, acc = runner(conv_params, eq_params, state, x)
+    warm = np.asarray(acc)
+    assert np.all(np.isfinite(warm)), "non-finite bench output"
+
+    best = float("inf")
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        state, acc = runner(conv_params, eq_params, state, x)
+        host = np.asarray(acc)  # forces execution + readback
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(host))
+        best = min(best, dt)
+
+    audio_seconds = batch * blocks_per_call * BLOCK / SAMPLE_RATE
+    return audio_seconds / best, best / blocks_per_call
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny CPU run (CI sanity)")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--blocks", type=int, default=None,
+                        help="chained blocks per jit call")
+    parser.add_argument("--calls", type=int, default=3)
+    parser.add_argument("--deadline", type=float, default=480.0)
+    args = parser.parse_args()
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        batch = args.batch or 8
+        blocks = args.blocks or 4
+    else:
+        batch = args.batch or 8192
+        blocks = args.blocks or 188  # ~2 s of audio per stream per call
+
+    _watchdog(args.deadline, "device wedged: checksum readback did not "
+                             "complete before deadline")
+
+    multiple, per_block = measure(batch, blocks, args.calls)
+    print(json.dumps({
+        "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
+        "value": round(multiple, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(multiple / 5000.0, 3),
+        "batch_streams": batch,
+        "ms_per_block_step": round(per_block * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
