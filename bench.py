@@ -96,13 +96,39 @@ def build(batch: int, hrir_len: int = 4320):
     return conv_params, eq_params, state, x
 
 
-def make_runner(blocks_per_call: int):
+def make_runner(blocks_per_call: int, use_pallas: bool = False,
+                batch_tile: int = 256):
     """One jit: scan `blocks_per_call` chained render blocks; return final
     state + a [8, 128] checksum that depends on every block's output."""
     import jax
     import jax.numpy as jnp
 
     from airwave_tpu.models.binaural import chain_step_fn
+    from airwave_tpu.kernels import upols_pallas as kp
+    from airwave_tpu.ops import eq_block
+
+    if use_pallas:
+        interpret = jax.default_backend() == "cpu"
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def run(conv_params, eq_params, state, x):
+            def body(carry, _):
+                (conv_state, eq_state), acc = carry
+                conv_state, y = kp.conv_step_packed(
+                    conv_params, conv_state, x, batch_tile=batch_tile,
+                    interpret=interpret,
+                )
+                eq_state, y = eq_block.eq_step(
+                    eq_params, eq_params, eq_state, y, 960,
+                    crossfade_active=False,
+                )
+                acc = acc + jnp.sum(y.reshape(-1, 8, 128), axis=0)
+                return ((conv_state, eq_state), acc), None
+            acc0 = jnp.zeros((8, 128), jnp.float32)
+            (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
+                                       length=blocks_per_call)
+            return s, acc
+        return run
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(conv_params, eq_params, state, x):
@@ -123,11 +149,26 @@ def make_runner(blocks_per_call: int):
     return run
 
 
-def measure(batch: int, blocks_per_call: int, calls: int):
+def measure(batch: int, blocks_per_call: int, calls: int,
+            use_pallas: bool = False, batch_tile: int = 256):
     import jax
 
     conv_params, eq_params, state, x = build(batch)
-    runner = make_runner(blocks_per_call)
+    if use_pallas:
+        from airwave_tpu.kernels import upols_pallas as kp
+        from airwave_tpu.graph.renderer import build_hrir_time_domain
+        from airwave_tpu.assets import channel_maps as cm
+        from airwave_tpu.io import wav
+        from airwave_tpu.ops import eq_block
+
+        data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+        hrir = build_hrir_time_domain(data, cm.STEREO, SAMPLE_RATE)
+        conv_params = kp.make_packed_params(hrir, BLOCK)
+        state = (
+            kp.make_packed_state(batch, 2, conv_params.partition_count, BLOCK),
+            eq_block.make_eq_state(batch),
+        )
+    runner = make_runner(blocks_per_call, use_pallas, batch_tile)
 
     # Warmup: compile + one real execution, checksum fetched (true sync).
     state, acc = runner(conv_params, eq_params, state, x)
@@ -155,6 +196,9 @@ def main():
     parser.add_argument("--blocks", type=int, default=None,
                         help="chained blocks per jit call")
     parser.add_argument("--calls", type=int, default=3)
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas FDL kernel for the conv")
+    parser.add_argument("--batch-tile", type=int, default=256)
     parser.add_argument("--deadline", type=float, default=480.0)
     args = parser.parse_args()
 
@@ -171,7 +215,9 @@ def main():
     _watchdog(args.deadline, "device wedged: checksum readback did not "
                              "complete before deadline")
 
-    multiple, per_block = measure(batch, blocks, args.calls)
+    multiple, per_block = measure(batch, blocks, args.calls,
+                                  use_pallas=args.pallas,
+                                  batch_tile=args.batch_tile)
     print(json.dumps({
         "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
         "value": round(multiple, 1),

@@ -1,0 +1,80 @@
+"""Pallas kernel correctness tests (interpret mode on CPU).
+
+The fused FDL kernel must match both the jnp conv_step and the float64
+oracle, including circular-slot wraparound and the packed bin-0 handling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airwave_tpu.kernels import upols_pallas as kp
+from airwave_tpu.ops import upols
+from airwave_tpu.oracle.upols_oracle import UPOLSOracle
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    spec = jnp.fft.rfft(x)
+    re, im = kp.pack_spectrum(spec)
+    assert re.shape == (3, 32) and im.shape == (3, 32)
+    back = kp.unpack_spectrum(re, im)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(spec),
+                               atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hrir_len,n_blocks", [(100, 3), (300, 14)])
+def test_packed_conv_matches_oracle_and_jnp(hrir_len, n_blocks):
+    rng = np.random.default_rng(5)
+    T = 64
+    B, S, E = 8, 2, 2
+    hrir = rng.standard_normal((S, E, hrir_len)).astype(np.float32) * 0.3
+
+    packed_params = kp.make_packed_params(hrir, T)
+    P = packed_params.partition_count
+    assert P == int(np.ceil(hrir_len / T))  # exact, no pow2 padding
+    packed_state = kp.make_packed_state(B, S, P, T)
+
+    ref_params = upols.make_conv_params(hrir, T)
+    ref_state = upols.make_conv_state(B, S, ref_params.partition_count, T)
+
+    x = rng.standard_normal((B, S, n_blocks * T)).astype(np.float32)
+    got, ref = [], []
+    for i in range(n_blocks):
+        block = jnp.asarray(x[:, :, i * T:(i + 1) * T])
+        packed_state, y1 = kp.conv_step_packed(
+            packed_params, packed_state, block, batch_tile=8, interpret=True
+        )
+        ref_state, y2 = upols.conv_step(ref_params, ref_state, block)
+        got.append(np.asarray(y1))
+        ref.append(np.asarray(y2))
+    got = np.concatenate(got, -1)
+    ref = np.concatenate(ref, -1)
+    scale = np.sqrt(np.mean(ref ** 2))
+    assert np.sqrt(np.mean((got - ref) ** 2)) / scale < 1e-5
+
+    # And against the f64 oracle for one (stream, ear).
+    oracle_out = np.zeros(n_blocks * T)
+    for s in range(S):
+        o = UPOLSOracle(hrir[s, 0], T)
+        oracle_out += np.concatenate(
+            [o.process(x[3, s, i * T:(i + 1) * T]) for i in range(n_blocks)]
+        )
+    err = np.sqrt(np.mean((got[3, 0] - oracle_out) ** 2))
+    assert err / max(np.sqrt(np.mean(oracle_out**2)), 1e-9) < 1e-5
+
+
+def test_identity_impulse_through_kernel():
+    hrir = np.zeros((1, 2, 8), np.float32)
+    hrir[0, :, 0] = 1.0
+    params = kp.make_packed_params(hrir, 8)
+    state = kp.make_packed_state(8, 1, 1, 8)
+    x = np.tile(
+        np.array([0.25, -0.5, 1, 0.75, -1, 0.125, 0.5, -0.25], np.float32),
+        (8, 1, 1),
+    )
+    _, y = kp.conv_step_packed(params, state, jnp.asarray(x),
+                               batch_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[:, 0], x[:, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y)[:, 1], x[:, 0], atol=1e-4)
