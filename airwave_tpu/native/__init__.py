@@ -1,0 +1,216 @@
+"""Native host data plane: build-on-demand C++ ragged frame assembler.
+
+The shared library is compiled once per machine (g++ -O3) into the package
+directory and loaded with ctypes; `RaggedAssembler` falls back to a pure
+NumPy implementation when no compiler is available, so the framework stays
+importable everywhere (identical semantics, covered by the same tests).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "assembler.cc")
+_LIB = os.path.join(_DIR, "_assembler.so")
+
+
+def _build_library() -> Optional[str]:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return _LIB
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    path = _build_library()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.awv_create.restype = ctypes.c_void_p
+    lib.awv_create.argtypes = [ctypes.c_int] * 4
+    lib.awv_destroy.argtypes = [ctypes.c_void_p]
+    lib.awv_push.restype = ctypes.c_int
+    lib.awv_push.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p, ctypes.c_int]
+    lib.awv_pending.restype = ctypes.c_int
+    lib.awv_pending.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.awv_ready_count.restype = ctypes.c_int
+    lib.awv_ready_count.argtypes = [ctypes.c_void_p]
+    lib.awv_harvest.restype = ctypes.c_int
+    lib.awv_harvest.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p, f32p]
+    lib.awv_scatter_out.restype = ctypes.c_int
+    lib.awv_scatter_out.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p, f32p]
+    lib.awv_push_out.restype = ctypes.c_int
+    lib.awv_push_out.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p,
+                                 ctypes.c_int]
+    lib.awv_pop_out.restype = ctypes.c_int
+    lib.awv_pop_out.argtypes = [ctypes.c_void_p, ctypes.c_int, f32p,
+                                ctypes.c_int]
+    lib.awv_out_available.restype = ctypes.c_int
+    lib.awv_out_available.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.awv_reset_stream.restype = ctypes.c_int
+    lib.awv_reset_stream.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    return lib
+
+
+_lib = _load()
+
+
+def native_available() -> bool:
+    return _lib is not None
+
+
+def _f32(array: np.ndarray):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32(array: np.ndarray):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class RaggedAssembler:
+    """Per-stream ragged ingest -> dense device batches -> per-stream drain.
+
+    push(stream, [C, n]) buffers input; harvest(max_batch) pops one block from
+    every block-complete stream as (indices [k], blocks [k, C, block]);
+    scatter(indices, blocks) queues rendered output; pop(stream, n) drains
+    with zero-fill on underflow (the reference adapter's latency contract).
+    """
+
+    def __init__(self, n_streams: int, channels: int, block: int,
+                 capacity: Optional[int] = None,
+                 force_python: bool = False) -> None:
+        self.n_streams = n_streams
+        self.channels = channels
+        self.block = block
+        self.capacity = capacity or (block * 16)
+        self._handle = None
+        if _lib is not None and not force_python:
+            handle = _lib.awv_create(n_streams, channels, block, self.capacity)
+            if handle:
+                self._handle = ctypes.c_void_p(handle)
+        if self._handle is None:
+            self._py_in = [np.zeros((channels, 0), np.float32)
+                           for _ in range(n_streams)]
+            self._py_out = [np.zeros((channels, 0), np.float32)
+                            for _ in range(n_streams)]
+
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None and _lib is not None:
+            _lib.awv_destroy(self._handle)
+            self._handle = None
+
+    @property
+    def is_native(self) -> bool:
+        return self._handle is not None
+
+    # --- input side -------------------------------------------------------------
+
+    def push(self, stream: int, chunk: np.ndarray) -> None:
+        chunk = np.ascontiguousarray(chunk, np.float32)
+        assert chunk.ndim == 2 and chunk.shape[0] == self.channels
+        if self._handle is not None:
+            rc = _lib.awv_push(self._handle, stream, _f32(chunk),
+                               chunk.shape[1])
+            if rc == -1:
+                raise OverflowError(f"stream {stream} input ring full")
+            if rc != 0:
+                raise ValueError(f"push failed ({rc})")
+            return
+        if self._py_in[stream].shape[1] + chunk.shape[1] > self.capacity:
+            raise OverflowError(f"stream {stream} input ring full")
+        self._py_in[stream] = np.concatenate(
+            [self._py_in[stream], chunk], axis=1
+        )
+
+    def pending(self, stream: int) -> int:
+        if self._handle is not None:
+            return _lib.awv_pending(self._handle, stream)
+        return self._py_in[stream].shape[1]
+
+    def ready_count(self) -> int:
+        if self._handle is not None:
+            return _lib.awv_ready_count(self._handle)
+        return sum(
+            1 for buf in self._py_in if buf.shape[1] >= self.block
+        )
+
+    def harvest(self, max_batch: int) -> Tuple[np.ndarray, np.ndarray]:
+        indices = np.zeros(max_batch, np.int32)
+        blocks = np.zeros((max_batch, self.channels, self.block), np.float32)
+        if self._handle is not None:
+            k = _lib.awv_harvest(self._handle, max_batch, _i32(indices),
+                                 _f32(blocks))
+        else:
+            k = 0
+            for i in range(self.n_streams):
+                if k >= max_batch:
+                    break
+                if self._py_in[i].shape[1] >= self.block:
+                    blocks[k] = self._py_in[i][:, : self.block]
+                    self._py_in[i] = self._py_in[i][:, self.block:]
+                    indices[k] = i
+                    k += 1
+        return indices[:k], blocks[:k]
+
+    # --- output side -----------------------------------------------------------------
+
+    def scatter(self, indices: np.ndarray, blocks: np.ndarray) -> None:
+        indices = np.ascontiguousarray(indices, np.int32)
+        blocks = np.ascontiguousarray(blocks, np.float32)
+        assert blocks.shape == (len(indices), self.channels, self.block)
+        if self._handle is not None:
+            rc = _lib.awv_scatter_out(self._handle, len(indices),
+                                      _i32(indices), _f32(blocks))
+            if rc == -1:
+                raise OverflowError("output ring full")
+            if rc != 0:
+                raise ValueError(f"scatter failed ({rc})")
+            return
+        for j, stream in enumerate(indices):
+            if self._py_out[stream].shape[1] + self.block > self.capacity:
+                raise OverflowError("output ring full")
+            self._py_out[stream] = np.concatenate(
+                [self._py_out[stream], blocks[j]], axis=1
+            )
+
+    def pop(self, stream: int, frames: int) -> np.ndarray:
+        out = np.zeros((self.channels, frames), np.float32)
+        if self._handle is not None:
+            _lib.awv_pop_out(self._handle, stream, _f32(out), frames)
+            return out
+        buf = self._py_out[stream]
+        available = min(frames, buf.shape[1])
+        out[:, :available] = buf[:, :available]
+        self._py_out[stream] = buf[:, available:]
+        return out
+
+    def out_available(self, stream: int) -> int:
+        if self._handle is not None:
+            return _lib.awv_out_available(self._handle, stream)
+        return self._py_out[stream].shape[1]
+
+    def reset_stream(self, stream: int) -> None:
+        if self._handle is not None:
+            _lib.awv_reset_stream(self._handle, stream)
+            return
+        self._py_in[stream] = np.zeros((self.channels, 0), np.float32)
+        self._py_out[stream] = np.zeros((self.channels, 0), np.float32)

@@ -1,0 +1,188 @@
+// Ragged per-stream frame assembler — the native host data plane.
+//
+// The reference keeps its realtime path allocation-free with preallocated
+// ring buffers in Swift (/root/reference/Airwave/RealtimeAudioProcessor.swift:30-190).
+// The TPU framework's host-side equivalent problem is harder: thousands of
+// independent streams deliver ragged chunks (arbitrary sizes, arbitrary
+// arrival order) and the device wants dense [batch, channels, block] steps.
+// This C++ core owns per-stream input rings, harvests dense batches of
+// block-complete streams, and scatters rendered output back into per-stream
+// output rings with the reference's underflow-zero-fill drain contract.
+//
+// Exposed as a plain C ABI for ctypes; all buffers are caller-provided
+// float32 (channel-major [C, n] chunks; harvest writes [k, C, block]).
+
+#include <cstdint>
+#include <cstring>
+#include <new>
+#include <vector>
+
+namespace {
+
+struct Ring {
+  std::vector<float> data;  // [channels][capacity] planes
+  int64_t read = 0;         // absolute read cursor
+  int64_t count = 0;        // buffered frames
+
+  void init(int channels, int capacity) {
+    data.assign(static_cast<size_t>(channels) * capacity, 0.0f);
+  }
+};
+
+struct Assembler {
+  int n_streams;
+  int channels;
+  int block;
+  int capacity;
+  std::vector<Ring> input;
+  std::vector<Ring> output;
+};
+
+inline float* plane(Assembler* a, Ring& r, int channel) {
+  return r.data.data() + static_cast<size_t>(channel) * a->capacity;
+}
+
+// Copy `frames` frames from channel-major src[C, frames] into the ring.
+int ring_push(Assembler* a, Ring& r, const float* src, int frames) {
+  if (frames <= 0) return 0;
+  if (r.count + frames > a->capacity) return -1;  // overflow refused
+  int64_t write = (r.read + r.count) % a->capacity;
+  for (int c = 0; c < a->channels; ++c) {
+    float* dst = plane(a, r, c);
+    const float* s = src + static_cast<size_t>(c) * frames;
+    int64_t w = write;
+    int first = static_cast<int>(
+        frames < a->capacity - w ? frames : a->capacity - w);
+    std::memcpy(dst + w, s, sizeof(float) * first);
+    if (first < frames) {
+      std::memcpy(dst, s + first, sizeof(float) * (frames - first));
+    }
+  }
+  r.count += frames;
+  return 0;
+}
+
+// Pop up to `frames` frames into channel-major dst[C, frames]; zero-fill the
+// shortfall (the reference's deliberate underflow contract). Returns the
+// number of real (non-zero-filled) frames.
+int ring_pop(Assembler* a, Ring& r, float* dst, int frames) {
+  if (frames <= 0) return 0;
+  int available = static_cast<int>(r.count < frames ? r.count : frames);
+  for (int c = 0; c < a->channels; ++c) {
+    const float* src = plane(a, r, c);
+    float* d = dst + static_cast<size_t>(c) * frames;
+    int64_t read = r.read;
+    int first = static_cast<int>(
+        available < a->capacity - read ? available : a->capacity - read);
+    std::memcpy(d, src + read, sizeof(float) * first);
+    if (first < available) {
+      std::memcpy(d + first, src, sizeof(float) * (available - first));
+    }
+    if (available < frames) {
+      std::memset(d + available, 0, sizeof(float) * (frames - available));
+    }
+  }
+  r.read = (r.read + available) % a->capacity;
+  r.count -= available;
+  return available;
+}
+
+}  // namespace
+
+extern "C" {
+
+Assembler* awv_create(int n_streams, int channels, int block, int capacity) {
+  if (n_streams <= 0 || channels <= 0 || block <= 0 || capacity < block) {
+    return nullptr;
+  }
+  auto* a = new (std::nothrow) Assembler();
+  if (!a) return nullptr;
+  a->n_streams = n_streams;
+  a->channels = channels;
+  a->block = block;
+  a->capacity = capacity;
+  a->input.resize(n_streams);
+  a->output.resize(n_streams);
+  for (int i = 0; i < n_streams; ++i) {
+    a->input[i].init(channels, capacity);
+    a->output[i].init(channels, capacity);
+  }
+  return a;
+}
+
+void awv_destroy(Assembler* a) { delete a; }
+
+int awv_push(Assembler* a, int stream, const float* data, int frames) {
+  if (!a || stream < 0 || stream >= a->n_streams) return -2;
+  return ring_push(a, a->input[stream], data, frames);
+}
+
+int awv_pending(Assembler* a, int stream) {
+  if (!a || stream < 0 || stream >= a->n_streams) return -2;
+  return static_cast<int>(a->input[stream].count);
+}
+
+int awv_ready_count(Assembler* a) {
+  if (!a) return -2;
+  int ready = 0;
+  for (auto& r : a->input) {
+    if (r.count >= a->block) ++ready;
+  }
+  return ready;
+}
+
+// Harvest up to max_batch block-complete streams (lowest stream id first).
+// indices: int32[max_batch]; out: float32[max_batch, channels, block].
+// Consumes one block per harvested stream. Returns the harvested count.
+int awv_harvest(Assembler* a, int max_batch, int32_t* indices, float* out) {
+  if (!a || max_batch <= 0) return -2;
+  int k = 0;
+  const size_t stride = static_cast<size_t>(a->channels) * a->block;
+  for (int i = 0; i < a->n_streams && k < max_batch; ++i) {
+    Ring& r = a->input[i];
+    if (r.count < a->block) continue;
+    ring_pop(a, r, out + k * stride, a->block);
+    indices[k] = i;
+    ++k;
+  }
+  return k;
+}
+
+// Scatter rendered blocks back: indices/int32[k], data float32[k, C, block].
+int awv_scatter_out(Assembler* a, int k, const int32_t* indices,
+                    const float* data) {
+  if (!a || k < 0) return -2;
+  const size_t stride = static_cast<size_t>(a->channels) * a->block;
+  for (int j = 0; j < k; ++j) {
+    int stream = indices[j];
+    if (stream < 0 || stream >= a->n_streams) return -2;
+    if (ring_push(a, a->output[stream], data + j * stride, a->block) != 0) {
+      return -1;
+    }
+  }
+  return 0;
+}
+
+int awv_push_out(Assembler* a, int stream, const float* data, int frames) {
+  if (!a || stream < 0 || stream >= a->n_streams) return -2;
+  return ring_push(a, a->output[stream], data, frames);
+}
+
+int awv_pop_out(Assembler* a, int stream, float* out, int frames) {
+  if (!a || stream < 0 || stream >= a->n_streams) return -2;
+  return ring_pop(a, a->output[stream], out, frames);
+}
+
+int awv_out_available(Assembler* a, int stream) {
+  if (!a || stream < 0 || stream >= a->n_streams) return -2;
+  return static_cast<int>(a->output[stream].count);
+}
+
+int awv_reset_stream(Assembler* a, int stream) {
+  if (!a || stream < 0 || stream >= a->n_streams) return -2;
+  a->input[stream].read = a->input[stream].count = 0;
+  a->output[stream].read = a->output[stream].count = 0;
+  return 0;
+}
+
+}  // extern "C"

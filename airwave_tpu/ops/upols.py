@@ -137,6 +137,47 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     return new_state, y
 
 
+def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
+                     active_mask: jax.Array | None = None):
+    """Shift-register variant: slot 0 is always the newest block, so streams
+    can advance independently (`active_mask` [B] bool gates who steps).
+
+    Used by the serving StreamPool where streams ingest ragged chunks at
+    their own pace — an inactive stream's carry must stay EXACTLY put (the
+    reference's adapter only runs DSP when a full block accumulated,
+    RealtimeAudioProcessor.swift:112-115). Costs a full delay-line rewrite
+    per block (vs one slot for conv_step); use conv_step for lockstep bake
+    workloads.
+
+    The shared write_pos stays 0; params are interchangeable between the two
+    variants.
+    """
+    B, S, T = x.shape
+    P2 = state.fdl.shape[2]
+
+    frame = jnp.concatenate([state.overlap, x], axis=-1)
+    X = jnp.fft.rfft(frame, axis=-1).astype(state.fdl.dtype)
+
+    rolled = jnp.concatenate([X[:, :, None, :], state.fdl[:, :, :-1, :]],
+                             axis=2)
+    # Slot j holds block t-j, so partition j multiplies slot j directly:
+    # un-flip the stored Hflip2 back to natural partition order.
+    h_natural = params.Hflip2[:, :, :P2][:, :, ::-1, :]
+    if active_mask is not None:
+        m = active_mask.astype(bool)
+        fdl = jnp.where(m[:, None, None, None], rolled, state.fdl)
+        overlap = jnp.where(m[:, None, None], x, state.overlap)
+    else:
+        fdl = rolled
+        overlap = x
+
+    Y = jnp.einsum("bspk,sepk->bek", fdl, h_natural)
+    y = jnp.fft.irfft(Y, n=2 * T, axis=-1)[..., T:].astype(x.dtype)
+
+    return ConvState(fdl=fdl, overlap=overlap,
+                     write_pos=jnp.zeros_like(state.write_pos)), y
+
+
 def conv_reset(state: ConvState, stream_mask: jax.Array | None = None) -> ConvState:
     """Zero conv history (ref ConvolutionEngine.reset, :397-407).
 

@@ -1,0 +1,210 @@
+"""Native assembler (C++ and Python fallback parity) + StreamPool tests."""
+
+import numpy as np
+import pytest
+
+from airwave_tpu.graph.renderer import prepare_renderer
+from airwave_tpu.io.apo import EqualizerDefinition
+from airwave_tpu.io.wav import WAVData
+from airwave_tpu.native import RaggedAssembler, native_available
+from airwave_tpu.ops import upols
+from airwave_tpu.oracle.upols_oracle import UPOLSOracle
+from airwave_tpu.runtime.stream_pool import StreamPool
+from airwave_tpu.assets import channel_maps as cm
+
+
+@pytest.fixture(params=["native", "python"])
+def impl(request):
+    if request.param == "native" and not native_available():
+        pytest.skip("no compiler for the native assembler")
+    return request.param == "python"
+
+
+def test_native_library_builds():
+    assert native_available(), "g++ is baked into this image; must build"
+
+
+def test_assembler_push_harvest_scatter_pop(impl):
+    a = RaggedAssembler(4, 2, block=8, capacity=64, force_python=impl)
+    rng = np.random.default_rng(0)
+    c0 = rng.standard_normal((2, 10)).astype(np.float32)
+    c2 = rng.standard_normal((2, 8)).astype(np.float32)
+    a.push(0, c0)
+    a.push(2, c2)
+    a.push(1, rng.standard_normal((2, 3)).astype(np.float32))  # not ready
+    assert a.pending(0) == 10 and a.ready_count() == 2
+
+    indices, blocks = a.harvest(8)
+    assert list(indices) == [0, 2]
+    np.testing.assert_array_equal(blocks[0], c0[:, :8])
+    np.testing.assert_array_equal(blocks[1], c2)
+    assert a.pending(0) == 2 and a.ready_count() == 0
+
+    a.scatter(indices, blocks * 2.0)
+    out = a.pop(0, 12)  # 8 real + 4 underflow zeros
+    np.testing.assert_array_equal(out[:, :8], c0[:, :8] * 2.0)
+    np.testing.assert_array_equal(out[:, 8:], 0)
+    assert a.out_available(2) == 8
+
+
+def test_assembler_wraparound_and_overflow(impl):
+    a = RaggedAssembler(1, 1, block=4, capacity=8, force_python=impl)
+    seq = np.arange(1, 100, dtype=np.float32)
+    cursor = 0
+    popped = []
+    for round_idx in range(10):
+        chunk = seq[cursor:cursor + 6][None]
+        cursor += 6
+        a.push(0, chunk)
+        while a.ready_count():
+            idx, blk = a.harvest(1)
+            a.scatter(idx, blk)
+        popped.append(a.pop(0, 6))
+    out = np.concatenate(popped, axis=1)[0]
+    nonzero = out[out != 0]
+    np.testing.assert_array_equal(nonzero, seq[: len(nonzero)])
+
+    with pytest.raises(OverflowError):
+        a.push(0, np.ones((1, 100), np.float32))
+
+
+def test_native_and_python_agree():
+    if not native_available():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(3)
+    a = RaggedAssembler(3, 2, 8, 64, force_python=False)
+    b = RaggedAssembler(3, 2, 8, 64, force_python=True)
+    assert a.is_native and not b.is_native
+    for _ in range(20):
+        stream = int(rng.integers(0, 3))
+        n = int(rng.integers(1, 12))
+        chunk = rng.standard_normal((2, n)).astype(np.float32)
+        a.push(stream, chunk)
+        b.push(stream, chunk)
+        ia, xa = a.harvest(3)
+        ib, xb = b.harvest(3)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(xa, xb)
+        a.scatter(ia, xa)
+        b.scatter(ib, xb)
+        na = a.pop(stream, 5)
+        nb = b.pop(stream, 5)
+        np.testing.assert_array_equal(na, nb)
+
+
+def make_renderer(frames=700, seed=5, sample_rate=48_000.0, block=64):
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal((14, frames)) * 0.2).astype(np.float32)
+    return prepare_renderer(WAVData(sample_rate, audio), cm.STEREO,
+                            sample_rate, block), audio
+
+
+def test_conv_step_rolled_matches_conv_step():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    T, B, S = 64, 4, 2
+    hrir = rng.standard_normal((S, 2, 200)).astype(np.float32) * 0.3
+    params = upols.make_conv_params(hrir, T)
+    s1 = upols.make_conv_state(B, S, params.partition_count, T)
+    s2 = upols.make_conv_state(B, S, params.partition_count, T)
+    for i in range(9):
+        x = jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
+        s1, y1 = upols.conv_step(params, s1, x)
+        s2, y2 = upols.conv_step_rolled(params, s2, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_conv_step_rolled_mask_freezes_inactive_streams():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    T, B, S = 64, 3, 2
+    hrir = rng.standard_normal((S, 2, 150)).astype(np.float32) * 0.3
+    params = upols.make_conv_params(hrir, T)
+    state = upols.make_conv_state(B, S, params.partition_count, T)
+    x1 = jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
+    state, _ = upols.conv_step_rolled(params, state, x1)
+    frozen_fdl = np.asarray(state.fdl)[1].copy()
+
+    x2 = jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
+    mask = jnp.asarray([True, False, True])
+    state, _ = upols.conv_step_rolled(params, state, x2, mask)
+    np.testing.assert_array_equal(np.asarray(state.fdl)[1], frozen_fdl)
+    assert not np.array_equal(np.asarray(state.fdl)[0], frozen_fdl)
+
+
+def test_stream_pool_end_to_end_matches_oracle():
+    block = 64
+    renderer, audio = make_renderer(block=block)
+    pool = StreamPool(
+        max_streams=4, sample_rate=48_000.0, renderer=renderer,
+        eq_definition=None, block_size=block,
+    )
+    s_a = pool.attach()
+    s_b = pool.attach()
+    rng = np.random.default_rng(9)
+    sig_a = rng.standard_normal((2, 5 * block)).astype(np.float32) * 0.3
+    sig_b = rng.standard_normal((2, 3 * block)).astype(np.float32) * 0.3
+
+    # Ragged pushes: stream A in odd chunks, stream B all at once.
+    cursor = 0
+    for n in (17, 100, 60, 83, block * 5 - 260):
+        pool.push(s_a, sig_a[:, cursor:cursor + n])
+        cursor += n
+        pool.pump()
+    pool.push(s_b, sig_b)
+    pool.pump()
+
+    got_a = pool.pull(s_a, 5 * block)
+    got_b = pool.pull(s_b, 3 * block)
+
+    m = cm.hesuvi_14_channel(cm.STEREO.channels)
+    for got, sig, nblk in ((got_a, sig_a, 5), (got_b, sig_b, 3)):
+        ref = np.zeros((2, nblk * block))
+        for spk_idx, speaker in enumerate((cm.FL, cm.FR)):
+            li, ri = m.indices(speaker)
+            for ear, ch in ((0, li), (1, ri)):
+                o = UPOLSOracle(audio[ch], block)
+                ref[ear] += np.concatenate(
+                    [o.process(sig[spk_idx, i * block:(i + 1) * block])
+                     for i in range(nblk)]
+                )
+        err = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref**2))
+        assert err < 1e-5, err
+
+
+def test_stream_pool_attach_detach_recycles_cleanly():
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    pool = StreamPool(4, 48_000.0, renderer, block_size=block)
+    s1 = pool.attach()
+    pool.push(s1, np.ones((2, block), np.float32))
+    pool.pump()
+    assert pool.available(s1) == block
+    pool.detach(s1)
+    s2 = pool.attach()
+    assert s2 == s1  # slot recycled
+    assert pool.available(s2) == 0
+    # Fresh state: silence in, silence out.
+    pool.push(s2, np.zeros((2, block), np.float32))
+    pool.pump()
+    np.testing.assert_array_equal(pool.pull(s2, block), 0)
+
+
+def test_stream_pool_eq_and_capacity():
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    pool = StreamPool(
+        2, 48_000.0, renderer,
+        eq_definition=EqualizerDefinition(preamp_db=-6.0),
+        block_size=block,
+    )
+    a = pool.attach()
+    b = pool.attach()
+    with pytest.raises(RuntimeError):
+        pool.attach()
+    pool.push(a, np.ones((2, block), np.float32) * 0.5)
+    pool.pump()
+    out = pool.pull(a, block)
+    assert np.all(np.isfinite(out)) and np.any(out != 0)
