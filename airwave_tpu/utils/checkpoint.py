@@ -1,0 +1,50 @@
+"""Carry-pytree checkpoint/resume.
+
+The reference deliberately resets transient DSP state on reconfiguration and
+persists only configuration (SURVEY.md §5 "Checkpoint / resume"). The TPU
+framework's carries (FDL + overlap + EQ state + crossfade counters) are plain
+pytrees, so long-running bakes and serving pools get snapshot/resume for
+free: save_pytree/load_pytree round-trip any NamedTuple-of-arrays carry to a
+single .npz with structure metadata.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        json.dumps(_treedef_repr(tree)).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Restore a pytree saved by save_pytree into the structure of `like`
+    (shapes and dtypes validated leaf-by-leaf)."""
+    with np.load(path) as data:
+        leaves_like, treedef = jax.tree_util.tree_flatten(like)
+        leaves = []
+        for i, ref in enumerate(leaves_like):
+            key = f"leaf_{i}"
+            if key not in data:
+                raise ValueError(f"checkpoint missing {key}")
+            loaded = data[key]
+            ref_arr = np.asarray(ref)
+            if loaded.shape != ref_arr.shape:
+                raise ValueError(
+                    f"{key}: shape {loaded.shape} != expected {ref_arr.shape}"
+                )
+            leaves.append(loaded.astype(ref_arr.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _treedef_repr(tree: Any) -> str:
+    return str(jax.tree_util.tree_structure(tree))

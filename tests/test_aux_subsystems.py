@@ -1,0 +1,143 @@
+"""Aux subsystems: checkpoint/resume, profiler, safety gate, preset validator."""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from airwave_tpu.models.binaural import ChainState
+from airwave_tpu.ops import eq_block, upols
+from airwave_tpu.utils import checkpoint, profiling
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_checkpoint_roundtrip_resumes_stream_exactly(tmp_path):
+    """Snapshot mid-stream, keep rendering, restore, re-render: identical."""
+    rng = np.random.default_rng(0)
+    T, B, S = 64, 2, 2
+    hrir = rng.standard_normal((S, 2, 200)).astype(np.float32) * 0.3
+    params = upols.make_conv_params(hrir, T)
+    state = ChainState(
+        conv=upols.make_conv_state(B, S, params.partition_count, T),
+        eq=eq_block.make_eq_state(B),
+    )
+    eq_params = eq_block.unity_eq_params(T)
+
+    from airwave_tpu.models.binaural import chain_step_fn
+
+    def step(s, x):
+        return chain_step_fn(params, eq_params, eq_params, s, x,
+                             transition_length=960, spatial_enabled=True,
+                             eq_enabled=True, eq_crossfading=False)
+
+    xs = [jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
+          for _ in range(6)]
+    for x in xs[:3]:
+        state, _ = step(state, x)
+
+    path = str(tmp_path / "carry.npz")
+    checkpoint.save_pytree(path, state)
+
+    cont = []
+    for x in xs[3:]:
+        state, y = step(state, x)
+        cont.append(np.asarray(y))
+
+    restored = checkpoint.load_pytree(
+        path,
+        like=ChainState(
+            conv=upols.make_conv_state(B, S, params.partition_count, T),
+            eq=eq_block.make_eq_state(B),
+        ),
+    )
+    resumed = []
+    s = restored
+    for x in xs[3:]:
+        s, y = step(s, x)
+        resumed.append(np.asarray(y))
+    np.testing.assert_array_equal(
+        np.concatenate(cont, -1), np.concatenate(resumed, -1)
+    )
+
+
+def test_checkpoint_shape_validation(tmp_path):
+    state = eq_block.make_eq_state(2)
+    path = str(tmp_path / "c.npz")
+    checkpoint.save_pytree(path, state)
+    import pytest
+
+    with pytest.raises(ValueError):
+        checkpoint.load_pytree(path, like=eq_block.make_eq_state(4))
+
+
+def test_profiler_accounting():
+    profiler = profiling.RenderProfiler(48_000.0, 512, batch=10)
+    import time
+
+    for _ in range(3):
+        with profiler.step():
+            time.sleep(0.001)
+    report = profiler.report()["render"]
+    assert report["steps"] == 3
+    assert report["mean_ms"] >= 1.0
+    # 10 streams x 512 frames x 3 steps of audio in ~3ms of wall time.
+    assert profiler.realtime_multiple() > 10
+
+
+def test_hot_path_safety_gate_passes():
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import check_hot_path
+
+    problems = check_hot_path.run()
+    assert problems == [], problems
+
+
+def test_hot_path_gate_catches_violations(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import ast
+
+    import check_hot_path
+
+    bad = ast.parse(
+        "def f(x):\n"
+        "    print(x)\n"
+        "    y = np.asarray(x)\n"
+        "    jax.debug.print('{}', x)\n"
+        "    return x\n"
+    )
+    fn = bad.body[0]
+    problems = check_hot_path.check_function(fn, "fake.py")
+    found = {p[2] for p in problems}
+    assert "print" in found
+    assert "np.asarray" in found
+    assert "jax.debug.print" in found
+
+
+def test_preset_validator_on_converted_output(tmp_path):
+    from tests.test_tools import write_sofa, FULL_RING
+    from airwave_tpu.tools.convert import convert_file
+
+    src = write_sofa(tmp_path / "a.sofa", FULL_RING)
+    convert_file(src, str(tmp_path / "out"))
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "validate_presets.py"),
+         "--hrir-dir", str(tmp_path / "out"), "--expected-count", "1"],
+        capture_output=True, text=True,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+
+    # Corrupt the WAV: hash mismatch must fail the gate.
+    wav_path = tmp_path / "out" / "a.wav"
+    blob = bytearray(wav_path.read_bytes())
+    blob[-4] ^= 0xFF
+    wav_path.write_bytes(bytes(blob))
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "validate_presets.py"),
+         "--hrir-dir", str(tmp_path / "out")],
+        capture_output=True, text=True,
+    )
+    assert result.returncode == 1
+    assert "sha256 mismatch" in result.stdout
