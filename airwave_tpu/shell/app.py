@@ -1,0 +1,296 @@
+"""Headless application shell: the framework's user-facing CLI.
+
+What the reference exposes as a menu-bar app (SURVEY.md §2.2 L7), this
+framework exposes as subcommands over the same layers:
+
+  render   offline bake: input WAV(s) -> HRIR (+EQ) -> stereo WAV(s)
+  presets  seed / list / import the managed preset libraries
+  demo     run the FULL runtime (controller + verification + recovery) on a
+           synthetic transport and report the status trail
+  status   environment and device summary
+
+`python -m airwave_tpu <command> ...`
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _default_data_dir() -> str:
+    return os.environ.get(
+        "AIRWAVE_DATA_DIR",
+        os.path.join(os.path.expanduser("~"), ".airwave_tpu"),
+    )
+
+
+def _load_equalizer(path: Optional[str]):
+    if path is None:
+        return None
+    from airwave_tpu.io import apo
+
+    with open(path, "rb") as f:
+        return apo.parse(f.read(), os.path.basename(path))
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.effect_graph import AudioEffectGraph
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.graph.spatial_effect import SpatialEffect
+    from airwave_tpu.io import wav as wav_io
+    from airwave_tpu.utils.profiling import RenderProfiler
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    inputs = [wav_io.load(p) for p in args.input]
+    rate = inputs[0].sample_rate
+    channels = inputs[0].channel_count
+    for path, data in zip(args.input, inputs):
+        if data.sample_rate != rate or data.channel_count != channels:
+            raise SystemExit(
+                f"{path}: all inputs must share rate/channels in one bake"
+            )
+    layout = cm.detect_layout(channels) if channels > 1 else cm.STEREO
+
+    hrir = wav_io.load(args.hrir)
+    renderer = prepare_renderer(hrir, layout, rate, args.block_size)
+
+    batch = len(inputs)
+    spatial = SpatialEffect(batch=batch, sample_rate=rate,
+                            block_size=args.block_size)
+    spatial.set_renderer(renderer)
+    graph = AudioEffectGraph(spatial)
+    definition = _load_equalizer(args.eq)
+    result = graph.prepare(rate, definition)
+    if result.equalizer_warning is not None:
+        print(f"warning: {result.equalizer_warning}", file=sys.stderr)
+
+    frames = max(d.frame_count for d in inputs)
+    block = args.block_size
+    padded = ((frames + block - 1) // block) * block
+    x = np.zeros((batch, max(channels, 2), padded), np.float32)
+    for i, data in enumerate(inputs):
+        audio = data.audio
+        if audio.shape[0] == 1:
+            audio = np.repeat(audio, 2, axis=0)
+        x[i, : audio.shape[0], : data.frame_count] = audio
+
+    profiler = RenderProfiler(rate, block, batch)
+    outs = []
+    for i in range(padded // block):
+        with profiler.step():
+            outs.append(graph.process(x[:, :, i * block:(i + 1) * block]))
+    y = np.concatenate(outs, axis=-1)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    written = []
+    for i, src in enumerate(args.input):
+        stem = os.path.splitext(os.path.basename(src))[0]
+        out_path = os.path.join(args.output_dir, f"{stem}.binaural.wav")
+        # Block-aligned pushes drain with zero adapter lag; trim the padding.
+        trimmed = y[i, :, : inputs[i].frame_count]
+        wav_io.save(out_path, trimmed, rate)
+        written.append(out_path)
+
+    print(json.dumps({
+        "rendered": written,
+        "sample_rate": rate,
+        "layout": layout.name,
+        "equalizer": bool(definition),
+        "profile": profiler.report(),
+    }, indent=2))
+    return 0
+
+
+def cmd_presets(args) -> int:
+    from airwave_tpu.assets import bundled
+    from airwave_tpu.assets.eq_library import EqualizerManager
+    from airwave_tpu.assets.hrir_library import HRIRManager
+
+    base = args.data_dir
+    eq = EqualizerManager(os.path.join(base, "eq"))
+    hrir = HRIRManager(os.path.join(base, "hrir"))
+
+    if args.presets_command == "seed":
+        bundled.seed_bundled_presets(eq, hrir, os.path.join(base, "staging"))
+        print(f"seeded {len(eq.presets())} EQ + {len(hrir.presets())} HRIR "
+              f"presets into {base}")
+        return 0
+    if args.presets_command == "list":
+        for preset in hrir.presets():
+            print(f"hrir  {preset.id[:8]}  {preset.display_name}  "
+                  f"{preset.channel_count}ch@{preset.sample_rate:.0f}")
+        for preset in eq.presets():
+            print(f"eq    {preset.id[:8]}  {preset.display_name}")
+        return 0
+    if args.presets_command == "import":
+        failures = 0
+        for path in args.files:
+            try:
+                if path.lower().endswith(".wav"):
+                    preset = hrir.import_preset(path)
+                else:
+                    preset = eq.import_preset(path)
+                print(f"imported {preset.display_name} ({preset.id[:8]})")
+            except Exception as err:  # noqa: BLE001
+                failures += 1
+                print(f"FAIL {path}: {err}", file=sys.stderr)
+        return 1 if failures else 0
+    return 2
+
+
+def cmd_demo(args) -> int:
+    import jax
+
+    from airwave_tpu.assets import bundled
+    from airwave_tpu.assets.eq_library import EqualizerManager
+    from airwave_tpu.assets.hrir_library import HRIRManager
+    from airwave_tpu.assets.profiles import DeviceProfileManager
+    from airwave_tpu.assets.store import JSONStore
+    from airwave_tpu.graph.effect_graph import AudioEffectGraph
+    from airwave_tpu.graph.spatial_effect import SpatialEffect
+    from airwave_tpu.runtime.controller import AudioRuntimeController
+    from airwave_tpu.runtime.coordinators import (
+        DeviceProfileRuntimeCoordinator,
+        OutputDeviceDiscoveryCoordinator,
+    )
+    from airwave_tpu.runtime.pipeline import StreamPipeline
+    from airwave_tpu.runtime.scheduler import ManualScheduler
+    from airwave_tpu.runtime.state import AudioRuntimeState
+    from airwave_tpu.runtime.synthetic_transport import SyntheticTransport
+    from airwave_tpu.runtime.transport import OutputDeviceDescriptor
+    from airwave_tpu.shell.presentation import present_status
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    base = args.data_dir
+    eq = EqualizerManager(os.path.join(base, "eq"))
+    hrir = HRIRManager(os.path.join(base, "hrir"))
+    bundled.seed_bundled_presets(eq, hrir, os.path.join(base, "staging"))
+    profiles = DeviceProfileManager(JSONStore(os.path.join(base, "profiles.json")))
+
+    output = OutputDeviceDescriptor(uid="synthetic-out", name="Synthetic",
+                                    nominal_sample_rate=48_000.0)
+    transport = SyntheticTransport(output)
+    scheduler = ManualScheduler()
+    state = AudioRuntimeState()
+    trail = []
+    state.observe(lambda s: trail.append(s.status.value))
+
+    spatial = SpatialEffect(batch=1, sample_rate=48_000.0)
+    graph = AudioEffectGraph(spatial)
+    controller = AudioRuntimeController(
+        transport=transport,
+        pipeline_factory=lambda: StreamPipeline(transport, graph.process),
+        effect_graph=graph,
+        state=state,
+        scheduler=scheduler,
+    )
+    coordinator = DeviceProfileRuntimeCoordinator(
+        profiles, hrir, eq, controller, spatial
+    )
+    OutputDeviceDiscoveryCoordinator(transport, profiles).launch()
+
+    neutral = next((p for p in hrir.presets() if "Neutral" in p.display_name),
+                   None)
+    if neutral is not None:
+        profiles.set_hrir_preset_id(output.uid, neutral.id)
+    if args.eq_preset:
+        match = next((p for p in eq.presets()
+                      if args.eq_preset.lower() in p.display_name.lower()),
+                     None)
+        if match is not None:
+            profiles.set_equalizer_preset_id(output.uid, match.id)
+
+    coordinator.launch()
+    block = 512
+    total_blocks = int(args.seconds * 48_000 / block)
+    peak = 0.0
+    for i in range(total_blocks):
+        out = transport.pump(block)
+        if out is not None:
+            peak = max(peak, float(np.max(np.abs(out))))
+        scheduler.advance(block / 48_000.0)
+
+    presentation = present_status(state)
+    print(json.dumps({
+        "status": state.status.value,
+        "title": presentation.title,
+        "severity": presentation.severity,
+        "health": list(presentation.health_lines),
+        "status_trail": trail[-12:],
+        "frames_pumped": transport.frames_pumped,
+        "spatial_ready": spatial.is_ready,
+        "output_peak": round(peak, 4),
+    }, indent=2))
+    return 0
+
+
+def cmd_status(args) -> int:
+    import jax
+
+    from airwave_tpu.native import native_available
+
+    print(json.dumps({
+        "package": "airwave_tpu",
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "native_assembler": native_available(),
+        "data_dir": args.data_dir,
+    }, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="airwave_tpu",
+        description="TPU-native spatial-audio rendering framework",
+    )
+    parser.add_argument("--data-dir", default=_default_data_dir())
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    render = sub.add_parser("render", help="offline binaural bake")
+    render.add_argument("--input", action="append", required=True)
+    render.add_argument("--output-dir", required=True)
+    render.add_argument("--hrir", required=True, help="HRIR WAV path")
+    render.add_argument("--eq", help="EqualizerAPO preset path")
+    render.add_argument("--block-size", type=int, default=512)
+    render.add_argument("--cpu", action="store_true")
+    render.set_defaults(fn=cmd_render)
+
+    presets = sub.add_parser("presets", help="manage preset libraries")
+    presets_sub = presets.add_subparsers(dest="presets_command", required=True)
+    presets_sub.add_parser("seed")
+    presets_sub.add_parser("list")
+    imp = presets_sub.add_parser("import")
+    imp.add_argument("files", nargs="+")
+    presets.set_defaults(fn=cmd_presets)
+
+    demo = sub.add_parser("demo", help="run the full runtime on a synthetic "
+                                       "transport")
+    demo.add_argument("--seconds", type=float, default=1.0)
+    demo.add_argument("--eq-preset", help="bundled EQ preset name substring")
+    demo.add_argument("--cpu", action="store_true")
+    demo.set_defaults(fn=cmd_demo)
+
+    status = sub.add_parser("status")
+    status.set_defaults(fn=cmd_status)
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
