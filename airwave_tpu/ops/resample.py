@@ -77,13 +77,49 @@ def design_polyphase(
     return up, down, bank.astype(np.float64)
 
 
+def resample_polyphase_device(
+    x, from_rate: float, to_rate: float, taps_per_phase: int = 32
+):
+    """Rational polyphase FIR resampling on device (jax), batched over
+    leading axes.
+
+    Lowered as one gather + one MXU contraction: output windows
+    [..., out, taps] x per-output phase banks [out, taps] -> [..., out].
+    The filter bank design runs on the host in float64.
+    """
+    import jax.numpy as jnp
+
+    if abs(from_rate - to_rate) < IDENTITY_EPSILON_HZ:
+        return jnp.asarray(x)
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[-1]
+    up, down, bank = design_polyphase(from_rate, to_rate, taps_per_phase)
+    out_count = int(n * to_rate / from_rate)
+    taps = bank.shape[1]
+
+    m = np.arange(out_count)
+    phase = (m * down) % up
+    base = (m * down) // up
+    offsets = np.arange(taps)
+    idx = base[:, None] - offsets[None, :] + taps // 2        # [out, taps]
+    valid = (idx >= 0) & (idx < n)
+    idx_c = np.clip(idx, 0, n - 1)
+
+    weights = bank[phase] * valid                             # [out, taps] f64
+    windows = x[..., jnp.asarray(idx_c)]                      # [..., out, taps]
+    return jnp.einsum(
+        "...ot,ot->...o", windows, jnp.asarray(weights, jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def resample_polyphase(
     x: np.ndarray, from_rate: float, to_rate: float, taps_per_phase: int = 32
 ) -> np.ndarray:
     """Rational polyphase FIR resampling along the last axis (numpy).
 
     Higher-quality alternative to `resample_linear` for HRIR preparation;
-    the jax device variant lives in kernels/ (later rounds may fuse it).
+    `resample_polyphase_device` is the batched jax variant.
     """
     if abs(from_rate - to_rate) < IDENTITY_EPSILON_HZ:
         return np.asarray(x)

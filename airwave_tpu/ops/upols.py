@@ -83,9 +83,15 @@ def partition_spectra(hrir: np.ndarray, block_size: int,
     return np.fft.rfft(parts, axis=-1).astype(np.complex64)
 
 
-def make_conv_params(hrir: np.ndarray, block_size: int) -> ConvParams:
-    """Build ConvParams from time-domain HRIRs [S, E, L]."""
-    H = partition_spectra(hrir, block_size)          # [S, E, P2, K]
+def make_conv_params(hrir: np.ndarray, block_size: int,
+                     pad_to_pow2: bool = True) -> ConvParams:
+    """Build ConvParams from time-domain HRIRs [S, E, L].
+
+    pad_to_pow2=True keeps compiled-step shapes stable across preset swaps
+    (the reference's bucketing rationale); False uses the exact partition
+    count — ~P2/P less FDL traffic, at the cost of a re-jit when a preset
+    changes partition count."""
+    H = partition_spectra(hrir, block_size, pad_to_pow2)  # [S, E, P2, K]
     Hflip = H[:, :, ::-1, :]
     Hflip2 = np.concatenate([Hflip, Hflip], axis=2)  # [S, E, 2*P2, K]
     return ConvParams(Hflip2=jnp.asarray(Hflip2))
