@@ -133,6 +133,33 @@ class StreamPool:
         self.eq_runtime.set_target(definition)
         self._eq_enabled = True
 
+    def set_renderer(self, renderer: RendererState) -> None:
+        """Pool-wide HRIR hot-swap: conv history restarts for every stream
+        (the reference builds fresh engines per activation). A speaker- or
+        partition-count change reallocates the conv carry."""
+        old = self.renderer
+        self.renderer = renderer
+        same_shape = (
+            old.num_speakers == renderer.num_speakers
+            and old.partition_count == renderer.partition_count
+        )
+        if same_shape:
+            self._state = PoolState(
+                conv=upols.conv_reset(self._state.conv), eq=self._state.eq
+            )
+            return
+        if old.num_speakers != renderer.num_speakers:
+            raise ValueError(
+                "renderer speaker count must match the pool's input layout"
+            )
+        self._state = PoolState(
+            conv=upols.make_conv_state(
+                self.max_streams, renderer.num_speakers,
+                renderer.partition_count, self.block_size,
+            ),
+            eq=self._state.eq,
+        )
+
     # --- data plane -------------------------------------------------------------------
 
     def push(self, stream: int, chunk: np.ndarray) -> None:

@@ -1,0 +1,115 @@
+"""Device-side bake API, pool renderer swap, watcher-to-library integration."""
+
+import numpy as np
+
+from airwave_tpu.assets import channel_maps as cm
+from airwave_tpu.graph.renderer import prepare_renderer
+from airwave_tpu.io.wav import WAVData
+from airwave_tpu.models import bake
+from airwave_tpu.ops import biquad_design as bd
+from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
+from airwave_tpu.oracle.eq_oracle import EqCascadeOracle
+from airwave_tpu.oracle.upols_oracle import UPOLSOracle
+
+
+def test_bake_matches_oracle_and_resumes():
+    rng = np.random.default_rng(0)
+    T, B, S = 64, 3, 2
+    hrir = (rng.standard_normal((S, 2, 200)) * 0.3).astype(np.float32)
+    definition = EqualizerDefinition(
+        preamp_db=-2.0,
+        filters=(EqualizerFilter(1, None, True, FilterType.PEAKING,
+                                 1_000, 6, 0.707),),
+    )
+    preamp, coeffs = bd.design_cascade(definition, 48_000)
+    n = 5 * T + 17  # non-multiple of block
+    x = (rng.standard_normal((B, S, n)) * 0.4).astype(np.float32)
+
+    y, state = bake.bake(hrir, x, 48_000.0, coeffs, preamp, block_size=T)
+    assert y.shape == (B, 2, n)
+
+    # Oracle for stream 1 (block-aligned region).
+    naligned = (n // T) * T
+    ref = np.zeros((2, naligned + T))
+    xa = np.concatenate([x, np.zeros((B, S, T - n % T), np.float32)], -1)
+    for s in range(S):
+        for e in range(2):
+            o = UPOLSOracle(hrir[s, e], T)
+            ref[e] += np.concatenate(
+                [o.process(xa[1, s, i * T:(i + 1) * T])
+                 for i in range(xa.shape[-1] // T)]
+            )
+    eq = EqCascadeOracle(coeffs, preamp, 48_000)
+    rl, rr = eq.process(ref[0].astype(np.float32), ref[1].astype(np.float32))
+    ref = np.stack([rl, rr])[:, :n]
+    err = np.sqrt(np.mean((y[1] - ref) ** 2)) / np.sqrt(np.mean(ref**2))
+    assert err < 1e-5, err
+
+    # Continuation: baking the second half from the mid-state equals the
+    # full bake's second half.
+    half = 2 * T
+    y1, mid = bake.bake(hrir, x[:, :, :half], 48_000.0, coeffs, preamp, T)
+    y2, _ = bake.bake(hrir, x[:, :, half:], 48_000.0, coeffs, preamp, T,
+                      state=mid)
+    stitched = np.concatenate([y1, y2], -1)
+    np.testing.assert_allclose(stitched[:, :, :n], y, atol=1e-5)
+
+
+def test_pool_renderer_hot_swap():
+    from airwave_tpu.runtime.stream_pool import StreamPool
+
+    rng = np.random.default_rng(1)
+    block = 64
+
+    def renderer_with(frames, seed):
+        audio = (np.random.default_rng(seed).standard_normal((14, frames))
+                 * 0.2).astype(np.float32)
+        return prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, block)
+
+    pool = StreamPool(2, 48_000.0, renderer_with(100, 1), block_size=block)
+    s = pool.attach()
+    pool.push(s, (rng.standard_normal((2, block)) * 0.3).astype(np.float32))
+    pool.pump()
+    pool.pull(s, block)
+
+    # Same shape: state reset in place.
+    pool.set_renderer(renderer_with(100, 2))
+    pool.push(s, np.zeros((2, block), np.float32))
+    pool.pump()
+    np.testing.assert_array_equal(pool.pull(s, block), 0)  # fresh history
+
+    # Different partition count: carry reallocated.
+    pool.set_renderer(renderer_with(500, 3))
+    pool.push(s, (rng.standard_normal((2, block)) * 0.3).astype(np.float32))
+    pool.pump()
+    out = pool.pull(s, block)
+    assert np.all(np.isfinite(out)) and np.any(out != 0)
+
+
+def test_watcher_drives_library_reload(tmp_path):
+    """Disk change -> debounced watcher -> manager reload -> presets update
+    (the reference's FSEvents flow, end to end)."""
+    from airwave_tpu.assets.eq_library import EqualizerManager
+    from airwave_tpu.assets.watcher import DirectoryWatcher
+    from airwave_tpu.runtime.scheduler import ManualScheduler
+
+    manager = EqualizerManager(str(tmp_path / "eq"))
+    scheduler = ManualScheduler()
+    watcher = DirectoryWatcher(manager.directory, manager.reload, scheduler,
+                               poll_interval=0.5, debounce=0.2)
+    watcher.start()
+
+    src = tmp_path / "p.txt"
+    src.write_text("Preamp: -3 dB\nFilter 1: ON PK Fc 100 Hz Gain 2 dB Q 1\n")
+    preset = manager.import_preset(str(src))
+    assert len(manager.presets()) == 1
+
+    # Simulate an external deletion (no manager API involved).
+    import os
+
+    os.unlink(os.path.join(manager.directory, preset.filename))
+    assert len(manager.presets()) == 1  # not yet noticed
+    scheduler.advance(0.5)   # poll sees the change
+    scheduler.advance(0.25)  # debounce fires -> reload
+    assert manager.presets() == []
