@@ -98,12 +98,15 @@ def make_packed_params(hrir: np.ndarray, block_size: int) -> PackedConvParams:
 
 
 def make_packed_state(batch: int, num_speakers: int, partition_count: int,
-                      block_size: int) -> PackedConvState:
+                      block_size: int, dtype=jnp.float32) -> PackedConvState:
+    """dtype=jnp.bfloat16 is the opt-in "fast mode": halves the delay line's
+    HBM traffic (the chain's dominant cost) at ~3e-3 relative error — outside
+    the 1e-5 strict-parity contract, documented in docs/architecture.md."""
     return PackedConvState(
         fdl_re=jnp.zeros((batch, num_speakers * partition_count, block_size),
-                         jnp.float32),
+                         dtype),
         fdl_im=jnp.zeros((batch, num_speakers * partition_count, block_size),
-                         jnp.float32),
+                         dtype),
         overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
     )
@@ -149,12 +152,16 @@ def _mac_kernel(S: int, P: int, E: int,
     # Insert the new spectra at the circular slot for every speaker.
     for s in range(S):
         row = s * P + w
-        f_re[:, pl.ds(row, 1), :] = x_re_ref[:, pl.ds(s, 1), :]
-        f_im[:, pl.ds(row, 1), :] = x_im_ref[:, pl.ds(s, 1), :]
+        f_re[:, pl.ds(row, 1), :] = x_re_ref[:, pl.ds(s, 1), :].astype(
+            f_re.dtype
+        )
+        f_im[:, pl.ds(row, 1), :] = x_im_ref[:, pl.ds(s, 1), :].astype(
+            f_im.dtype
+        )
 
-    # Packed-complex MAC over all S*P rows on the VPU.
-    fr = f_re[:, :, :]
-    fi = f_im[:, :, :]
+    # Packed-complex MAC over all S*P rows, accumulated in float32.
+    fr = f_re[:, :, :].astype(jnp.float32)
+    fi = f_im[:, :, :].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bT, K), 1)
     is_bin0 = lane == 0
     for e in range(E):
@@ -194,6 +201,7 @@ def _fdl_mac_call(params: PackedConvParams, state: PackedConvState,
     assert SP == S * P
     assert B % batch_tile == 0, (B, batch_tile)
 
+    fdl_dtype = state.fdl_re.dtype
     h_re, h_im = _rotate_h(params, state.write_pos)
     w = jnp.reshape(state.write_pos.astype(jnp.int32), (1,))
 
@@ -219,8 +227,8 @@ def _fdl_mac_call(params: PackedConvParams, state: PackedConvState,
             pl.BlockSpec(memory_space=pl.ANY),   # fdl_im out (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, SP, K), jnp.float32),
-            pltpu.VMEM((batch_tile, SP, K), jnp.float32),
+            pltpu.VMEM((batch_tile, SP, K), fdl_dtype),
+            pltpu.VMEM((batch_tile, SP, K), fdl_dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -232,8 +240,8 @@ def _fdl_mac_call(params: PackedConvParams, state: PackedConvState,
         out_shape=[
             jax.ShapeDtypeStruct((B, E, K), jnp.float32),
             jax.ShapeDtypeStruct((B, E, K), jnp.float32),
-            jax.ShapeDtypeStruct((B, SP, K), jnp.float32),
-            jax.ShapeDtypeStruct((B, SP, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, SP, K), fdl_dtype),
+            jax.ShapeDtypeStruct((B, SP, K), fdl_dtype),
         ],
         # Operand indices include the scalar-prefetch arg: w=0, x_re=1,
         # x_im=2, h_re=3, h_im=4, fdl_re=5, fdl_im=6.
@@ -243,6 +251,21 @@ def _fdl_mac_call(params: PackedConvParams, state: PackedConvState,
     return y_re, y_im, fdl_re, fdl_im
 
 
+VMEM_SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def auto_batch_tile(batch: int, sp_rows: int, block_size: int,
+                    itemsize: int, requested: int) -> int:
+    """Largest divisor of `batch` <= requested whose two FDL scratch planes
+    fit the VMEM budget (long IRs shrink the tile automatically)."""
+    per_row = 2 * sp_rows * block_size * itemsize
+    cap = max(1, VMEM_SCRATCH_BUDGET_BYTES // per_row)
+    tile = min(requested, cap, batch)
+    while batch % tile != 0:
+        tile -= 1
+    return max(tile, 1)
+
+
 def conv_step_packed(params: PackedConvParams, state: PackedConvState,
                      x: jax.Array, batch_tile: int = 8,
                      interpret: bool = False):
@@ -250,9 +273,14 @@ def conv_step_packed(params: PackedConvParams, state: PackedConvState,
 
     x: [B, S, T] float32 -> (state', y [B, E, T]). Drop-in semantics match
     ops.upols.conv_step (same math, packed storage, exact partition count).
+    `batch_tile` is a request; it is clamped so the per-tile VMEM scratch
+    fits the budget (important for >=1 s impulse responses).
     """
     B, S, T = x.shape
     P = params.partition_count
+    batch_tile = auto_batch_tile(
+        B, state.fdl_re.shape[1], T, state.fdl_re.dtype.itemsize, batch_tile
+    )
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)
     X = jnp.fft.rfft(frame, axis=-1)

@@ -51,7 +51,7 @@ def _watchdog(seconds: float, message: str):
     return t
 
 
-def build(batch: int, hrir_len: int = 4320):
+def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None):
     import jax
     import jax.numpy as jnp
 
@@ -61,6 +61,14 @@ def build(batch: int, hrir_len: int = 4320):
     from airwave_tpu.ops import eq_block, upols
 
     rng = np.random.default_rng(0)
+
+    if hrir_seconds:  # config-5 stress: long partitioned IRs
+        hrir_len = int(hrir_seconds * SAMPLE_RATE)
+        hrir = (rng.standard_normal((2, 2, hrir_len)) * 0.02).astype(np.float32)
+        hrir *= np.exp(-np.arange(hrir_len) / (0.3 * SAMPLE_RATE))
+        hrir[:, :, 0] += 0.8
+        conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False)
+        return _finish_build(batch, hrir, conv_params)
 
     # HRIR: prefer the real bundled asset; synthesize the same shape if absent.
     try:
@@ -75,7 +83,18 @@ def build(batch: int, hrir_len: int = 4320):
         hrir[:, :, 0] += 0.8
     # Exact partition count: 9 vs pow2 16 = 1.78x less FDL traffic.
     conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False)
+    return _finish_build(batch, hrir, conv_params)
 
+
+def _finish_build(batch: int, hrir, conv_params):
+    import jax.numpy as jnp
+
+    from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
+    from airwave_tpu.models.binaural import ChainState
+    from airwave_tpu.ops import biquad_design as bd
+    from airwave_tpu.ops import eq_block, upols
+
+    rng = np.random.default_rng(0)
     filters = tuple(
         EqualizerFilter(i + 1, i + 1, True,
                         (FilterType.PEAKING, FilterType.LOW_SHELF,
@@ -151,10 +170,11 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
 
 
 def measure(batch: int, blocks_per_call: int, calls: int,
-            use_pallas: bool = False, batch_tile: int = 256):
+            use_pallas: bool = False, batch_tile: int = 256,
+            hrir_seconds: float = None, fdl_dtype: str = "float32"):
     import jax
 
-    conv_params, eq_params, state, x = build(batch)
+    conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds)
     if use_pallas:
         from airwave_tpu.kernels import upols_pallas as kp
         from airwave_tpu.graph.renderer import build_hrir_time_domain
@@ -162,11 +182,22 @@ def measure(batch: int, blocks_per_call: int, calls: int,
         from airwave_tpu.io import wav
         from airwave_tpu.ops import eq_block
 
-        data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
-        hrir = build_hrir_time_domain(data, cm.STEREO, SAMPLE_RATE)
+        import jax.numpy as jnp
+
+        if hrir_seconds:
+            rng = np.random.default_rng(0)
+            n = int(hrir_seconds * SAMPLE_RATE)
+            hrir = (rng.standard_normal((2, 2, n)) * 0.02).astype(np.float32)
+            hrir *= np.exp(-np.arange(n) / (0.3 * SAMPLE_RATE))
+            hrir[:, :, 0] += 0.8
+        else:
+            data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+            hrir = build_hrir_time_domain(data, cm.STEREO, SAMPLE_RATE)
         conv_params = kp.make_packed_params(hrir, BLOCK)
+        dtype = jnp.bfloat16 if fdl_dtype == "bf16" else jnp.float32
         state = (
-            kp.make_packed_state(batch, 2, conv_params.partition_count, BLOCK),
+            kp.make_packed_state(batch, 2, conv_params.partition_count, BLOCK,
+                                 dtype=dtype),
             eq_block.make_eq_state(batch),
         )
     runner = make_runner(blocks_per_call, use_pallas, batch_tile)
@@ -200,6 +231,11 @@ def main():
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas FDL kernel for the conv")
     parser.add_argument("--batch-tile", type=int, default=256)
+    parser.add_argument("--hrir-seconds", type=float, default=None,
+                        help="config-5 stress: synthetic IR of this length")
+    parser.add_argument("--fdl-dtype", choices=["float32", "bf16"],
+                        default="float32",
+                        help="bf16 = fast mode (pallas path only)")
     parser.add_argument("--deadline", type=float, default=480.0)
     args = parser.parse_args()
 
@@ -218,7 +254,9 @@ def main():
 
     multiple, per_block = measure(batch, blocks, args.calls,
                                   use_pallas=args.pallas,
-                                  batch_tile=args.batch_tile)
+                                  batch_tile=args.batch_tile,
+                                  hrir_seconds=args.hrir_seconds,
+                                  fdl_dtype=args.fdl_dtype)
     print(json.dumps({
         "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
         "value": round(multiple, 1),

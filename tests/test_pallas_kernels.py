@@ -78,3 +78,36 @@ def test_identity_impulse_through_kernel():
                                batch_tile=8, interpret=True)
     np.testing.assert_allclose(np.asarray(y)[:, 0], x[:, 0], atol=1e-4)
     np.testing.assert_allclose(np.asarray(y)[:, 1], x[:, 0], atol=1e-4)
+
+
+def test_bf16_fast_mode_accuracy_and_auto_tile():
+    """bf16 delay line: documented ~3e-3 accuracy class; auto tile clamps
+    for long impulse responses."""
+    rng = np.random.default_rng(11)
+    T, B, S = 64, 8, 2
+    hrir = rng.standard_normal((S, 2, 1000)).astype(np.float32) * 0.2
+    params = kp.make_packed_params(hrir, T)
+    P = params.partition_count  # 16 partitions of a "long" IR
+
+    s32 = kp.make_packed_state(B, S, P, T)
+    s16 = kp.make_packed_state(B, S, P, T, dtype=jnp.bfloat16)
+    assert s16.fdl_re.dtype == jnp.bfloat16
+
+    x = rng.standard_normal((B, S, 6 * T)).astype(np.float32)
+    got32, got16 = [], []
+    for i in range(6):
+        block = jnp.asarray(x[:, :, i * T:(i + 1) * T])
+        s32, y32 = kp.conv_step_packed(params, s32, block, interpret=True)
+        s16, y16 = kp.conv_step_packed(params, s16, block, interpret=True)
+        got32.append(np.asarray(y32))
+        got16.append(np.asarray(y16))
+    a = np.concatenate(got32, -1)
+    b = np.concatenate(got16, -1)
+    rel = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
+    assert rel < 2e-2, rel          # fast mode stays in its accuracy class
+    assert rel > 1e-5               # and is genuinely lower precision
+
+    # Auto-tile: a huge request is clamped to the VMEM budget and divides B.
+    tile = kp.auto_batch_tile(1024, 2 * 94, 512, 4, requested=1024)
+    assert 1024 % tile == 0
+    assert 2 * (2 * 94) * 512 * 4 * tile <= kp.VMEM_SCRATCH_BUDGET_BYTES
