@@ -40,6 +40,8 @@ class SyntheticTransport:
         self._phase = 0
         self.frames_pumped = 0
         self.last_output: Optional[np.ndarray] = None
+        self._probe_buffer: Optional[np.ndarray] = None
+        self._probe_cursor = 0
 
     # --- lifecycle --------------------------------------------------------------
 
@@ -90,6 +92,16 @@ class SyntheticTransport:
     def request_capture_access(self, completion) -> None:
         completion(True)
 
+    # --- probe sink (CaptureProbe plays through the capture path) --------------------
+
+    def play_buffer(self, audio: np.ndarray, sample_rate: float) -> None:
+        self._probe_buffer = np.asarray(audio, np.float32)
+        self._probe_cursor = 0
+
+    def stop_buffer(self) -> None:
+        self._probe_buffer = None
+        self._probe_cursor = 0
+
     # --- pumping --------------------------------------------------------------------
 
     def pump(self, frames: int) -> Optional[np.ndarray]:
@@ -103,6 +115,15 @@ class SyntheticTransport:
         self._phase += frames
         self.frames_pumped += frames
         x = np.tile(signal[None, None, :], (self.batch, 2, 1))
+        if self._probe_buffer is not None:
+            take = min(frames, self._probe_buffer.shape[1] - self._probe_cursor)
+            if take > 0:
+                x[:, :, :take] += self._probe_buffer[
+                    None, :, self._probe_cursor:self._probe_cursor + take
+                ]
+                self._probe_cursor += take
+            else:
+                self._probe_buffer = None
         (callback,) = (
             self._callbacks[io] for io in self._running
         )
