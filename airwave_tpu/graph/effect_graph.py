@@ -68,37 +68,62 @@ def _warning_from_error(
 
 
 class EqualizerEffect:
-    """Owns a per-sample-rate host EQ processor (ref EqualizerRuntimeEffect)."""
+    """Owns per-sample-rate host EQ processors (ref EqualizerRuntimeEffect).
 
-    def __init__(self, config: AirwaveConfig = DEFAULT_CONFIG) -> None:
+    One independent processor per stream row: filter histories and crossfade
+    progress are per-stream state (the reference is single-stream; with a
+    batch, sharing one processor would leak z-state and ramp position across
+    streams). Target publication fans out to every row."""
+
+    def __init__(self, config: AirwaveConfig = DEFAULT_CONFIG,
+                 batch: int = 1) -> None:
         self.config = config
-        self.processor: Optional[ParametricEqualizerProcessor] = None
+        self.batch = batch
+        self.processors: list = []
+        self._sample_rate: Optional[float] = None
+
+    @property
+    def processor(self) -> Optional[ParametricEqualizerProcessor]:
+        """First row's processor (single-stream convenience)."""
+        return self.processors[0] if self.processors else None
 
     def prepare(
         self, definition: Optional[EqualizerDefinition], sample_rate: float
     ) -> None:
-        # Reuse the processor when the sample rate matches (swift :16-24).
-        if self.processor is None or self.processor.sample_rate != sample_rate:
-            self.processor = ParametricEqualizerProcessor(
-                sample_rate,
-                self.config.max_frames_per_callback,
-                self.config,
-            )
-        self.processor.set_target(definition)
+        # Reuse processors when the sample rate matches (swift :16-24).
+        if not self.processors or self._sample_rate != sample_rate:
+            self._sample_rate = sample_rate
+            self.processors = [
+                ParametricEqualizerProcessor(
+                    sample_rate,
+                    self.config.max_frames_per_callback,
+                    self.config,
+                )
+                for _ in range(self.batch)
+            ]
+        for processor in self.processors:
+            processor.set_target(definition)
 
     def set_target(self, definition: Optional[EqualizerDefinition]) -> None:
-        if self.processor is None:
+        if not self.processors:
             raise errors.EqualizerPreparationError("equalizer not prepared")
         try:
-            self.processor.set_target(definition)
+            for processor in self.processors:
+                processor.set_target(definition)
         except errors.EqualizerPreparationError:
             # Invalid live preset: fall back to a unity target (swift :29-33).
-            self.processor.set_target(None)
+            for processor in self.processors:
+                processor.set_target(None)
             raise
 
-    def process(self, left: np.ndarray, right: Optional[np.ndarray]):
-        assert self.processor is not None
-        return self.processor.process(left, right)
+    def process(self, left: np.ndarray, right: Optional[np.ndarray],
+                stream: int = 0):
+        assert self.processors, "equalizer not prepared"
+        assert stream < len(self.processors), (
+            f"stream {stream} >= prepared batch {len(self.processors)}; "
+            "construct EqualizerEffect(batch=...) to match the graph batch"
+        )
+        return self.processors[stream].process(left, right)
 
 
 class AudioEffectGraph:
@@ -113,9 +138,10 @@ class AudioEffectGraph:
         spatial,
         equalizer: Optional[EqualizerEffect] = None,
         config: AirwaveConfig = DEFAULT_CONFIG,
+        batch: int = 1,
     ) -> None:
         self.spatial = spatial
-        self.equalizer = equalizer or EqualizerEffect(config)
+        self.equalizer = equalizer or EqualizerEffect(config, batch=batch)
         self.config = config
         self._equalizer_active = False
 
@@ -187,5 +213,7 @@ class AudioEffectGraph:
     def _run_equalizer(self, y: np.ndarray) -> np.ndarray:
         out = np.empty_like(y)
         for b in range(y.shape[0]):
-            out[b, 0], out[b, 1] = self.equalizer.process(y[b, 0], y[b, 1])
+            out[b, 0], out[b, 1] = self.equalizer.process(
+                y[b, 0], y[b, 1], stream=b
+            )
         return out

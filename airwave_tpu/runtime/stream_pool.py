@@ -8,6 +8,12 @@ sample rate across its slots; per-stream lifecycle is attach/push/pump/pull/
 detach. Streams advance ONLY when a full block of their own input exists
 (ref RealtimeAudioProcessor.swift:112-115) — the masked shift-register conv
 keeps inactive carries untouched.
+
+EQ semantics: retargets are pool-wide (one preset set per pool). Streams
+actively rendering during the 20 ms ramp crossfade per-sample exactly; a
+stream that is idle across the entire ramp hears the new target directly when
+it resumes (its own carry never blended — the ramp is a wall-clock event, and
+an idle stream has no samples to blend).
 """
 
 from __future__ import annotations

@@ -219,3 +219,20 @@ def test_graph_update_to_none_keeps_processor_for_unity_ramp():
     gain = 10 ** (6 / 20)
     assert abs(y[0, 0, 0] - (gain - (gain - 1) / 960)) < 1e-4
     assert abs(y[0, 0, -1] - 1.0) < 1e-5
+
+
+def test_graph_batched_eq_state_is_per_stream():
+    """Regression: with B>1, EQ filter state and crossfade progress must be
+    per-stream (a shared processor would advance stream 1's ramp while
+    rendering stream 0 and leak z-state across streams)."""
+    graph = AudioEffectGraph(FakeSpatial(ready=False), batch=2)
+    graph.prepare(48_000, EqualizerDefinition(preamp_db=6.0))
+    gain = 10 ** (6 / 20)
+    x = np.ones((2, 2, 960), np.float32)
+    y = graph.process(x)
+    # Both streams see the SAME ramp: sample 0 at 1+(g-1)/960, sample 959 at g.
+    for b in range(2):
+        assert abs(y[b, 0, 0] - (1 + (gain - 1) / 960)) < 1e-5
+        assert abs(y[b, 0, -1] - gain) < 1e-5
+    # And identical inputs produce identical outputs across streams.
+    np.testing.assert_array_equal(y[0], y[1])
