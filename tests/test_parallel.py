@@ -73,3 +73,31 @@ def test_stream_speaker_sharded_step_psum_downmix(devices):
     step = pmesh.stream_speaker_sharded_step(m, transition_length=960)
     _, y = step(conv_params2, eq_params2, eq_params2, state2, x2)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
+
+
+def test_multihost_helpers_single_process(devices):
+    """Single-process semantics of the multi-host utilities: the host owns
+    the whole batch, and make_global_array assembles a stream-sharded array
+    identical to a plain device_put."""
+    import jax
+    import numpy as np
+    from airwave_tpu.parallel import multihost as mh
+
+    mh.initialize()  # no-op single process
+    mesh = mh.global_mesh()
+    spec = mh.host_shard_spec(16, mesh)
+    assert spec.local_count == 16 and spec.local_start == 0
+
+    rng = np.random.default_rng(0)
+    rows = rng.standard_normal((16, 2, 8)).astype(np.float32)
+    arr = mh.make_global_array(rows, spec, mesh)
+    assert arr.shape == (16, 2, 8)
+    assert "streams" in str(arr.sharding)
+    np.testing.assert_array_equal(np.asarray(arr), rows)
+
+    # Feeds the sharded step directly.
+    conv_params, eq_params, state, _, _ = _build(16, T=8, L=16)
+    state = pmesh.shard_chain_state(state, mesh)
+    step = pmesh.stream_sharded_step(mesh, transition_length=960)
+    _, y = step(conv_params, eq_params, eq_params, state, arr[:, :, :8])
+    assert y.shape == (16, 2, 8)
