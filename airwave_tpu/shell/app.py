@@ -292,5 +292,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import signal
+
+    try:  # behave like a unix tool when piped into head etc.
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     args = build_parser().parse_args(argv)
     return args.fn(args)

@@ -334,6 +334,12 @@ def discover_sources(paths: Sequence[str]) -> List[str]:
 
 
 def main(argv=None) -> int:
+    import signal
+
+    try:  # behave like a unix tool when piped into head etc.
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     parser = argparse.ArgumentParser(
         description="Convert SimpleFreeFieldHRIR SOFA files to 14-ch HeSuVi WAVs"
     )

@@ -77,6 +77,12 @@ def generate(reference_path: str, base_path: str, output_dir: str,
 
 
 def main(argv=None) -> int:
+    import signal
+
+    try:  # behave like a unix tool when piped into head etc.
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--reference", required=True,
                         help="14-ch reference WAV providing target metrics")

@@ -276,6 +276,12 @@ def validate_variant(
 
 
 def main(argv=None) -> int:
+    import signal
+
+    try:  # behave like a unix tool when piped into head etc.
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     import argparse
 
     parser = argparse.ArgumentParser(
