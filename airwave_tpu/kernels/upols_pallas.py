@@ -6,14 +6,16 @@ HBM-bandwidth-bound: each block must read every FDL partition row and write
 exactly one per speaker. This kernel fuses, per batch tile:
 
     1. DMA the tile's FDL rows HBM -> VMEM scratch
-    2. overwrite the circular write slot with the new input spectra
-    3. complex multiply-accumulate against the (pre-rotated) HRIR spectra
+    2. complex multiply-accumulate against the (pre-rotated) HRIR spectra
        for both ears on the VPU
-    4. DMA only the UPDATED rows back through the aliased output
 
-so per block the FDL costs exactly (read S*P rows + write S rows) — no
-full-delay-line write-back, no rolled copies. The FDL buffers are threaded
-functionally via input_output_aliases (in-place at the XLA level).
+The circular-slot insertion itself runs as an XLA dynamic_update_slice on
+the donated FDL *before* the kernel (Mosaic requires sublane-dim DMA slices
+to be 8-row aligned, so single-row in-kernel stores are off the table), so
+per block the FDL costs exactly (write S rows + read S*Prows) — no
+full-delay-line write-back, no rolled copies. Row counts are padded to a
+multiple of 8 (Mosaic sublane tiling); padded HRIR rows are zero and
+contribute nothing.
 
 Spectra use a packed-real format with K = block_size lanes: bin 0 carries
 (DC, Nyquist) in (re, im) — both real for a real signal — so K tiles the
@@ -82,6 +84,13 @@ def unpack_spectrum(re: jax.Array, im: jax.Array) -> jax.Array:
     return full_re + 1j * full_im
 
 
+def _round_up(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+ROW_ALIGN = 8  # Mosaic sublane tiling for f32
+
+
 def make_packed_params(hrir: np.ndarray, block_size: int) -> PackedConvParams:
     """Time-domain HRIRs [S, E, L] -> flip-doubled packed spectra rows."""
     from airwave_tpu.ops.upols import partition_spectra
@@ -102,11 +111,10 @@ def make_packed_state(batch: int, num_speakers: int, partition_count: int,
     """dtype=jnp.bfloat16 is the opt-in "fast mode": halves the delay line's
     HBM traffic (the chain's dominant cost) at ~3e-3 relative error — outside
     the 1e-5 strict-parity contract, documented in docs/architecture.md."""
+    rows = _round_up(num_speakers * partition_count, ROW_ALIGN)
     return PackedConvState(
-        fdl_re=jnp.zeros((batch, num_speakers * partition_count, block_size),
-                         dtype),
-        fdl_im=jnp.zeros((batch, num_speakers * partition_count, block_size),
-                         dtype),
+        fdl_re=jnp.zeros((batch, rows, block_size), dtype),
+        fdl_im=jnp.zeros((batch, rows, block_size), dtype),
         overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
     )
@@ -120,46 +128,39 @@ def _rotate_h(params: PackedConvParams, write_pos: jax.Array) -> tuple:
     start = (P - 1) - write_pos.astype(jnp.int32)
     re = jax.lax.dynamic_slice_in_dim(params.h_re, start, P, axis=2)
     im = jax.lax.dynamic_slice_in_dim(params.h_im, start, P, axis=2)
-    return re.reshape(E, S * P, K), im.reshape(E, S * P, K)
+    re = re.reshape(E, S * P, K)
+    im = im.reshape(E, S * P, K)
+    rows = _round_up(S * P, ROW_ALIGN)
+    if rows != S * P:  # zero rows: no MAC contribution
+        pad = ((0, 0), (0, rows - S * P), (0, 0))
+        re = jnp.pad(re, pad)
+        im = jnp.pad(im, pad)
+    return re, im
 
 
-def _mac_kernel(S: int, P: int, E: int,
-                # scalar prefetch
-                w_ref,
+def _mac_kernel(E: int,
                 # inputs
-                x_re_ref, x_im_ref, h_re_ref, h_im_ref,
-                fdl_re_in, fdl_im_in,
+                h_re_ref, h_im_ref, fdl_re_hbm, fdl_im_hbm,
                 # outputs
-                y_re_ref, y_im_ref, fdl_re_out, fdl_im_out,
+                y_re_ref, y_im_ref,
                 # scratch
                 f_re, f_im, sems):
     bT = f_re.shape[0]
     b0 = pl.program_id(0) * bT
     K = f_re.shape[-1]
-    w = w_ref[0]
 
     load_re = pltpu.make_async_copy(
-        fdl_re_in.at[pl.ds(b0, bT)], f_re, sems.at[0]
+        fdl_re_hbm.at[pl.ds(b0, bT)], f_re, sems.at[0]
     )
     load_im = pltpu.make_async_copy(
-        fdl_im_in.at[pl.ds(b0, bT)], f_im, sems.at[1]
+        fdl_im_hbm.at[pl.ds(b0, bT)], f_im, sems.at[1]
     )
     load_re.start()
     load_im.start()
     load_re.wait()
     load_im.wait()
 
-    # Insert the new spectra at the circular slot for every speaker.
-    for s in range(S):
-        row = s * P + w
-        f_re[:, pl.ds(row, 1), :] = x_re_ref[:, pl.ds(s, 1), :].astype(
-            f_re.dtype
-        )
-        f_im[:, pl.ds(row, 1), :] = x_im_ref[:, pl.ds(s, 1), :].astype(
-            f_im.dtype
-        )
-
-    # Packed-complex MAC over all S*P rows, accumulated in float32.
+    # Packed-complex MAC over all rows, accumulated in float32.
     fr = f_re[:, :, :].astype(jnp.float32)
     fi = f_im[:, :, :].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bT, K), 1)
@@ -174,81 +175,65 @@ def _mac_kernel(S: int, P: int, E: int,
         y_re_ref[:, e, :] = jnp.where(is_bin0, a, a - b)
         y_im_ref[:, e, :] = jnp.where(is_bin0, b, c + d)
 
-    # Write back ONLY the updated rows through the aliased outputs.
-    for s in range(S):
-        row = s * P + w
-        store_re = pltpu.make_async_copy(
-            f_re.at[:, pl.ds(row, 1), :],
-            fdl_re_out.at[pl.ds(b0, bT), pl.ds(row, 1), :],
-            sems.at[2],
+
+def _insert_slot(state: PackedConvState, x_re, x_im, S: int, P: int):
+    """Circular-slot write as an XLA dynamic_update_slice on the (donated)
+    FDL — in place, S rows written."""
+    w = state.write_pos.astype(jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    fdl_re, fdl_im = state.fdl_re, state.fdl_im
+    dtype = fdl_re.dtype
+    for s_idx in range(S):
+        row = s_idx * P + w
+        fdl_re = jax.lax.dynamic_update_slice(
+            fdl_re, x_re[:, s_idx:s_idx + 1, :].astype(dtype),
+            (zero, row, zero),
         )
-        store_im = pltpu.make_async_copy(
-            f_im.at[:, pl.ds(row, 1), :],
-            fdl_im_out.at[pl.ds(b0, bT), pl.ds(row, 1), :],
-            sems.at[3],
+        fdl_im = jax.lax.dynamic_update_slice(
+            fdl_im, x_im[:, s_idx:s_idx + 1, :].astype(dtype),
+            (zero, row, zero),
         )
-        store_re.start()
-        store_im.start()
-        store_re.wait()
-        store_im.wait()
+    return fdl_re, fdl_im
 
 
-def _fdl_mac_call(params: PackedConvParams, state: PackedConvState,
-                  x_re, x_im, batch_tile: int, interpret: bool):
-    B, SP, K = state.fdl_re.shape
+def _fdl_mac_call(params: PackedConvParams, fdl_re, fdl_im,
+                  write_pos, batch_tile: int, interpret: bool):
+    B, rows, K = fdl_re.shape
     E, S, twoP, _ = params.h_re.shape
     P = twoP // 2
-    assert SP == S * P
+    assert rows == _round_up(S * P, ROW_ALIGN)
     assert B % batch_tile == 0, (B, batch_tile)
 
-    fdl_dtype = state.fdl_re.dtype
-    h_re, h_im = _rotate_h(params, state.write_pos)
-    w = jnp.reshape(state.write_pos.astype(jnp.int32), (1,))
+    h_re, h_im = _rotate_h(params, write_pos)  # [E, rows, K]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    kernel = functools.partial(_mac_kernel, E)
+    y_re, y_im = pl.pallas_call(
+        kernel,
         grid=(B // batch_tile,),
         in_specs=[
-            pl.BlockSpec((batch_tile, S, K), lambda i, w: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, S, K), lambda i, w: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # h_re (rotated, full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # h_im
-            pl.BlockSpec(memory_space=pl.ANY),   # fdl_re (manual DMA)
-            pl.BlockSpec(memory_space=pl.ANY),   # fdl_im
+            pl.BlockSpec(memory_space=pl.ANY),      # fdl_re (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),      # fdl_im
         ],
         out_specs=[
-            pl.BlockSpec((batch_tile, E, K), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((batch_tile, E, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, E, K), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((batch_tile, E, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),   # fdl_re out (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),   # fdl_im out (aliased)
         ],
-        scratch_shapes=[
-            pltpu.VMEM((batch_tile, SP, K), fdl_dtype),
-            pltpu.VMEM((batch_tile, SP, K), fdl_dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-    )
-
-    kernel = functools.partial(_mac_kernel, S, P, E)
-    y_re, y_im, fdl_re, fdl_im = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, E, K), jnp.float32),
             jax.ShapeDtypeStruct((B, E, K), jnp.float32),
-            jax.ShapeDtypeStruct((B, SP, K), fdl_dtype),
-            jax.ShapeDtypeStruct((B, SP, K), fdl_dtype),
         ],
-        # Operand indices include the scalar-prefetch arg: w=0, x_re=1,
-        # x_im=2, h_re=3, h_im=4, fdl_re=5, fdl_im=6.
-        input_output_aliases={5: 2, 6: 3},
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, rows, K), fdl_re.dtype),
+            pltpu.VMEM((batch_tile, rows, K), fdl_re.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(w, x_re, x_im, h_re, h_im, state.fdl_re, state.fdl_im)
-    return y_re, y_im, fdl_re, fdl_im
+    )(h_re, h_im, fdl_re, fdl_im)
+    return y_re, y_im
 
 
 VMEM_SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
@@ -288,8 +273,9 @@ def conv_step_packed(params: PackedConvParams, state: PackedConvState,
     x_re = x_re.astype(jnp.float32)
     x_im = x_im.astype(jnp.float32)
 
-    y_re, y_im, fdl_re, fdl_im = _fdl_mac_call(
-        params, state, x_re, x_im, batch_tile, interpret
+    fdl_re, fdl_im = _insert_slot(state, x_re, x_im, S, P)
+    y_re, y_im = _fdl_mac_call(
+        params, fdl_re, fdl_im, state.write_pos, batch_tile, interpret
     )
 
     Y = unpack_spectrum(y_re, y_im)
