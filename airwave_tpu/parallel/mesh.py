@@ -96,6 +96,45 @@ def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
     )
 
 
+def stream_sharded_bake(mesh: Mesh, transition_length: int = 960,
+                        eq_enabled: bool = True):
+    """Sharded offline bake: lax.scan over blocks, streams sharded over the
+    mesh (BASELINE config 5 on a slice). x_blocks [N, B, S, T] with B sharded;
+    returns (state', y_blocks [N, B, 2, T])."""
+    import jax.numpy as jnp
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("streams"))
+    blocks_sharded = NamedSharding(mesh, P(None, "streams"))
+
+    conv_shardings = upols.ConvParams(Hflip2=repl)
+    eq_shardings = eq_block.EqParams(hf=repl, O=repl, A_T=repl, G=repl)
+    state_shardings = ChainState(
+        conv=upols.ConvState(fdl=batched, overlap=batched, write_pos=repl),
+        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
+    )
+
+    def run(conv_params, eq_from, eq_to, state, x_blocks):
+        def body(s, xb):
+            s, y = chain_step_fn(
+                conv_params, eq_from, eq_to, s, xb,
+                transition_length=transition_length,
+                spatial_enabled=True,
+                eq_enabled=eq_enabled,
+                eq_crossfading=False,
+            )
+            return s, y
+        return jax.lax.scan(body, state, x_blocks)
+
+    return jax.jit(
+        run,
+        in_shardings=(conv_shardings, eq_shardings, eq_shardings,
+                      state_shardings, blocks_sharded),
+        out_shardings=(state_shardings, blocks_sharded),
+        donate_argnums=(3,),
+    )
+
+
 def stream_speaker_sharded_step(mesh: Mesh, transition_length: int = 960,
                                 eq_enabled: bool = True):
     """2-D sharding via shard_map: streams x speakers; psum over speakers.

@@ -101,3 +101,28 @@ def test_multihost_helpers_single_process(devices):
     step = pmesh.stream_sharded_step(mesh, transition_length=960)
     _, y = step(conv_params, eq_params, eq_params, state, arr[:, :, :8])
     assert y.shape == (16, 2, 8)
+
+
+def test_stream_sharded_bake_matches_bake(devices):
+    import jax.numpy as jnp
+    import numpy as np
+    from airwave_tpu.models import bake as bake_mod
+
+    m = pmesh.make_mesh(devices, ("streams",))
+    B, S, T, N = 16, 2, 64, 5
+    rng = np.random.default_rng(0)
+    hrir = (rng.standard_normal((S, 2, 200)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((B, S, N * T)) * 0.4).astype(np.float32)
+
+    want, _ = bake_mod.bake(hrir, x, 48_000.0, block_size=T, pad_to_pow2=True)
+
+    conv_params, eq_params, state, _, _ = _build(B, S=S, T=T, L=200)
+    from airwave_tpu.ops import upols as upols_mod
+    conv_params = upols_mod.make_conv_params(hrir, T)  # same hrir
+    state = pmesh.shard_chain_state(state, m)
+    blocks = jnp.asarray(np.moveaxis(x.reshape(B, S, N, T), 2, 0))
+    runner = pmesh.stream_sharded_bake(m, transition_length=960,
+                                       eq_enabled=False)
+    _, y_blocks = runner(conv_params, eq_params, eq_params, state, blocks)
+    got = np.moveaxis(np.asarray(y_blocks), 0, 2).reshape(B, 2, N * T)
+    np.testing.assert_allclose(got, want, atol=2e-5)
