@@ -238,6 +238,40 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    import jax
+
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.io import wav as wav_io
+    from airwave_tpu.runtime.stream_pool import StreamPool
+    from airwave_tpu.shell.serve import RenderServer
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    hrir = wav_io.load(args.hrir)
+    layout = cm.STEREO if args.layout == "stereo" else cm.SURROUND_7_1
+    renderer = prepare_renderer(hrir, layout, args.sample_rate)
+    pool = StreamPool(
+        max_streams=args.max_streams,
+        sample_rate=args.sample_rate,
+        renderer=renderer,
+        eq_definition=_load_equalizer(args.eq),
+    )
+    server = RenderServer(pool, host=args.host, port=args.port)
+    server.start()
+    print(json.dumps({"listening": list(server.address),
+                      "max_streams": args.max_streams,
+                      "layout": layout.name}), flush=True)
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
 def cmd_status(args) -> int:
     import jax
 
@@ -285,6 +319,17 @@ def build_parser() -> argparse.ArgumentParser:
     demo.add_argument("--eq-preset", help="bundled EQ preset name substring")
     demo.add_argument("--cpu", action="store_true")
     demo.set_defaults(fn=cmd_demo)
+
+    serve = sub.add_parser("serve", help="TCP streaming render server")
+    serve.add_argument("--hrir", required=True)
+    serve.add_argument("--eq")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=7711)
+    serve.add_argument("--sample-rate", type=float, default=48_000.0)
+    serve.add_argument("--layout", choices=["stereo", "7.1"], default="stereo")
+    serve.add_argument("--max-streams", type=int, default=64)
+    serve.add_argument("--cpu", action="store_true")
+    serve.set_defaults(fn=cmd_serve)
 
     status = sub.add_parser("status")
     status.set_defaults(fn=cmd_status)
