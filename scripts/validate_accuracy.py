@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""On-device accuracy validation: full chain vs the float64 oracle.
+
+Runs the flagship conv+EQ chain (real bundled HRIR shapes + a 10-filter
+cascade) on the default JAX device and reports the relative RMS error
+against the host float64 oracle — the BASELINE.md <=1e-5 contract, checked
+on real hardware. Prints one JSON line; exit 1 if the contract fails.
+
+Usage: python scripts/validate_accuracy.py [--cpu] [--batch B] [--blocks N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--blocks", type=int, default=24)
+    parser.add_argument("--pallas", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
+    from airwave_tpu.models.binaural import ChainState, chain_step_fn
+    from airwave_tpu.ops import biquad_design as bd
+    from airwave_tpu.ops import eq_block, upols
+    from airwave_tpu.oracle.eq_oracle import EqCascadeOracle
+    from airwave_tpu.oracle.upols_oracle import UPOLSOracle
+
+    rng = np.random.default_rng(0)
+    T, S = 512, 2
+    hrir = (rng.standard_normal((S, 2, 4320)) * 0.05).astype(np.float32)
+    hrir[:, :, 0] += 0.8
+    filters = tuple(
+        EqualizerFilter(i + 1, i + 1, True,
+                        (FilterType.PEAKING, FilterType.LOW_SHELF,
+                         FilterType.HIGH_SHELF)[i % 3],
+                        100.0 * (i + 1) + 60.0, (-1.0) ** i * 2.0, 0.9)
+        for i in range(10)
+    )
+    preamp, coeffs = bd.design_cascade(
+        EqualizerDefinition(-2.5, filters), 48_000.0
+    )
+    eq_params = eq_block.make_eq_params(coeffs, preamp, T)
+    B, N = args.batch, args.blocks
+    x = (rng.standard_normal((B, S, N * T)) * 0.3).astype(np.float32)
+
+    if args.pallas:
+        from airwave_tpu.kernels import upols_pallas as kp
+
+        conv_params = kp.make_packed_params(hrir, T)
+        conv_state = kp.make_packed_state(B, S, conv_params.partition_count, T)
+        eq_state = eq_block.make_eq_state(B)
+        interpret = jax.default_backend() == "cpu"
+
+        import functools
+
+        @jax.jit
+        def step(conv_params, eq_params, cs, es, xb):
+            cs, y = kp.conv_step_packed(conv_params, cs, xb,
+                                        batch_tile=min(B, 8),
+                                        interpret=interpret)
+            es, y = eq_block.eq_step(eq_params, eq_params, es, y, 960, False)
+            return cs, es, y
+
+        outs = []
+        for i in range(N):
+            conv_state, eq_state, y = step(
+                conv_params, eq_params, conv_state, eq_state,
+                jnp.asarray(x[:, :, i * T:(i + 1) * T]),
+            )
+            outs.append(np.asarray(y))
+    else:
+        conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+        state = ChainState(
+            conv=upols.make_conv_state(B, S, conv_params.partition_count, T),
+            eq=eq_block.make_eq_state(B),
+        )
+        import functools
+
+        step = jax.jit(functools.partial(
+            chain_step_fn, transition_length=960, spatial_enabled=True,
+            eq_enabled=True, eq_crossfading=False,
+        ))
+        outs = []
+        for i in range(N):
+            state, y = step(conv_params, eq_params, eq_params, state,
+                            jnp.asarray(x[:, :, i * T:(i + 1) * T]))
+            outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+
+    worst = 0.0
+    for b in range(B):
+        ref = np.zeros((2, N * T))
+        for s in range(S):
+            for e in range(2):
+                oracle = UPOLSOracle(hrir[s, e], T)
+                ref[e] += np.concatenate(
+                    [oracle.process(x[b, s, i * T:(i + 1) * T])
+                     for i in range(N)]
+                )
+        eq_oracle = EqCascadeOracle(coeffs, preamp, 48_000.0)
+        rl, rr = eq_oracle.process(ref[0].astype(np.float32),
+                                   ref[1].astype(np.float32))
+        ref = np.stack([rl, rr])
+        err = float(np.sqrt(np.mean((got[b] - ref) ** 2))
+                    / np.sqrt(np.mean(ref ** 2)))
+        worst = max(worst, err)
+
+    import jax as _jax
+
+    result = {
+        "metric": "chain rel RMS vs float64 oracle",
+        "value": worst,
+        "target": 1e-5,
+        "pass": worst <= 1e-5,
+        "backend": _jax.default_backend(),
+        "device": str(_jax.devices()[0]),
+        "pallas": bool(args.pallas),
+        "batch": B,
+        "blocks": N,
+    }
+    print(json.dumps(result))
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
