@@ -162,3 +162,48 @@ def test_deleting_active_preset_clears_dangling_and_repreparares(tmp_path):
     verify_capture(w)  # re-verify after restart
     assert w["state"].status == Status.PROCESSING
     assert not w["spatial"].is_ready  # fell back to passthrough
+
+
+def test_config4_rate_mismatched_hrir_resampled_at_activation(tmp_path):
+    """BASELINE config 4: a 44.1 kHz HRIR preset activated for a 48 kHz
+    output gets resampled during preparation (ref HRIRManager.swift:389-399),
+    and a mid-stream profile hot-swap keeps the pipeline processing."""
+    w = build_world(tmp_path)
+    rng = np.random.default_rng(3)
+    audio_441 = (rng.standard_normal((14, 441)) * 0.2).astype(np.float32)
+    path = tmp_path / "set441.wav"
+    wav.save(str(path), audio_441, 44_100)
+    preset = w["hrir"].import_preset(str(path))
+    assert preset.sample_rate == 44_100
+
+    w["profiles"].set_hrir_preset_id(OUTPUT.uid, preset.id)
+    w["coordinator"].launch()
+    verify_capture(w)
+    assert w["state"].status == Status.PROCESSING
+    renderer = w["hrir"].published_renderer
+    assert renderer.sample_rate == 48_000.0
+    # 441 taps at 44.1k -> 480 taps at 48k -> still 1 partition of 512,
+    # but the resampled IR length is observable through the conv params.
+    from airwave_tpu.ops.resample import resample_linear
+    expected = resample_linear(audio_441[0], 44_100.0, 48_000.0)
+    assert len(expected) == 480
+
+    # Mid-stream hot-swap to a 48k preset; pipeline must keep processing.
+    native = make_hrir_file_48k(tmp_path)
+    preset2 = w["hrir"].import_preset(native)
+    w["profiles"].set_hrir_preset_id(OUTPUT.uid, preset2.id)
+    verify_capture(w)
+    assert w["state"].status == Status.PROCESSING
+    y = w["transport"].drive_callback(
+        (rng.standard_normal((1, 2, 512)) * 0.2).astype(np.float32)
+    )
+    assert np.all(np.isfinite(y))
+
+
+def make_hrir_file_48k(tmp_path):
+    rng = np.random.default_rng(9)
+    path = tmp_path / "set48.wav"
+    wav.save(str(path),
+             (rng.standard_normal((14, 256)) * 0.2).astype(np.float32),
+             48_000)
+    return str(path)
