@@ -236,3 +236,36 @@ def test_graph_batched_eq_state_is_per_stream():
         assert abs(y[b, 0, -1] - gain) < 1e-5
     # And identical inputs produce identical outputs across streams.
     np.testing.assert_array_equal(y[0], y[1])
+
+
+def test_config3_surround71_downmix_matches_oracle():
+    """BASELINE config 3: 7.1 input through the 14-channel HeSuVi map —
+    per-speaker conv (LFE shares the FC pair) + stereo downmix — vs the
+    f64 oracle."""
+    rng = np.random.default_rng(11)
+    sample_rate, block = 48_000.0, 128
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(sample_rate, audio), cm.SURROUND_7_1,
+                                sample_rate, block)
+    assert renderer.num_speakers == 8
+    effect = SpatialEffect(batch=1, sample_rate=sample_rate, block_size=block)
+    effect.set_renderer(renderer)
+
+    n = 6 * block
+    x = (rng.standard_normal((1, 8, n)) * 0.25).astype(np.float32)
+    y = effect.process(x)
+
+    channel_map = cm.hesuvi_14_channel(cm.SURROUND_7_1.channels)
+    ref = np.zeros((2, n))
+    for spk_idx, speaker in enumerate(cm.SURROUND_7_1.channels):
+        li, ri = channel_map.indices(speaker)
+        for ear, ch in ((0, li), (1, ri)):
+            o = UPOLSOracle(audio[ch], block)
+            ref[ear] += np.concatenate(
+                [o.process(x[0, spk_idx, i * block:(i + 1) * block])
+                 for i in range(6)]
+            )
+    err = np.sqrt(np.mean((y[0] - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert err < 1e-5, err
+    # FC and LFE share the (6, 13) HRIR pair (ref VirtualSpeaker.swift:280-283).
+    assert channel_map.indices(cm.FC) == channel_map.indices(cm.LFE) == (6, 13)
