@@ -174,6 +174,15 @@ def measure(batch: int, blocks_per_call: int, calls: int,
             hrir_seconds: float = None, fdl_dtype: str = "float32"):
     import jax
 
+    # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
+    # compile and fit inside short healthy windows.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds)
     if use_pallas:
         from airwave_tpu.kernels import upols_pallas as kp
