@@ -86,6 +86,15 @@ def resample_polyphase_device(
     Lowered as one gather + one MXU contraction: output windows
     [..., out, taps] x per-output phase banks [out, taps] -> [..., out].
     The filter bank design runs on the host in float64.
+
+    KERNEL NOTE: a hand-written Pallas version was evaluated and rejected.
+    The phase pattern repeats every `up` outputs, so the whole resampler is
+    expressible as (strided window extraction) + (one dense matmul against a
+    tile-invariant weight matrix) — exactly what this einsum lowers to, and
+    a shape XLA already schedules optimally on the MXU. Mosaic's lane-dim
+    slice alignment rules would force the same window materialization a
+    Pallas kernel would need, leaving it nothing to fuse. (The Pallas budget
+    goes to the FDL kernel, where manual DMA genuinely changes the traffic.)
     """
     import jax.numpy as jnp
 
