@@ -87,6 +87,7 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None):
 
 
 def _finish_build(batch: int, hrir, conv_params):
+    import jax
     import jax.numpy as jnp
 
     from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
@@ -110,9 +111,10 @@ def _finish_build(batch: int, hrir, conv_params):
         conv=upols.make_conv_state(batch, 2, conv_params.partition_count, BLOCK),
         eq=eq_block.make_eq_state(batch),
     )
-    x = jnp.asarray(
-        (rng.standard_normal((batch, 2, BLOCK)) * 0.25).astype(np.float32)
-    )
+    # Generate the input block ON DEVICE (no multi-MB host upload — keeps
+    # the bench viable over slow/flaky device transports).
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 2, BLOCK),
+                          jnp.float32) * 0.25
     return conv_params, eq_params, state, x
 
 
