@@ -113,3 +113,14 @@ def test_watcher_drives_library_reload(tmp_path):
     scheduler.advance(0.5)   # poll sees the change
     scheduler.advance(0.25)  # debounce fires -> reload
     assert manager.presets() == []
+
+
+def test_end_to_end_determinism_across_fresh_jits():
+    """Same inputs through independently-built engines -> bit-identical
+    output (production reproducibility guarantee)."""
+    rng = np.random.default_rng(0)
+    hrir = (rng.standard_normal((2, 2, 200)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((2, 2, 4 * 64)) * 0.4).astype(np.float32)
+    y1, _ = bake.bake(hrir, x, 48_000.0, block_size=64)
+    y2, _ = bake.bake(hrir, x, 48_000.0, block_size=64)
+    np.testing.assert_array_equal(y1, y2)
