@@ -41,6 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from airwave_tpu.ops.fftmm import irfft_mm as fftmm_irfft
+from airwave_tpu.ops.fftmm import rfft_mm as fftmm_rfft
+
 
 class PackedConvParams(NamedTuple):
     # Flip-doubled HRIR spectra rows [E, S, 2P, K] per plane; slicing
@@ -48,6 +51,10 @@ class PackedConvParams(NamedTuple):
     # write position.
     h_re: jax.Array
     h_im: jax.Array
+    # Packed-bin MXU DFT weights (ops/fftmm): analysis of the 2T frame and
+    # second-half-only synthesis.
+    wf: jax.Array   # [2T, T, 2]
+    wi: jax.Array   # [T, 2, T]
 
     @property
     def num_ears(self) -> int:
@@ -106,9 +113,14 @@ def make_packed_params(hrir: np.ndarray, block_size: int) -> PackedConvParams:
     re = np.concatenate([re[:, :, ::-1], re[:, :, ::-1]], axis=2)
     im = np.concatenate([im[:, :, ::-1], im[:, :, ::-1]], axis=2)
     # [S, E, 2P, K] -> [E, S, 2P, K]
+    from airwave_tpu.ops import fftmm
+
+    n = 2 * block_size
     return PackedConvParams(
         h_re=jnp.asarray(np.transpose(re, (1, 0, 2, 3)).copy()),
         h_im=jnp.asarray(np.transpose(im, (1, 0, 2, 3)).copy()),
+        wf=fftmm.rfft_weights_packed(n),
+        wi=fftmm.irfft_weights_packed(n, block_size, block_size),
     )
 
 
@@ -227,15 +239,17 @@ def _fdl_mac_call(params: PackedConvParams, fdl_re, fdl_im,
     return y_re, y_im
 
 
-VMEM_SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
+VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
 def auto_batch_tile(batch: int, sp_rows: int, block_size: int,
                     itemsize: int, requested: int) -> int:
-    """Largest divisor of `batch` <= requested whose two FDL scratch planes
-    fit the VMEM budget (long IRs shrink the tile automatically)."""
-    per_row = 2 * sp_rows * block_size * itemsize
-    cap = max(1, VMEM_SCRATCH_BUDGET_BYTES // per_row)
+    """Largest divisor of `batch` <= requested whose FDL blocks fit VMEM.
+
+    Per tile the pipeline holds 2 planes x 2 double-buffered blocks of
+    [tile, sp_rows, block_size]; long IRs shrink the tile automatically."""
+    per_row = 4 * sp_rows * block_size * itemsize
+    cap = max(1, VMEM_BUDGET_BYTES // per_row)
     tile = min(requested, cap, batch)
     while batch % tile != 0:
         tile -= 1
@@ -259,18 +273,18 @@ def conv_step_packed(params: PackedConvParams, state: PackedConvState,
     )
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)
-    X = jnp.fft.rfft(frame, axis=-1)
-    x_re, x_im = pack_spectrum(X)
-    x_re = x_re.astype(jnp.float32)
-    x_im = x_im.astype(jnp.float32)
+    planes = fftmm_rfft(frame, params.wf)   # [B, S, T(packed), 2]
+    x_re = planes[..., 0]
+    x_im = planes[..., 1]
 
     fdl_re, fdl_im = _insert_slot(state, x_re, x_im, S, P)
     y_re, y_im = _fdl_mac_call(
         params, fdl_re, fdl_im, state.write_pos, batch_tile, interpret
     )
 
-    Y = unpack_spectrum(y_re, y_im)
-    y = jnp.fft.irfft(Y, n=2 * T, axis=-1)[..., T:].astype(x.dtype)
+    y = fftmm_irfft(
+        jnp.stack([y_re, y_im], axis=-1), params.wi
+    ).astype(x.dtype)
 
     new_state = PackedConvState(
         fdl_re=fdl_re,

@@ -72,3 +72,30 @@ def irfft_mm(planes: jax.Array, weights: jax.Array) -> jax.Array:
     """Planes [..., K, 2] -> samples [..., length] via one MXU matmul."""
     return jnp.einsum("...kc,kct->...t", planes, weights,
                       preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _rfft_weights_packed_np(n: int) -> np.ndarray:
+    """Packed-bin analysis weights [n, n//2, 2]: bin 0 = (DC, Nyquist) —
+    the kernels' vDSP-style layout (kernels/upols_pallas.py)."""
+    full = _rfft_weights_np(n)              # [n, K, 2]
+    packed = full[:, : n // 2, :].copy()
+    packed[:, 0, 1] = full[:, n // 2, 0]    # Nyquist real -> bin0 imag lane
+    return packed
+
+
+@functools.lru_cache(maxsize=16)
+def _irfft_weights_packed_np(n: int, start: int, length: int) -> np.ndarray:
+    """Packed-bin synthesis weights [n//2, 2, length]."""
+    full = _irfft_weights_np(n, start, length)   # [K, 2, length]
+    packed = full[: n // 2].copy()
+    packed[0, 1, :] = full[n // 2, 0, :]         # bin0 imag = Nyquist real
+    return packed
+
+
+def rfft_weights_packed(n: int) -> jax.Array:
+    return jnp.asarray(_rfft_weights_packed_np(n))
+
+
+def irfft_weights_packed(n: int, start: int, length: int) -> jax.Array:
+    return jnp.asarray(_irfft_weights_packed_np(n, start, length))

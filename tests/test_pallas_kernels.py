@@ -110,4 +110,4 @@ def test_bf16_fast_mode_accuracy_and_auto_tile():
     # Auto-tile: a huge request is clamped to the VMEM budget and divides B.
     tile = kp.auto_batch_tile(1024, 2 * 94, 512, 4, requested=1024)
     assert 1024 % tile == 0
-    assert 2 * (2 * 94) * 512 * 4 * tile <= kp.VMEM_SCRATCH_BUDGET_BYTES
+    assert 4 * (2 * 94) * 512 * 4 * tile <= kp.VMEM_BUDGET_BYTES
