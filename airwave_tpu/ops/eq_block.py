@@ -26,7 +26,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from airwave_tpu.ops import biquad_design as bd
-from airwave_tpu.ops import fftmm
+
+
+# Matmul precision for the numerics-bearing contractions. HIGHEST (bf16x6
+# passes) holds the 1e-5 chain contract with ~50x margin; HIGH (bf16x3) is
+# ~2x faster and still passes (see BENCH_NOTES.md); DEFAULT (single bf16
+# pass) fails it outright. Override via AIRWAVE_MATMUL_PRECISION.
+import os as _os
+
+PRECISION = {
+    "highest": __import__("jax").lax.Precision.HIGHEST,
+    "high": __import__("jax").lax.Precision.HIGH,
+    "default": __import__("jax").lax.Precision.DEFAULT,
+}[_os.environ.get("AIRWAVE_MATMUL_PRECISION", "highest").lower()]
+
 
 # Counter value meaning "no transition in progress" (any value >= the longest
 # supported transition length works; ramps are <= 0.02 * 384kHz ≈ 7680).
@@ -34,12 +47,15 @@ COUNTER_IDLE = np.int32(1 << 24)
 
 
 class EqParams(NamedTuple):
-    hf: jax.Array   # [K, 2] float32 — rfft planes of the block impulse resp.
+    # Lower-triangular Toeplitz of the block impulse response: the causal FIR
+    # part as ONE dense MXU matmul (Hm[t, k] = h[t - k] for t >= k). For
+    # T = 512 this is ~6x fewer FLOPs than the FFT formulation at the
+    # required (HIGHEST) matmul precision, and shorter-summation = better
+    # rounding (<= T products per output vs the DFT's spectral detour).
+    Hm: jax.Array   # [T, T] float32
     O: jax.Array    # [T, N] float32
     A_T: jax.Array  # [N, N] float32
     G: jax.Array    # [N, T] float32
-    wf: jax.Array   # [2T, K, 2] float32 — MXU analysis weights (ops/fftmm)
-    wi: jax.Array   # [K, 2, T] float32 — first-half synthesis weights
 
 
 class EqState(NamedTuple):
@@ -56,18 +72,15 @@ def make_eq_params(
     dtype=jnp.float32,
 ) -> EqParams:
     ssm = bd.block_ssm(coefficients, preamp_linear, block_size, state_dim)
-    h_padded = np.zeros(2 * block_size, np.float64)
-    h_padded[:block_size] = ssm.h
-    hf = np.fft.rfft(h_padded)
-    hf_planes = np.stack([hf.real, hf.imag], axis=-1).astype(np.float32)
-    n = 2 * block_size
+    T = block_size
+    toeplitz = np.zeros((T, T), np.float64)
+    for t in range(T):
+        toeplitz[t, : t + 1] = ssm.h[t::-1]
     return EqParams(
-        hf=jnp.asarray(hf_planes),
+        Hm=jnp.asarray(toeplitz, dtype),
         O=jnp.asarray(ssm.O, dtype),
         A_T=jnp.asarray(ssm.A_T, dtype),
         G=jnp.asarray(ssm.G, dtype),
-        wf=fftmm.rfft_weights(n),
-        wi=fftmm.irfft_weights(n, 0, block_size),
     )
 
 
@@ -87,22 +100,23 @@ def make_eq_state(batch: int, channels: int = 2, state_dim: int = 128) -> EqStat
 def _cascade_block(params: EqParams, s: jax.Array, x: jax.Array):
     """Run one cascade over a block. x [B, C, T], s [B, C, N].
 
-    FIR part via MXU matmul-DFT in float planes (ops/fftmm): analysis of the
-    zero-padded block, pointwise complex product against the impulse-response
-    planes, first-half synthesis."""
-    T = x.shape[-1]
-    x_padded = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
-    xf = fftmm.rfft_mm(x_padded, params.wf)            # [B, C, K, 2]
-    hre, him = params.hf[..., 0], params.hf[..., 1]
-    yre = xf[..., 0] * hre - xf[..., 1] * him
-    yim = xf[..., 0] * him + xf[..., 1] * hre
-    fir = fftmm.irfft_mm(jnp.stack([yre, yim], axis=-1), params.wi)
+    FIR part = one dense triangular-Toeplitz MXU matmul; the state carries
+    all cross-block history exactly (ops/biquad_design.block_ssm). ~6x fewer
+    FLOPs than the FFT formulation at the required matmul precision, and
+    shorter summations (<= T products per output) round better."""
+    fir = jnp.einsum("bct,st->bcs", x, params.Hm,
+                     preferred_element_type=jnp.float32,
+                     precision=PRECISION)
+    hi = PRECISION
     y = fir.astype(x.dtype) + jnp.einsum(
-        "bcn,tn->bct", s, params.O, preferred_element_type=x.dtype
+        "bcn,tn->bct", s, params.O, preferred_element_type=x.dtype,
+        precision=hi,
     )
     s_next = jnp.einsum(
-        "bcn,mn->bcm", s, params.A_T, preferred_element_type=s.dtype
-    ) + jnp.einsum("bct,nt->bcn", x, params.G, preferred_element_type=s.dtype)
+        "bcn,mn->bcm", s, params.A_T, preferred_element_type=s.dtype,
+        precision=hi,
+    ) + jnp.einsum("bct,nt->bcn", x, params.G,
+                   preferred_element_type=s.dtype, precision=hi)
     return y, s_next
 
 

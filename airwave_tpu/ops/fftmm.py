@@ -26,6 +26,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Matmul precision for the numerics-bearing contractions. HIGHEST (bf16x6
+# passes) holds the 1e-5 chain contract with ~50x margin; HIGH (bf16x3) is
+# ~2x faster and still passes (see BENCH_NOTES.md); DEFAULT (single bf16
+# pass) fails it outright. Override via AIRWAVE_MATMUL_PRECISION.
+import os as _os
+
+PRECISION = {
+    "highest": __import__("jax").lax.Precision.HIGHEST,
+    "high": __import__("jax").lax.Precision.HIGH,
+    "default": __import__("jax").lax.Precision.DEFAULT,
+}[_os.environ.get("AIRWAVE_MATMUL_PRECISION", "highest").lower()]
+
+
 
 @functools.lru_cache(maxsize=16)
 def _rfft_weights_np(n: int) -> np.ndarray:
@@ -63,15 +76,21 @@ def irfft_weights(n: int, start: int, length: int) -> jax.Array:
 
 
 def rfft_mm(x: jax.Array, weights: jax.Array) -> jax.Array:
-    """x [..., n] f32 -> packed planes [..., K, 2] via one MXU matmul."""
+    """x [..., n] f32 -> packed planes [..., K, 2] via one MXU matmul.
+
+    Precision.HIGHEST is required: TPU matmuls default to bf16 passes, which
+    quantize the DFT weights to 8 mantissa bits and blow the 1e-5 chain
+    contract (measured 4.9e-3 on-chip at default precision)."""
     return jnp.einsum("...t,tkc->...kc", x, weights,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=PRECISION)
 
 
 def irfft_mm(planes: jax.Array, weights: jax.Array) -> jax.Array:
     """Planes [..., K, 2] -> samples [..., length] via one MXU matmul."""
     return jnp.einsum("...kc,kct->...t", planes, weights,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=PRECISION)
 
 
 @functools.lru_cache(maxsize=16)

@@ -35,6 +35,19 @@ import numpy as np
 
 from airwave_tpu.ops import fftmm
 
+# Matmul precision for the numerics-bearing contractions. HIGHEST (bf16x6
+# passes) holds the 1e-5 chain contract with ~50x margin; HIGH (bf16x3) is
+# ~2x faster and still passes (see BENCH_NOTES.md); DEFAULT (single bf16
+# pass) fails it outright. Override via AIRWAVE_MATMUL_PRECISION.
+import os as _os
+
+PRECISION = {
+    "highest": __import__("jax").lax.Precision.HIGHEST,
+    "high": __import__("jax").lax.Precision.HIGH,
+    "default": __import__("jax").lax.Precision.DEFAULT,
+}[_os.environ.get("AIRWAVE_MATMUL_PRECISION", "highest").lower()]
+
+
 
 
 class ConvParams(NamedTuple):
@@ -177,7 +190,8 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
         axis=-2,
     )  # [S,E,P,K,2(c),2(q)]
     Y = jnp.einsum("bspkc,sepkcq->bekq", fdl, h2,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=PRECISION)
     return fftmm.irfft_mm(Y, wi)
 
 

@@ -74,8 +74,7 @@ def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
     batched = NamedSharding(mesh, P("streams"))
 
     conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
-    eq_shardings = eq_block.EqParams(hf=repl, O=repl, A_T=repl,
-                                     G=repl, wf=repl, wi=repl)
+    eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
     state_shardings = ChainState(
         conv=upols.ConvState(fdl=batched, overlap=batched, write_pos=repl),
         eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
@@ -109,8 +108,7 @@ def stream_sharded_bake(mesh: Mesh, transition_length: int = 960,
     blocks_sharded = NamedSharding(mesh, P(None, "streams"))
 
     conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
-    eq_shardings = eq_block.EqParams(hf=repl, O=repl, A_T=repl,
-                                     G=repl, wf=repl, wi=repl)
+    eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
     state_shardings = ChainState(
         conv=upols.ConvState(fdl=batched, overlap=batched, write_pos=repl),
         eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
@@ -163,8 +161,7 @@ def stream_speaker_sharded_step(mesh: Mesh, transition_length: int = 960,
     conv_specs = upols.ConvParams(
         Hflip2=P("speakers", None, None, None, None), wf=P(), wi=P()
     )
-    eq_specs = eq_block.EqParams(hf=P(), O=P(), A_T=P(), G=P(),
-                                 wf=P(), wi=P())
+    eq_specs = eq_block.EqParams(Hm=P(), O=P(), A_T=P(), G=P())
     state_specs = ChainState(
         conv=upols.ConvState(
             fdl=P("streams", "speakers", None, None, None),
