@@ -62,8 +62,12 @@ class ConvParams(NamedTuple):
     # all; float-plane storage makes the slot write in-place and keeps the
     # MAC on the fast path (see docs/architecture.md "Precision policy").
     Hflip2: jax.Array  # [S, E, 2*P2, K, 2] float32
-    # MXU DFT weights (ops/fftmm): analysis for the 2T frame and synthesis of
-    # the second half only (overlap-save discards the first half).
+    # Direct MXU DFT weights (ops/fftmm): analysis of the 2T frame and
+    # synthesis of the second half only (overlap-save discard). MEASURED
+    # CHOICE: the two-stage Cooley-Tukey variant (fftmm.rfft_mm2) has ~5x
+    # fewer FLOPs but its 32-64-length contractions under-utilize the
+    # 128x128 MXU — 8.8 ms/block vs 5.1 ms direct on a v5e at B=8192 — so
+    # the full-contraction direct form wins and is used here.
     wf: jax.Array      # [2T, K, 2] float32
     wi: jax.Array      # [K, 2, T] float32
 
