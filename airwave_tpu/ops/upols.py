@@ -187,6 +187,13 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
     once from HBM; the inverse transform is an MXU matmul synthesizing only
     the kept half (ops/fftmm).
     """
+    # MAC formulation notes (all measured on a v5e at B=8192):
+    #   - this einsum (k-batched dot_general): 2.6 ms/block — XLA re-layouts
+    #     the delay line, but fuses everything else well;
+    #   - explicit broadcast-multiply-reduce: 3.4 ms/block (double-reads);
+    #   - the Pallas kernel path (kernels/upols_pallas.py) does this MAC at
+    #     memory speed with explicit pipelining — use it when the conv
+    #     dominates (long IRs).
     hre, him = h[..., 0], h[..., 1]
     # h2[s,e,p,k,c,q]: (re,im out) = [[hre, him], [-him, hre]] @ (fre, fim)
     h2 = jnp.stack(
