@@ -89,7 +89,12 @@ class ConvParams(NamedTuple):
 
 
 class ConvState(NamedTuple):
-    fdl: jax.Array        # [B, S, P2, K, 2] float32 (trailing re/im planes)
+    # FDL stored K-MAJOR: [K, B, S, P2, 2]. The MAC lowers to a k-batched
+    # dot_general whose preferred operand layout is k-leading; storing the
+    # delay line that way keeps the slot write and the MAC read on the same
+    # layout (measured equivalent to b-major overall — the MAC time is
+    # genuine VPU+HBM work — but avoids relying on XLA's layout assignment).
+    fdl: jax.Array        # [K, B, S, P2, 2] float32 (trailing re/im planes)
     overlap: jax.Array    # [B, S, T] float32
     write_pos: jax.Array  # [] int32
 
@@ -138,7 +143,7 @@ def make_conv_state(batch: int, num_speakers: int, partition_count: int,
                     block_size: int) -> ConvState:
     k = block_size + 1
     return ConvState(
-        fdl=jnp.zeros((batch, num_speakers, partition_count, k, 2),
+        fdl=jnp.zeros((k, batch, num_speakers, partition_count, 2),
                       jnp.float32),
         overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
@@ -153,15 +158,17 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     RealtimeAudioProcessor.swift:145-163).
     """
     B, S, T = x.shape
-    P2 = state.fdl.shape[2]
+    P2 = state.fdl.shape[3]
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)  # [B, S, 2T]
     X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
+    # [B, S, K, 2] -> k-major [K, B, S, 1, 2]
+    X_km = jnp.transpose(X_planes, (2, 0, 1, 3))[:, :, :, None, :]
 
     zero = jnp.zeros((), jnp.int32)
     fdl = jax.lax.dynamic_update_slice(
-        state.fdl, X_planes[:, :, None, :, :],
-        (zero, zero, state.write_pos.astype(jnp.int32), zero, zero),
+        state.fdl, X_km,
+        (zero, zero, zero, state.write_pos.astype(jnp.int32), zero),
     )
 
     # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
@@ -200,7 +207,7 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
         [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
         axis=-2,
     )  # [S,E,P,K,2(c),2(q)]
-    Y = jnp.einsum("bspkc,sepkcq->bekq", fdl, h2,
+    Y = jnp.einsum("kbspc,sepkcq->bekq", fdl, h2,
                    preferred_element_type=jnp.float32,
                    precision=PRECISION)
     return fftmm.irfft_mm(Y, wi)
@@ -222,20 +229,21 @@ def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
     variants.
     """
     B, S, T = x.shape
-    P2 = state.fdl.shape[2]
+    P2 = state.fdl.shape[3]
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)
     X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
+    X_km = jnp.transpose(X_planes, (2, 0, 1, 3))[:, :, :, None, :]
 
     rolled = jnp.concatenate(
-        [X_planes[:, :, None, :, :], state.fdl[:, :, :-1, :, :]], axis=2
+        [X_km, state.fdl[:, :, :, :-1, :]], axis=3
     )
     # Slot j holds block t-j, so partition j multiplies slot j directly:
     # un-flip the stored Hflip2 back to natural partition order.
     h_natural = params.Hflip2[:, :, :P2][:, :, ::-1]
     if active_mask is not None:
         m = active_mask.astype(bool)
-        fdl = jnp.where(m[:, None, None, None, None], rolled, state.fdl)
+        fdl = jnp.where(m[None, :, None, None, None], rolled, state.fdl)
         overlap = jnp.where(m[:, None, None], x, state.overlap)
     else:
         fdl = rolled
@@ -261,7 +269,7 @@ def conv_reset(state: ConvState, stream_mask: jax.Array | None = None) -> ConvSt
         )
     m = stream_mask.astype(bool)
     return ConvState(
-        fdl=jnp.where(m[:, None, None, None, None], 0, state.fdl),
+        fdl=jnp.where(m[None, :, None, None, None], 0, state.fdl),
         overlap=jnp.where(m[:, None, None], 0, state.overlap),
         write_pos=state.write_pos,
     )
