@@ -141,3 +141,19 @@ def test_preset_validator_on_converted_output(tmp_path):
     )
     assert result.returncode == 1
     assert "sha256 mismatch" in result.stdout
+
+
+def test_device_complex_helpers():
+    """utils/device_arrays: complex built on device from float planes (the
+    safe pattern for transports that cannot transfer complex64)."""
+    import numpy as np
+
+    from airwave_tpu.utils.device_arrays import complex_zeros, device_complex
+
+    spec = (np.arange(6).reshape(2, 3) + 1j * np.arange(6)[::-1].reshape(2, 3))
+    arr = device_complex(spec.astype(np.complex64))
+    assert arr.dtype.name == "complex64"
+    np.testing.assert_allclose(np.asarray(arr), spec, atol=1e-6)
+    z = complex_zeros((4, 5))
+    assert z.shape == (4, 5) and z.dtype.name == "complex64"
+    np.testing.assert_array_equal(np.asarray(z), 0)
