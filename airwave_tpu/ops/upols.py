@@ -47,6 +47,12 @@ PRECISION = {
     "default": __import__("jax").lax.Precision.DEFAULT,
 }[_os.environ.get("AIRWAVE_MATMUL_PRECISION", "highest").lower()]
 
+# MAC lowering (see _mac_irfft): "dot" | "einsum". Measured on a v5e at
+# B=8192: dot_general 4.14 ms/block chain vs einsum 5.13 ms — XLA lowers the
+# einsum as a reduce fusion that re-reads the delay line per (ear, plane)
+# output, while the explicit k-batched dot reads it once.
+_MAC_IMPL = _os.environ.get("AIRWAVE_MAC_IMPL", "dot").lower()
+
 
 
 
@@ -194,19 +200,36 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
     once from HBM; the inverse transform is an MXU matmul synthesizing only
     the kept half (ops/fftmm).
     """
-    # MAC formulation notes (all measured on a v5e at B=8192):
-    #   - this einsum (k-batched dot_general): 2.6 ms/block — XLA re-layouts
-    #     the delay line, but fuses everything else well;
-    #   - explicit broadcast-multiply-reduce: 3.4 ms/block (double-reads);
-    #   - the Pallas kernel path (kernels/upols_pallas.py) does this MAC at
-    #     memory speed with explicit pipelining — use it when the conv
-    #     dominates (long IRs).
+    # MAC formulation notes (all measured on a v5e at B=8192, whole chain):
+    #   - explicit k-batched dot_general (default): 4.14 ms/block — the FDL
+    #     is read once; the contraction dims (s,p,c) are already
+    #     trailing-adjacent in the k-major layout, so no big re-layout;
+    #   - jnp.einsum of the same contraction: 5.13 ms/block — XLA chose a
+    #     reduce fusion re-reading the FDL per (ear, plane) output;
+    #   - explicit broadcast-multiply-reduce: worse still (double-reads);
+    #   - the Pallas kernel path (kernels/upols_pallas.py) pipelines the MAC
+    #     through VMEM explicitly — use it when the conv dominates (long
+    #     IRs / exact partition counts).
     hre, him = h[..., 0], h[..., 1]
     # h2[s,e,p,k,c,q]: (re,im out) = [[hre, him], [-him, hre]] @ (fre, fim)
     h2 = jnp.stack(
         [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
         axis=-2,
     )  # [S,E,P,K,2(c),2(q)]
+    if _MAC_IMPL == "dot":
+        # Explicit k-batched dot_general on pre-laid-out operands: fdl
+        # [K,B,(S,P,C)] already has the contraction dims trailing-adjacent
+        # and the batch dim leading; only the tiny filter tensor moves.
+        h2t = jnp.transpose(h2, (3, 0, 2, 4, 1, 5))  # [K,S,P,C,E,Q]
+        Ykm = jax.lax.dot_general(
+            fdl, h2t,
+            dimension_numbers=(((2, 3, 4), (1, 2, 3)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=PRECISION,
+        )  # [K,B,E,Q]
+        return jnp.einsum("kbeq,kqt->bet", Ykm, wi,
+                          preferred_element_type=jnp.float32,
+                          precision=PRECISION)
     Y = jnp.einsum("kbspc,sepkcq->bekq", fdl, h2,
                    preferred_element_type=jnp.float32,
                    precision=PRECISION)
