@@ -53,6 +53,17 @@ PRECISION = {
 # output, while the explicit k-batched dot reads it once.
 _MAC_IMPL = _os.environ.get("AIRWAVE_MAC_IMPL", "dot").lower()
 
+# AIRWAVE_MAC_PRECISION overrides the MAC contraction's precision alone.
+# Measured: HIGH here (DFTs kept at HIGHEST) gives 1.3e-5 chain rel RMS —
+# just over the 1e-5 contract, because the quantization lands on the
+# delayed signal spectra themselves — so the default stays HIGHEST.
+_MAC_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+    "": None,
+}[_os.environ.get("AIRWAVE_MAC_PRECISION", "").lower()] or PRECISION
+
 
 
 
@@ -207,15 +218,31 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
     #   - jnp.einsum of the same contraction: 5.13 ms/block — XLA chose a
     #     reduce fusion re-reading the FDL per (ear, plane) output;
     #   - explicit broadcast-multiply-reduce: worse still (double-reads);
-    #   - the Pallas kernel path (kernels/upols_pallas.py) pipelines the MAC
-    #     through VMEM explicitly — use it when the conv dominates (long
-    #     IRs / exact partition counts).
+    #   - exact-f32 VPU Pallas kernel (kernels/mac_kmajor): 11.4 ms/block —
+    #     with R = S*P*C (~36) on the lane axis, VMEM tiles pad 36 -> 128
+    #     lanes (3.5x compute waste) and VMEM pressure forces tiny batch
+    #     tiles; it only wins if the delay line stores batch minor.
     hre, him = h[..., 0], h[..., 1]
     # h2[s,e,p,k,c,q]: (re,im out) = [[hre, him], [-him, hre]] @ (fre, fim)
     h2 = jnp.stack(
         [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
         axis=-2,
     )  # [S,E,P,K,2(c),2(q)]
+    if _MAC_IMPL == "pallas":
+        # True-f32 VPU contraction (kernels/mac_kmajor): no bf16 pass
+        # splitting, delay line read exactly once.
+        from airwave_tpu.kernels import mac_kmajor as _mk
+
+        K, B = fdl.shape[0], fdl.shape[1]
+        R = fdl.shape[2] * fdl.shape[3] * fdl.shape[4]
+        h2t = jnp.transpose(h2, (3, 1, 5, 0, 2, 4))  # [K,E,Q,S,P,C]
+        Yok = _mk.mac_kmajor(
+            fdl.reshape(K, B, R), h2t.reshape(K, 4, R),
+            interpret=jax.default_backend() != "tpu",
+        ).reshape(2, 2, B, K)
+        return jnp.einsum("eqbk,kqt->bet", Yok, wi,
+                          preferred_element_type=jnp.float32,
+                          precision=PRECISION)
     if _MAC_IMPL == "dot":
         # Explicit k-batched dot_general on pre-laid-out operands: fdl
         # [K,B,(S,P,C)] already has the contraction dims trailing-adjacent
@@ -225,7 +252,7 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
             fdl, h2t,
             dimension_numbers=(((2, 3, 4), (1, 2, 3)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=PRECISION,
+            precision=_MAC_PRECISION,
         )  # [K,B,E,Q]
         return jnp.einsum("kbeq,kqt->bet", Ykm, wi,
                           preferred_element_type=jnp.float32,

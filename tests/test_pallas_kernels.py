@@ -111,3 +111,17 @@ def test_bf16_fast_mode_accuracy_and_auto_tile():
     tile = kp.auto_batch_tile(1024, 2 * 94, 512, 4, requested=1024)
     assert 1024 % tile == 0
     assert 4 * (2 * 94) * 512 * 4 * tile <= kp.VMEM_BUDGET_BYTES
+
+
+def test_mac_kmajor_matches_numpy():
+    """kernels/mac_kmajor: exact-f32 VPU contraction parity (interpret)."""
+    from airwave_tpu.kernels.mac_kmajor import mac_kmajor
+
+    rng = np.random.default_rng(11)
+    K, B, R, O = 65, 16, 36, 4
+    x = rng.standard_normal((K, B, R)).astype(np.float32)
+    h = rng.standard_normal((K, O, R)).astype(np.float32)
+    got = np.asarray(mac_kmajor(jnp.asarray(x), jnp.asarray(h),
+                                interpret=True))
+    ref = np.einsum("kbr,kor->obk", x, h)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
