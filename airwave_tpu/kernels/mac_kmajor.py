@@ -9,18 +9,19 @@ measured ~0.8 ms/block of pure pass overhead at B=8192 on a v5e. The VPU,
 by contrast, does exact single-pass f32 multiply-adds, and this op has so
 few FLOPs (~1.2 G/block) that the VPU covers them inside the HBM read time.
 
-So this kernel streams the k-major delay line [K, B, R] through VMEM
-(Pallas auto-pipelined blocked in_specs, grid ordered so the per-bin filter
-block stays resident across the batch sweep) and does the contraction as
-four broadcast-multiply-reduces on the VPU. Accuracy equals the f32
-reference bit-for-bit in expectation (no operand quantization at all);
-speed approaches the single-read bandwidth floor.
+Layout is everything here. The delay line stores the batch MINOR —
+[K, R, B] with R = speakers*partitions*planes — so a VMEM tile puts the
+batch on the 128-lane axis (fully utilized at any real batch) and the R
+contraction rows on sublanes (36 -> 40, 11% pad). The earlier batch-major
+attempt put R on lanes: 36 -> 128 padding wasted 3.5x of both VMEM and VPU
+throughput and measured 2.7x SLOWER than the dot_general route. K is padded
+to a multiple of 8 by the caller (ops/upols.padded_bin_count) so bin blocks
+tile Mosaic's 8-sublane rule for the output; padded rows carry zero filter
+weights and contribute nothing.
 
-Layout notes: R = speakers*partitions*planes (~36) sits on the lane axis,
-padded to 128 by Mosaic — wasteful for compute but free for DMA (only real
-bytes move HBM->VMEM), and the op is bandwidth-bound. K and B tile the
-sublane/grid axes with divisor-chosen block sizes so no ragged masking is
-needed (K = block+1 is odd: 513 = 27*19, 65 = 5*13, ...).
+The grid sweeps (bin-blocks, batch-blocks) with batch innermost, keeping
+each filter block resident across its batch sweep. The reduce runs over the
+sublane (middle) axis; the output keeps the batch on lanes.
 """
 
 from __future__ import annotations
@@ -34,53 +35,59 @@ from jax.experimental import pallas as pl
 VMEM_TILE_BUDGET = 4 * 1024 * 1024  # x-tile bytes; x2 pipeline buffers
 
 
-def _batch_tile(batch: int, cap: int) -> int:
-    """Largest batch tile <= cap that keeps Mosaic's tiling rule: the
-    sublane-adjacent block dim must be a multiple of 8 or the full dim."""
-    if batch <= cap:
-        return batch
+def _tile(n: int, cap: int) -> int:
+    """Largest multiple-of-8 divisor of n at most cap (n itself if n<=cap)."""
+    if n <= cap:
+        return n
     for d in range(cap - cap % 8, 7, -8):
-        if batch % d == 0:
+        if n % d == 0:
             return d
-    return batch
+    return n
 
 
-def _mac_body(n_out, x_ref, h_ref, o_ref):
-    x = x_ref[...]                       # [K, bb, R]
-    h = h_ref[...]                       # [K, O, R]
+def _mac_body(n_out, n_red, x_ref, h_ref, o_ref):
+    # Fully unrolled slice-FMA accumulation: each term is a 2D [kb, bb]
+    # tile times a per-bin scalar column — the accumulator stays in vector
+    # registers, vs a sum() over the R axis which materializes the whole
+    # [kb, R, bb] product in VMEM per output (measured ~2x slower).
+    h = h_ref[...]                       # [kb, O, R]
     for e in range(n_out):
-        acc = jnp.sum(x * h[:, e, :][:, None, :], axis=-1)  # [K, bb]
-        o_ref[e] = acc.T                                    # [bb, K]
+        acc = x_ref[:, 0, :] * h[:, e, 0][:, None]
+        for r in range(1, n_red):
+            acc += x_ref[:, r, :] * h[:, e, r][:, None]
+        o_ref[e] = acc                   # [kb, bb]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mac_kmajor(fdl_flat: jax.Array, h_flat: jax.Array,
                interpret: bool = False) -> jax.Array:
-    """fdl_flat [K, B, R] f32, h_flat [K, O, R] f32 -> [O, B, K] f32.
+    """fdl_flat [K, R, B] f32, h_flat [K, O, R] f32 -> [O, K, B] f32.
 
-    Y[o, b, k] = sum_r fdl[k, b, r] * h[k, o, r], exact f32 accumulation.
-
-    Blocks span all K bins (K = block+1 is odd, so it can't tile the
-    8-sublane rule; as the full dim it's exempt) and a slice of the batch;
-    the grid sweeps the batch only, keeping the filter block resident. In
-    [K, B, R] storage a (K, bb, R) block is K contiguous bb*R-float chunks —
-    DMA-friendly. The output keeps K on the lane axis (full-dim exempt
-    again) with the batch tile on sublanes, via a cheap in-kernel
-    transpose; the output index lives on the leading axis (Mosaic supports
-    neither minor-axis scalar gathers nor lane-strided stores).
+    Y[o, k, b] = sum_r fdl[k, r, b] * h[k, o, r], exact f32 accumulation.
+    K must be a multiple of 8 (or fit one block); B a multiple of 128 (or
+    fit one block) — the caller's padded_bin_count/batch guarantee this for
+    production shapes, and interpret mode has no such constraints.
     """
-    K, B, R = fdl_flat.shape
+    K, R, B = fdl_flat.shape
     O = h_flat.shape[1]
-    r_pad = -(-R // 128) * 128  # VMEM tiles pad the lane dim to 128
-    bb = _batch_tile(B, max(1, VMEM_TILE_BUDGET // (K * r_pad * 4)))
+    r_sub = R + (-R) % 8  # sublane padding actually held in VMEM
+    # Small bin blocks maximize the batch tile: HBM chunks are bb*4 bytes
+    # (the batch is minor), so a wide bb keeps the DMA engine in large
+    # contiguous spans; kb=8 is the smallest Mosaic-tileable bin block.
+    kb = _tile(K, 8)
+    bb_cap = max(128, VMEM_TILE_BUDGET // (kb * r_sub * 4))
+    bb = B if B <= bb_cap else max(
+        (d for d in range(bb_cap - bb_cap % 128, 127, -128) if B % d == 0),
+        default=B,
+    )
     return pl.pallas_call(
-        functools.partial(_mac_body, O),
-        grid=(B // bb,),
+        functools.partial(_mac_body, O, R),
+        grid=(K // kb, B // bb),
         in_specs=[
-            pl.BlockSpec((K, bb, R), lambda j: (0, j, 0)),
-            pl.BlockSpec((K, O, R), lambda j: (0, 0, 0)),
+            pl.BlockSpec((kb, R, bb), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((kb, O, R), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((O, bb, K), lambda j: (0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((O, B, K), jnp.float32),
+        out_specs=pl.BlockSpec((O, kb, bb), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((O, K, B), jnp.float32),
         interpret=interpret,
     )(fdl_flat, h_flat)

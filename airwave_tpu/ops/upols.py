@@ -5,10 +5,12 @@ The reference runs one mono stream x one HRIR per engine object with vDSP;
 here a single functional step convolves a whole batch of streams, all virtual
 speakers, and both ears at once:
 
-    state:  fdl [B, S, P2, K] complex64   frequency-domain delay line
+    state:  fdl [Kp, S, P2, 2, B] f32     frequency-domain delay line
+                                          (re/im planes, batch minor)
             overlap [B, S, T] float32     previous input block (overlap-save)
             write_pos int32               circular FDL write cursor
-    params: H [S, E, P2, K] complex64     HRIR partition spectra per ear
+    params: H [S, E, 2*P2, K, 2] f32      HRIR partition spectra per ear
+                                          (flip-doubled for slice rotation)
 
 Key TPU decisions:
   - The FDL is written in place (one dynamic_update_slice per block); the
@@ -106,12 +108,13 @@ class ConvParams(NamedTuple):
 
 
 class ConvState(NamedTuple):
-    # FDL stored K-MAJOR: [K, B, S, P2, 2]. The MAC lowers to a k-batched
-    # dot_general whose preferred operand layout is k-leading; storing the
-    # delay line that way keeps the slot write and the MAC read on the same
-    # layout (measured equivalent to b-major overall — the MAC time is
-    # genuine VPU+HBM work — but avoids relying on XLA's layout assignment).
-    fdl: jax.Array        # [K, B, S, P2, 2] float32 (trailing re/im planes)
+    # FDL stored bin-major / batch-MINOR: [Kp, S, P2, 2, B], Kp = K padded
+    # to a multiple of 8 (padded_bin_count). The MAC is a k-batched
+    # contraction over (speaker, partition, plane); with the batch on the
+    # minor axis those ~36 contraction rows sit on sublanes and the batch
+    # fills the 128-lane axis, so the exact-f32 VPU kernel
+    # (kernels/mac_kmajor) tiles it natively with no lane padding waste.
+    fdl: jax.Array        # [Kp, S, P2, 2, B] float32 (re/im planes at -2)
     overlap: jax.Array    # [B, S, T] float32
     write_pos: jax.Array  # [] int32
 
@@ -156,12 +159,19 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
     )
 
 
+def padded_bin_count(block_size: int) -> int:
+    """FDL bin rows: K = block+1 padded up to a multiple of 8 so bin blocks
+    can tile Mosaic's 8-sublane rule (K itself is always odd). Pad rows hold
+    zeros and zero filter weights — they contribute nothing."""
+    k = block_size + 1
+    return k + (-k) % 8
+
+
 def make_conv_state(batch: int, num_speakers: int, partition_count: int,
                     block_size: int) -> ConvState:
-    k = block_size + 1
     return ConvState(
-        fdl=jnp.zeros((k, batch, num_speakers, partition_count, 2),
-                      jnp.float32),
+        fdl=jnp.zeros((padded_bin_count(block_size), num_speakers,
+                       partition_count, 2, batch), jnp.float32),
         overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
     )
@@ -175,17 +185,16 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     RealtimeAudioProcessor.swift:145-163).
     """
     B, S, T = x.shape
-    P2 = state.fdl.shape[3]
+    P2 = state.fdl.shape[2]
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)  # [B, S, 2T]
     X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
-    # [B, S, K, 2] -> k-major [K, B, S, 1, 2]
-    X_km = jnp.transpose(X_planes, (2, 0, 1, 3))[:, :, :, None, :]
+    X_km = _to_slot(X_planes, state.fdl.shape[0])  # [Kp, S, 1, 2, B]
 
     zero = jnp.zeros((), jnp.int32)
     fdl = jax.lax.dynamic_update_slice(
         state.fdl, X_km,
-        (zero, zero, zero, state.write_pos.astype(jnp.int32), zero),
+        (zero, zero, state.write_pos.astype(jnp.int32), zero, zero),
     )
 
     # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
@@ -203,64 +212,69 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     return new_state, y
 
 
+def _to_slot(X_planes: jax.Array, k_padded: int) -> jax.Array:
+    """Analysis spectra [B, S, K, 2] -> one FDL slot [Kp, S, 1, 2, B]."""
+    X_km = jnp.transpose(X_planes, (2, 1, 3, 0))  # [K, S, 2, B]
+    pad = k_padded - X_km.shape[0]
+    if pad:
+        X_km = jnp.pad(X_km, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    return X_km[:, :, None, :, :]
+
+
 def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
     """Real-plane complex multiply-accumulate + second-half inverse DFT.
 
-    fdl [B,S,P,K,2] x h [S,E,P,K,2] -> y [B,E,T]. The 2x2 complex-product
-    structure is folded into one einsum so each FDL plane is read exactly
-    once from HBM; the inverse transform is an MXU matmul synthesizing only
-    the kept half (ops/fftmm).
+    fdl [Kp,S,P,C,B] x h [S,E,P,K,2] -> y [B,E,T]. The 2x2 complex-product
+    structure is folded into the contraction so each FDL plane is read
+    exactly once from HBM; the inverse transform is an MXU matmul
+    synthesizing only the kept half (ops/fftmm). The delay line stores the
+    batch minor (lane axis) so the Pallas kernel tiles it natively.
     """
     # MAC formulation notes (all measured on a v5e at B=8192, whole chain):
-    #   - explicit k-batched dot_general (default): 4.14 ms/block — the FDL
-    #     is read once; the contraction dims (s,p,c) are already
-    #     trailing-adjacent in the k-major layout, so no big re-layout;
-    #   - jnp.einsum of the same contraction: 5.13 ms/block — XLA chose a
-    #     reduce fusion re-reading the FDL per (ear, plane) output;
-    #   - explicit broadcast-multiply-reduce: worse still (double-reads);
-    #   - exact-f32 VPU Pallas kernel (kernels/mac_kmajor): 11.4 ms/block —
-    #     with R = S*P*C (~36) on the lane axis, VMEM tiles pad 36 -> 128
-    #     lanes (3.5x compute waste) and VMEM pressure forces tiny batch
-    #     tiles; it only wins if the delay line stores batch minor.
+    #   - exact-f32 VPU Pallas kernel (kernels/mac_kmajor) on this
+    #     batch-minor layout: no bf16 pass splitting, full lane utilization;
+    #   - k-batched dot_general: the MXU route; f32 costs a 6-pass bf16
+    #     decomposition at Precision.HIGHEST (~0.8 ms/block of pure pass
+    #     overhead);
+    #   - jnp.einsum of the same contraction: XLA chose a reduce fusion
+    #     re-reading the FDL per (ear, plane) output — worst of the three.
+    K = wi.shape[0]
+    Kp = fdl.shape[0]
     hre, him = h[..., 0], h[..., 1]
     # h2[s,e,p,k,c,q]: (re,im out) = [[hre, him], [-him, hre]] @ (fre, fim)
     h2 = jnp.stack(
         [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
         axis=-2,
     )  # [S,E,P,K,2(c),2(q)]
+    h2 = jnp.pad(h2, ((0, 0), (0, 0), (0, 0), (0, Kp - K), (0, 0), (0, 0)))
     if _MAC_IMPL == "pallas":
-        # True-f32 VPU contraction (kernels/mac_kmajor): no bf16 pass
-        # splitting, delay line read exactly once.
         from airwave_tpu.kernels import mac_kmajor as _mk
 
-        K, B = fdl.shape[0], fdl.shape[1]
-        R = fdl.shape[2] * fdl.shape[3] * fdl.shape[4]
-        h2t = jnp.transpose(h2, (3, 1, 5, 0, 2, 4))  # [K,E,Q,S,P,C]
+        B = fdl.shape[-1]
+        R = fdl.shape[1] * fdl.shape[2] * fdl.shape[3]
+        hof = jnp.transpose(h2, (3, 1, 5, 0, 2, 4))  # [Kp,E,Q,S,P,C]
         Yok = _mk.mac_kmajor(
-            fdl.reshape(K, B, R), h2t.reshape(K, 4, R),
+            fdl.reshape(Kp, R, B), hof.reshape(Kp, 4, R),
             interpret=jax.default_backend() != "tpu",
-        ).reshape(2, 2, B, K)
-        return jnp.einsum("eqbk,kqt->bet", Yok, wi,
+        ).reshape(2, 2, Kp, B)
+        return jnp.einsum("eqkb,kqt->bet", Yok[:, :, :K], wi,
                           preferred_element_type=jnp.float32,
                           precision=PRECISION)
+    h2t = jnp.transpose(h2, (3, 0, 2, 4, 1, 5))  # [Kp,S,P,C,E,Q]
     if _MAC_IMPL == "dot":
-        # Explicit k-batched dot_general on pre-laid-out operands: fdl
-        # [K,B,(S,P,C)] already has the contraction dims trailing-adjacent
-        # and the batch dim leading; only the tiny filter tensor moves.
-        h2t = jnp.transpose(h2, (3, 0, 2, 4, 1, 5))  # [K,S,P,C,E,Q]
         Ykm = jax.lax.dot_general(
             fdl, h2t,
-            dimension_numbers=(((2, 3, 4), (1, 2, 3)), ((0,), (0,))),
+            dimension_numbers=(((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=_MAC_PRECISION,
-        )  # [K,B,E,Q]
-        return jnp.einsum("kbeq,kqt->bet", Ykm, wi,
+        )  # [Kp,B,E,Q]
+        return jnp.einsum("kbeq,kqt->bet", Ykm[:K], wi,
                           preferred_element_type=jnp.float32,
                           precision=PRECISION)
-    Y = jnp.einsum("kbspc,sepkcq->bekq", fdl, h2,
+    Y = jnp.einsum("kspcb,kspceq->bekq", fdl, h2t,
                    preferred_element_type=jnp.float32,
                    precision=PRECISION)
-    return fftmm.irfft_mm(Y, wi)
+    return fftmm.irfft_mm(Y[:, :, :K], wi)
 
 
 def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
@@ -279,21 +293,21 @@ def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
     variants.
     """
     B, S, T = x.shape
-    P2 = state.fdl.shape[3]
+    P2 = state.fdl.shape[2]
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)
     X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
-    X_km = jnp.transpose(X_planes, (2, 0, 1, 3))[:, :, :, None, :]
+    X_km = _to_slot(X_planes, state.fdl.shape[0])
 
     rolled = jnp.concatenate(
-        [X_km, state.fdl[:, :, :, :-1, :]], axis=3
+        [X_km, state.fdl[:, :, :-1]], axis=2
     )
     # Slot j holds block t-j, so partition j multiplies slot j directly:
     # un-flip the stored Hflip2 back to natural partition order.
     h_natural = params.Hflip2[:, :, :P2][:, :, ::-1]
     if active_mask is not None:
         m = active_mask.astype(bool)
-        fdl = jnp.where(m[None, :, None, None, None], rolled, state.fdl)
+        fdl = jnp.where(m[None, None, None, None, :], rolled, state.fdl)
         overlap = jnp.where(m[:, None, None], x, state.overlap)
     else:
         fdl = rolled
@@ -319,7 +333,7 @@ def conv_reset(state: ConvState, stream_mask: jax.Array | None = None) -> ConvSt
         )
     m = stream_mask.astype(bool)
     return ConvState(
-        fdl=jnp.where(m[None, :, None, None, None], 0, state.fdl),
+        fdl=jnp.where(m[None, None, None, None, :], 0, state.fdl),
         overlap=jnp.where(m[:, None, None], 0, state.overlap),
         write_pos=state.write_pos,
     )

@@ -50,8 +50,8 @@ def shard_chain_state(state: ChainState, mesh: Mesh,
 
     return ChainState(
         conv=upols.ConvState(
-            # fdl is k-major: [K, B, S, P, 2] — streams on axis 1.
-            fdl=put(state.conv.fdl, P(None, stream_axis)),
+            # fdl is batch-minor: [Kp, S, P, 2, B] — streams on the last axis.
+            fdl=put(state.conv.fdl, P(None, None, None, None, stream_axis)),
             overlap=put(state.conv.overlap, P(stream_axis)),
             write_pos=put(state.conv.write_pos, P()),
         ),
@@ -76,7 +76,7 @@ def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
 
     conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
     eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
-    fdl_sharding = NamedSharding(mesh, P(None, "streams"))
+    fdl_sharding = NamedSharding(mesh, P(None, None, None, None, "streams"))
     state_shardings = ChainState(
         conv=upols.ConvState(fdl=fdl_sharding, overlap=batched,
                              write_pos=repl),
@@ -112,7 +112,7 @@ def stream_sharded_bake(mesh: Mesh, transition_length: int = 960,
 
     conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
     eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
-    fdl_sharding = NamedSharding(mesh, P(None, "streams"))
+    fdl_sharding = NamedSharding(mesh, P(None, None, None, None, "streams"))
     state_shardings = ChainState(
         conv=upols.ConvState(fdl=fdl_sharding, overlap=batched,
                              write_pos=repl),
@@ -169,7 +169,7 @@ def stream_speaker_sharded_step(mesh: Mesh, transition_length: int = 960,
     eq_specs = eq_block.EqParams(Hm=P(), O=P(), A_T=P(), G=P())
     state_specs = ChainState(
         conv=upols.ConvState(
-            fdl=P(None, "streams", "speakers", None, None),
+            fdl=P(None, "speakers", None, None, "streams"),
             overlap=P("streams", "speakers", None),
             write_pos=P(),
         ),

@@ -125,13 +125,13 @@ def test_conv_step_rolled_mask_freezes_inactive_streams():
     state = upols.make_conv_state(B, S, params.partition_count, T)
     x1 = jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
     state, _ = upols.conv_step_rolled(params, state, x1)
-    frozen_fdl = np.asarray(state.fdl)[:, 1].copy()  # fdl is k-major
+    frozen_fdl = np.asarray(state.fdl)[..., 1].copy()  # fdl is batch-minor
 
     x2 = jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
     mask = jnp.asarray([True, False, True])
     state, _ = upols.conv_step_rolled(params, state, x2, mask)
-    np.testing.assert_array_equal(np.asarray(state.fdl)[:, 1], frozen_fdl)
-    assert not np.array_equal(np.asarray(state.fdl)[:, 0], frozen_fdl)
+    np.testing.assert_array_equal(np.asarray(state.fdl)[..., 1], frozen_fdl)
+    assert not np.array_equal(np.asarray(state.fdl)[..., 0], frozen_fdl)
 
 
 def test_stream_pool_end_to_end_matches_oracle():

@@ -118,10 +118,10 @@ def test_mac_kmajor_matches_numpy():
     from airwave_tpu.kernels.mac_kmajor import mac_kmajor
 
     rng = np.random.default_rng(11)
-    K, B, R, O = 65, 16, 36, 4
-    x = rng.standard_normal((K, B, R)).astype(np.float32)
+    K, B, R, O = 72, 16, 36, 4
+    x = rng.standard_normal((K, R, B)).astype(np.float32)
     h = rng.standard_normal((K, O, R)).astype(np.float32)
     got = np.asarray(mac_kmajor(jnp.asarray(x), jnp.asarray(h),
                                 interpret=True))
-    ref = np.einsum("kbr,kor->obk", x, h)
+    ref = np.einsum("krb,kor->okb", x, h)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
