@@ -125,3 +125,35 @@ def test_mac_kmajor_matches_numpy():
                                 interpret=True))
     ref = np.einsum("krb,kor->okb", x, h)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+
+
+def test_mac_impl_variants_agree():
+    """All three MAC lowerings (einsum / dot_general / Pallas VPU kernel)
+    produce the same chain output (ops/upols._MAC_IMPL switch)."""
+    from airwave_tpu.ops import upols
+
+    rng = np.random.default_rng(12)
+    T, B, S = 64, 3, 2
+    hrir = rng.standard_normal((S, 2, 300)).astype(np.float32) * 0.3
+    params = upols.make_conv_params(hrir, T)
+    xs = [rng.standard_normal((B, S, T)).astype(np.float32)
+          for _ in range(6)]
+
+    outs = {}
+    original = upols._MAC_IMPL
+    try:
+        for impl in ("einsum", "dot", "pallas"):
+            upols._MAC_IMPL = impl
+            s = upols.make_conv_state(B, S, params.partition_count, T)
+            ys = []
+            for x in xs:
+                s, y = upols.conv_step(params, s, jnp.asarray(x))
+                ys.append(np.asarray(y))
+            outs[impl] = np.concatenate(ys, -1)
+    finally:
+        upols._MAC_IMPL = original
+
+    scale = np.sqrt(np.mean(outs["einsum"] ** 2))
+    for impl in ("dot", "pallas"):
+        rel = np.sqrt(np.mean((outs[impl] - outs["einsum"]) ** 2)) / scale
+        assert rel < 1e-6, (impl, rel)
