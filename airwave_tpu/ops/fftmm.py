@@ -38,6 +38,18 @@ PRECISION = {
     "default": __import__("jax").lax.Precision.DEFAULT,
 }[_os.environ.get("AIRWAVE_MATMUL_PRECISION", "highest").lower()]
 
+# AIRWAVE_DFT_PRECISION overrides the DFT matmuls (analysis + synthesis)
+# alone, leaving the delay-line MAC and EQ at AIRWAVE_MATMUL_PRECISION.
+# Measured on-chip: HIGH here (everything else HIGHEST) gives 1.9e-5 chain
+# rel RMS — over the 1e-5 contract, like the MAC-only-HIGH mix (1.3e-5) —
+# so every signal-bearing matmul stays HIGHEST by default.
+DFT_PRECISION = {
+    "highest": __import__("jax").lax.Precision.HIGHEST,
+    "high": __import__("jax").lax.Precision.HIGH,
+    "default": __import__("jax").lax.Precision.DEFAULT,
+    "": None,
+}[_os.environ.get("AIRWAVE_DFT_PRECISION", "").lower()] or PRECISION
+
 
 
 @functools.lru_cache(maxsize=16)
@@ -83,14 +95,14 @@ def rfft_mm(x: jax.Array, weights: jax.Array) -> jax.Array:
     contract (measured 4.9e-3 on-chip at default precision)."""
     return jnp.einsum("...t,tkc->...kc", x, weights,
                       preferred_element_type=jnp.float32,
-                      precision=PRECISION)
+                      precision=DFT_PRECISION)
 
 
 def irfft_mm(planes: jax.Array, weights: jax.Array) -> jax.Array:
     """Planes [..., K, 2] -> samples [..., length] via one MXU matmul."""
     return jnp.einsum("...kc,kct->...t", planes, weights,
                       preferred_element_type=jnp.float32,
-                      precision=PRECISION)
+                      precision=DFT_PRECISION)
 
 
 @functools.lru_cache(maxsize=16)

@@ -259,7 +259,7 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
         ).reshape(2, 2, Kp, B)
         return jnp.einsum("eqkb,kqt->bet", Yok[:, :, :K], wi,
                           preferred_element_type=jnp.float32,
-                          precision=PRECISION)
+                          precision=fftmm.DFT_PRECISION)
     h2t = jnp.transpose(h2, (3, 0, 2, 4, 1, 5))  # [Kp,S,P,C,E,Q]
     if _MAC_IMPL == "dot":
         Ykm = jax.lax.dot_general(
@@ -270,7 +270,7 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
         )  # [Kp,B,E,Q]
         return jnp.einsum("kbeq,kqt->bet", Ykm[:K], wi,
                           preferred_element_type=jnp.float32,
-                          precision=PRECISION)
+                          precision=fftmm.DFT_PRECISION)
     Y = jnp.einsum("kspcb,kspceq->bekq", fdl, h2t,
                    preferred_element_type=jnp.float32,
                    precision=PRECISION)
