@@ -46,16 +46,20 @@ def _tile(n: int, cap: int) -> int:
 
 
 def _mac_body(n_out, n_red, x_ref, h_ref, o_ref):
-    # Fully unrolled slice-FMA accumulation: each term is a 2D [kb, bb]
-    # tile times a per-bin scalar column — the accumulator stays in vector
-    # registers, vs a sum() over the R axis which materializes the whole
-    # [kb, R, bb] product in VMEM per output (measured ~2x slower).
+    # Fully unrolled slice-FMA accumulation, r outermost: each x slice is
+    # read from VMEM ONCE and FMA'd into all n_out register-resident
+    # accumulators (an e-outer loop re-reads every slice n_out times —
+    # 4x the VMEM traffic; a sum() over the R axis materializes the whole
+    # [kb, R, bb] product in VMEM per output — both measured slower).
     h = h_ref[...]                       # [kb, O, R]
+    acc = [None] * n_out
+    for r in range(n_red):
+        xr = x_ref[:, r, :]              # [kb, bb]
+        for e in range(n_out):
+            term = xr * h[:, e, r][:, None]
+            acc[e] = term if acc[e] is None else acc[e] + term
     for e in range(n_out):
-        acc = x_ref[:, 0, :] * h[:, e, 0][:, None]
-        for r in range(1, n_red):
-            acc += x_ref[:, r, :] * h[:, e, r][:, None]
-        o_ref[e] = acc                   # [kb, bb]
+        o_ref[e] = acc[e]                # [kb, bb]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
