@@ -136,6 +136,13 @@ class StreamPool:
     # --- control ----------------------------------------------------------------------
 
     def set_equalizer(self, definition: Optional[EqualizerDefinition]) -> None:
+        """Retarget the pool EQ. `None` on an EQ-less pool stays a no-op
+        (symmetric with the constructor); `None` on an active pool crossfades
+        to unity and keeps the EQ in the step for the ramp (the reference
+        keeps the EQ in the callback after removal for exactly this,
+        AudioEffectGraph.swift:147-151)."""
+        if definition is None and not self._eq_enabled:
+            return
         self.eq_runtime.set_target(definition)
         self._eq_enabled = True
 

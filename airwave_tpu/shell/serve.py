@@ -6,10 +6,19 @@ float32 PCM chunks; the server renders them through a shared StreamPool
 This is the production analog of the reference's CoreAudio transport: the
 socket replaces the HAL callback; everything downstream is the same graph.
 
+Batching: connection threads only do socket IO and ring pushes; ONE pump
+thread drains every connection's pending input into shared device steps, so
+N concurrent clients ride the same `_pool_step` per block instead of
+serializing N separate steps (the pool's whole purpose). A short batch
+window lets concurrent pushes coalesce before the pump fires.
+
 Wire protocol (little-endian):
   client -> server:  one JSON line {"channels": C}\n
                      then frames: uint32 n | float32 data[C*n]  (n == 0: EOF)
   server -> client:  frames: uint32 n | float32 data[2*n]
+Wire limits: C must be 1 (mono duplicated) or the pool's speaker count, and
+each message's n is capped at the pool ring capacity — violations close the
+connection with a clean EOF frame instead of killing the serving thread.
 Rendered audio follows the pool's underflow contract: the server returns
 whatever is rendered so far; remaining tail is flushed after the client EOF
 (zero-padded to the block boundary).
@@ -21,6 +30,7 @@ import json
 import socket
 import struct
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -47,20 +57,44 @@ def _send_frame(conn: socket.socket, audio: np.ndarray) -> None:
 
 
 class RenderServer:
-    """One StreamPool shared across client connections."""
+    """One StreamPool shared across client connections, one pump thread."""
 
-    def __init__(self, pool: StreamPool, host: str = "127.0.0.1",
-                 port: int = 0) -> None:
+    def __init__(
+        self,
+        pool: StreamPool,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        client_timeout: float = 30.0,
+        batch_window: float = 0.002,
+        max_message_frames: Optional[int] = None,
+    ) -> None:
         self.pool = pool
+        self.client_timeout = float(client_timeout)
+        self.batch_window = float(batch_window)
+        self.max_message_frames = int(
+            max_message_frames
+            if max_message_frames is not None
+            else pool.assembler.capacity
+        )
         self._lock = threading.Lock()  # pool control-plane lock
         self._listener = socket.create_server((host, port))
         self.address = self._listener.getsockname()
-        self._threads = []
+        self._threads: list[threading.Thread] = []
+        self._threads_lock = threading.Lock()
         self._accept_thread: Optional[threading.Thread] = None
+        self._pump_thread: Optional[threading.Thread] = None
         self._stopping = False
+        self._data_ready = threading.Event()
+        self._pump_cond = threading.Condition()
+        self._pump_generation = 0
         self.connections_served = 0
+        self.protocol_errors = 0
 
     def start(self) -> None:
+        self._pump_thread = threading.Thread(target=self._pump_loop,
+                                             daemon=True)
+        self._pump_thread.start()
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._accept_thread.start()
@@ -71,8 +105,48 @@ class RenderServer:
             self._listener.close()
         except OSError:
             pass
-        for thread in self._threads:
+        self._data_ready.set()
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=5)
+        with self._threads_lock:
+            threads = list(self._threads)
+        for thread in threads:
             thread.join(timeout=5)
+        if self._pump_thread is not None:
+            self._pump_thread.join(timeout=5)
+
+    # --- pump thread: the single place device steps run ----------------------
+
+    def _pump_loop(self) -> None:
+        while not self._stopping:
+            fired = self._data_ready.wait(timeout=0.1)
+            if self._stopping:
+                break
+            if not fired:
+                continue
+            if self.batch_window > 0:
+                time.sleep(self.batch_window)
+            self._data_ready.clear()
+            with self._lock:
+                if self.pool.assembler.ready_count() > 0:
+                    self.pool.pump()
+            with self._pump_cond:
+                self._pump_generation += 1
+                self._pump_cond.notify_all()
+
+    def _await_pump_round(self, generation: int, deadline: float) -> int:
+        """Block until a pump round later than `generation` has run (or the
+        deadline passes); returns the latest observed generation."""
+        with self._pump_cond:
+            while (
+                self._pump_generation <= generation
+                and not self._stopping
+                and time.monotonic() < deadline
+            ):
+                self._pump_cond.wait(timeout=0.05)
+            return self._pump_generation
+
+    # --- connection handling --------------------------------------------------
 
     def _accept_loop(self) -> None:
         while not self._stopping:
@@ -82,14 +156,34 @@ class RenderServer:
                 return
             thread = threading.Thread(target=self._serve_client,
                                       args=(conn,), daemon=True)
-            self._threads.append(thread)
+            with self._threads_lock:
+                self._threads = [
+                    t for t in self._threads if t.is_alive()
+                ] + [thread]
             thread.start()
+
+    def _push_with_backpressure(self, stream: int, frames: np.ndarray) -> bool:
+        """Push a client chunk, waiting out full rings via pump rounds."""
+        deadline = time.monotonic() + self.client_timeout
+        while True:
+            generation = self._pump_generation
+            try:
+                with self._lock:
+                    self.pool.push(stream, frames)
+                self._data_ready.set()
+                return True
+            except OverflowError:
+                self._data_ready.set()
+                if time.monotonic() >= deadline or self._stopping:
+                    return False
+                self._await_pump_round(generation, deadline)
 
     def _serve_client(self, conn: socket.socket) -> None:
         stream: Optional[int] = None
         block = self.pool.block_size
+        clean = False
         try:
-            conn.settimeout(30.0)
+            conn.settimeout(self.client_timeout)
             header_bytes = b""
             while not header_bytes.endswith(b"\n"):
                 chunk = conn.recv(1)
@@ -97,9 +191,13 @@ class RenderServer:
                     return
                 header_bytes += chunk
                 if len(header_bytes) > 4096:
+                    self.protocol_errors += 1
                     return
             header = json.loads(header_bytes.decode())
             channels = int(header.get("channels", 2))
+            if channels not in (1, self.pool.renderer.num_speakers):
+                self.protocol_errors += 1
+                return  # finally sends the clean EOF frame
 
             with self._lock:
                 stream = self.pool.attach()
@@ -114,16 +212,19 @@ class RenderServer:
                 (n,) = _LEN.unpack(raw)
                 if n == 0:
                     break  # client EOF
+                if n > self.max_message_frames:
+                    self.protocol_errors += 1
+                    return
                 payload = _read_exact(conn, n * channels * 4)
                 if payload is None:
                     break
                 frames = np.frombuffer(payload, "<f4").reshape(n, channels).T
+                if not self._push_with_backpressure(stream, frames):
+                    return
+                received += n
                 with self._lock:
-                    self.pool.push(stream, frames)
-                    self.pool.pump()
                     available = self.pool.available(stream)
                     out = self.pool.pull(stream, available) if available else None
-                received += n
                 if out is not None and out.shape[1]:
                     returned += out.shape[1]
                     _send_frame(conn, out)
@@ -133,18 +234,33 @@ class RenderServer:
             remaining = received - returned
             if remaining > 0:
                 pad = (-received) % block
+                if pad and not self._push_with_backpressure(
+                    stream, np.zeros((channels, pad), np.float32)
+                ):
+                    return
+                deadline = time.monotonic() + self.client_timeout
+                generation = self._pump_generation
+                self._data_ready.set()
+                while True:
+                    with self._lock:
+                        available = self.pool.available(stream)
+                    if available >= remaining or time.monotonic() >= deadline:
+                        break
+                    generation = self._await_pump_round(generation, deadline)
                 with self._lock:
-                    if pad:
-                        self.pool.push(
-                            stream, np.zeros((channels, pad), np.float32)
-                        )
-                    self.pool.pump()
                     out = self.pool.pull(stream, remaining)
                 _send_frame(conn, out)
             conn.sendall(_LEN.pack(0))
-        except (OSError, ValueError, json.JSONDecodeError):
+            clean = True
+        except (OSError, ValueError, json.JSONDecodeError, OverflowError,
+                AssertionError):
             pass
         finally:
+            if not clean:
+                try:
+                    conn.sendall(_LEN.pack(0))
+                except OSError:
+                    pass
             if stream is not None:
                 with self._lock:
                     self.pool.detach(stream)

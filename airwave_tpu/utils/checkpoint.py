@@ -27,9 +27,19 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str, like: Any) -> Any:
-    """Restore a pytree saved by save_pytree into the structure of `like`
-    (shapes and dtypes validated leaf-by-leaf)."""
+    """Restore a pytree saved by save_pytree into the structure of `like`.
+
+    The stored structure metadata and every leaf's shape and dtype must
+    match `like` exactly — a checkpoint from a different carry structure
+    (or precision policy) is an error, never a silent cast."""
     with np.load(path) as data:
+        if "__treedef__" in data:
+            saved_structure = json.loads(bytes(data["__treedef__"]).decode())
+            if saved_structure != _treedef_repr(like):
+                raise ValueError(
+                    "checkpoint structure mismatch: saved "
+                    f"{saved_structure!r} != expected {_treedef_repr(like)!r}"
+                )
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
         leaves = []
         for i, ref in enumerate(leaves_like):
@@ -42,7 +52,11 @@ def load_pytree(path: str, like: Any) -> Any:
                 raise ValueError(
                     f"{key}: shape {loaded.shape} != expected {ref_arr.shape}"
                 )
-            leaves.append(loaded.astype(ref_arr.dtype))
+            if loaded.dtype != ref_arr.dtype:
+                raise ValueError(
+                    f"{key}: dtype {loaded.dtype} != expected {ref_arr.dtype}"
+                )
+            leaves.append(loaded)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

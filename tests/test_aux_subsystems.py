@@ -73,6 +73,26 @@ def test_checkpoint_shape_validation(tmp_path):
         checkpoint.load_pytree(path, like=eq_block.make_eq_state(4))
 
 
+def test_checkpoint_rejects_structure_and_dtype_mismatch(tmp_path):
+    import pytest
+
+    # Different carry structure, coincidentally compatible leaf count/shapes:
+    # must fail on the stored treedef, not load silently.
+    state = eq_block.make_eq_state(2)
+    path = str(tmp_path / "c.npz")
+    checkpoint.save_pytree(path, state)
+    leaves = list(state)
+    with pytest.raises(ValueError, match="structure"):
+        checkpoint.load_pytree(path, like=tuple(leaves))
+
+    # Same structure, different leaf dtype: must raise, never silently cast.
+    path2 = str(tmp_path / "d.npz")
+    checkpoint.save_pytree(path2, state)
+    wrong = type(state)(*[np.asarray(leaf, np.float64) for leaf in state])
+    with pytest.raises(ValueError, match="dtype"):
+        checkpoint.load_pytree(path2, like=wrong)
+
+
 def test_profiler_accounting():
     profiler = profiling.RenderProfiler(48_000.0, 512, batch=10)
     import time

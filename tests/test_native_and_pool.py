@@ -208,3 +208,26 @@ def test_stream_pool_eq_and_capacity():
     pool.pump()
     out = pool.pull(a, block)
     assert np.all(np.isfinite(out)) and np.any(out != 0)
+
+
+def test_stream_pool_set_equalizer_none_semantics():
+    """EQ-less pool + set_equalizer(None) stays disabled (constructor
+    symmetry); an active EQ retargeted to None crossfades to unity and
+    keeps the EQ step in the chain for the ramp."""
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    pool = StreamPool(2, 48_000.0, renderer, eq_definition=None,
+                      block_size=block)
+    assert not pool._eq_enabled
+    pool.set_equalizer(None)
+    assert not pool._eq_enabled  # no unity-EQ path, no re-jit
+
+    pool.set_equalizer(EqualizerDefinition(preamp_db=-6.0))
+    assert pool._eq_enabled
+    pool.set_equalizer(None)  # removal: unity crossfade, EQ stays in-step
+    assert pool._eq_enabled
+    a = pool.attach()
+    pool.push(a, np.ones((2, block), np.float32) * 0.25)
+    pool.pump()
+    out = pool.pull(a, block)
+    assert np.all(np.isfinite(out))

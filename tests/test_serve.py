@@ -93,3 +93,144 @@ def test_malformed_header_does_not_kill_server(server):
     x = np.ones((2, BLOCK), np.float32) * 0.2
     y = render_via_server(srv.address, x)
     assert y.shape == (2, BLOCK)
+
+
+def _read_until_eof(conn):
+    import struct
+
+    frames = 0
+    while True:
+        raw = b""
+        while len(raw) < 4:
+            chunk = conn.recv(4 - len(raw))
+            if not chunk:
+                return frames, False
+            raw += chunk
+        (n,) = struct.unpack("<I", raw)
+        if n == 0:
+            return frames, True
+        payload = b""
+        need = n * 2 * 4
+        while len(payload) < need:
+            chunk = conn.recv(need - len(payload))
+            if not chunk:
+                return frames, False
+            payload += chunk
+        frames += n
+
+
+def test_wire_limits_close_cleanly(server):
+    import json
+    import socket
+    import struct
+
+    srv, _ = server
+
+    # Bad channel count: rejected at the header with a clean EOF frame.
+    conn = socket.create_connection(srv.address, timeout=5)
+    conn.sendall(json.dumps({"channels": 7}).encode() + b"\n")
+    _frames, clean = _read_until_eof(conn)
+    assert clean
+    conn.close()
+
+    # Oversized frame length: clean EOF, no server-side thread death.
+    conn = socket.create_connection(srv.address, timeout=5)
+    conn.sendall(json.dumps({"channels": 2}).encode() + b"\n")
+    conn.sendall(struct.pack("<I", srv.max_message_frames + 1))
+    _frames, clean = _read_until_eof(conn)
+    assert clean
+    conn.close()
+
+    assert srv.protocol_errors >= 2
+    # Server still healthy.
+    x = np.ones((2, BLOCK), np.float32) * 0.2
+    y = render_via_server(srv.address, x)
+    assert y.shape == (2, BLOCK)
+    # Rejected connections released their slots (poll past the EOF race).
+    import time
+
+    deadline = time.monotonic() + 5
+    while srv.pool._attached and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert not srv.pool._attached
+
+
+def test_concurrent_clients_share_device_steps(server):
+    """The whole point of the pool: N clients ride shared _pool_step calls.
+
+    With the single pump thread, concurrent clients' blocks coalesce into
+    shared rounds — rounds must come out well under blocks_rendered."""
+    srv, _ = server
+    srv.batch_window = 0.02  # widen the coalescing window for determinism
+    rng = np.random.default_rng(7)
+    n_clients, n_blocks = 4, 6
+    signals = [
+        (rng.standard_normal((2, n_blocks * BLOCK)) * 0.3).astype(np.float32)
+        for _ in range(n_clients)
+    ]
+    rounds_before = srv.pool.rounds
+    blocks_before = srv.pool.blocks_rendered
+    results = [None] * n_clients
+
+    def client(i):
+        results[i] = render_via_server(srv.address, signals[i], chunk=BLOCK)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    for r in results:
+        assert r is not None and r.shape == (2, n_blocks * BLOCK)
+    blocks = srv.pool.blocks_rendered - blocks_before
+    rounds = srv.pool.rounds - rounds_before
+    assert blocks == n_clients * n_blocks
+    # Serialized per-connection pumping would need ~blocks rounds; shared
+    # batching needs dramatically fewer.
+    assert rounds <= blocks * 0.75, (rounds, blocks)
+
+
+def test_churn_soak(server):
+    """Attach/detach churn across sequential client waves (short form of the
+    release-validation soak gate; the long form runs with AIRWAVE_SOAK=1)."""
+    import os
+
+    srv, _ = server
+    waves = 20 if os.environ.get("AIRWAVE_SOAK") else 4
+    rng = np.random.default_rng(11)
+    for wave in range(waves):
+        k = 1 + (wave % 3)
+        signals = [
+            (rng.standard_normal((2, (1 + wave % 4) * BLOCK + wave % 17))
+             * 0.3).astype(np.float32)
+            for _ in range(k)
+        ]
+        results = [None] * k
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, render_via_server(srv.address, signals[i], chunk=97)
+                )
+            )
+            for i in range(k)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i, r in enumerate(results):
+            assert r is not None and r.shape == signals[i].shape[:1] + (
+                signals[i].shape[1],
+            ), (wave, i)
+            assert np.all(np.isfinite(r))
+    # No slot leaks after churn (detach runs just after the EOF frame the
+    # client returns on, so poll briefly).
+    import time
+
+    deadline = time.monotonic() + 5
+    while srv.pool._attached and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert not srv.pool._attached
+    assert len(srv.pool._free) == srv.pool.max_streams
