@@ -1,17 +1,20 @@
 """SOFA -> 14-channel HeSuVi WAV converter (offline HRIR dataset production).
 
-Re-implements the contract of /root/reference/tools/ss2-to-hesuvi/convert.py:
+Produces datasets interchangeable with the reference tool
+(/root/reference/tools/ss2-to-hesuvi/convert.py), so the numeric contract is
+pinned — everything else here is this framework's own design:
   - target azimuths FC 0deg, FL/FR +-30 (configurable up to 90), SL/SR +-90,
-    BL/BR +-135; +azimuth = listener-left (:21-29, 340-350)
-  - nearest measurement per target by great-circle error on the horizontal
-    target vector; ties resolved to the lowest measurement index; fail above
-    the max-error limit (default 5 deg) (:353-383)
-  - fractional source delays materialized with a 65-tap Blackman-windowed
-    sinc; integer parts zero-padded per channel (:386-428)
+    BL/BR +-135; +azimuth = listener-left (ref :21-29, 340-350)
+  - nearest measurement per target by great-circle error against the
+    horizontal target direction; near-ties (within 1e-10 deg) resolve to the
+    lowest measurement index; selection fails above the max-error limit,
+    default 5 deg (ref :353-383)
+  - fractional source delays rendered with a 65-tap Blackman-windowed sinc;
+    integer parts zero-padded per channel (ref :386-428)
   - loudness: one global gain matching the mean FL/FR binaural L2 energy to
-    a reference target (:118-162)
+    a reference target (ref :118-162)
   - float32 WAV output validated decode-identical + schema-v2 JSON manifest
-    with hashes, directions, delays, and gain (:451-542)
+    with hashes, directions, delays, and gain (ref :451-542)
 
 CLI: python -m airwave_tpu.tools.convert SRC [SRC...] --output-dir DIR
 """
@@ -49,11 +52,16 @@ HESUVI_LAYOUT: Tuple[Tuple[str, str], ...] = (
     ("FC", "right"),
 )
 
+# Track indices of the two front binaural pairs in HESUVI_LAYOUT, used by
+# the loudness calibration: FL -> (left ear, right ear), FR likewise.
+FRONT_PAIR_TRACKS: Tuple[Tuple[int, int], ...] = ((0, 1), (8, 7))
+
 FRACTIONAL_DELAY_TAPS = 65
+TIE_TOLERANCE_DEG = 1e-10
 EPSILON = 1e-9
 
-# Mean FL/FR binaural L2 energy of the known-good reference preset the
-# ecosystem calibrates against (dht.wav, ref convert.py:53-60).
+# Mean FL/FR binaural L2 energy of the known-good preset the ecosystem
+# calibrates against (dht.wav; pinned in BASELINE.md).
 DEFAULT_LOUDNESS_TARGET = 1.0163817234826116
 
 
@@ -70,12 +78,27 @@ class DirectionSelection:
 def target_azimuths(front_azimuth_deg: float = 30.0) -> Dict[str, float]:
     if not (np.isfinite(front_azimuth_deg) and 0 < front_azimuth_deg <= 90):
         raise ConversionError(
-            "Front azimuth must be greater than 0 deg and at most 90 deg"
+            f"front azimuth {front_azimuth_deg} is outside (0, 90] deg"
         )
     targets = dict(DEFAULT_TARGET_AZIMUTHS)
     targets["FL"] = float(front_azimuth_deg)
     targets["FR"] = -float(front_azimuth_deg)
     return targets
+
+
+def _nearest_measurement(
+    source_vectors: np.ndarray, azimuth_deg: float
+) -> Tuple[int, float]:
+    """Index of the measurement closest (great-circle) to a horizontal
+    direction, and its error in degrees. Near-ties within TIE_TOLERANCE_DEG
+    go to the lowest index so reruns are reproducible."""
+    rad = math.radians(azimuth_deg)
+    target = np.array([math.cos(rad), math.sin(rad), 0.0])
+    cosines = np.clip(source_vectors @ target, -1.0, 1.0)
+    errors = np.degrees(np.arccos(cosines))
+    best = float(errors.min())
+    index = int(np.argmax(errors <= best + TIE_TOLERANCE_DEG))
+    return index, best
 
 
 def select_directions(
@@ -86,21 +109,16 @@ def select_directions(
     if targets is None:
         targets = DEFAULT_TARGET_AZIMUTHS
     if not np.isfinite(max_error_deg) or max_error_deg < 0:
-        raise ConversionError("Maximum angular error must be finite and non-negative")
+        raise ConversionError(
+            f"max angular error {max_error_deg} must be a finite value >= 0"
+        )
     out: Dict[str, DirectionSelection] = {}
     for speaker, azimuth in targets.items():
-        rad = math.radians(azimuth)
-        target_vec = np.array([math.cos(rad), math.sin(rad), 0.0])
-        errors = np.rad2deg(
-            np.arccos(np.clip(data.source_vectors @ target_vec, -1.0, 1.0))
-        )
-        best = float(np.min(errors))
-        # Ties resolve to the lowest measurement index (deterministic).
-        index = int(np.flatnonzero(np.isclose(errors, best, atol=1e-10, rtol=0))[0])
-        if best > max_error_deg + 1e-9:
+        index, error = _nearest_measurement(data.source_vectors, azimuth)
+        if error > max_error_deg + EPSILON:
             raise ConversionError(
-                f"{speaker} nearest measurement is {best:.6f} deg, "
-                f"above {max_error_deg:.6f} deg limit"
+                f"no measurement within {max_error_deg:.6f} deg of {speaker} "
+                f"(closest is {error:.6f} deg away)"
             )
         out[speaker] = DirectionSelection(
             speaker=speaker,
@@ -108,7 +126,7 @@ def select_directions(
             measurement_index=index,
             actual_azimuth_deg=float(data.source_azimuths[index]),
             actual_elevation_deg=float(data.source_elevations[index]),
-            angular_error_deg=best,
+            angular_error_deg=error,
         )
     return out
 
@@ -116,67 +134,75 @@ def select_directions(
 def fractional_delay_kernel(fraction: float,
                             taps: int = FRACTIONAL_DELAY_TAPS) -> np.ndarray:
     if taps < 3 or taps % 2 == 0:
-        raise ValueError("Fractional-delay tap count must be odd and at least 3")
+        raise ValueError(f"tap count {taps} must be odd and >= 3")
     half = taps // 2
     offsets = np.arange(-half, half + 1, dtype=np.float64)
     kernel = np.sinc(offsets - fraction) * np.blackman(taps)
     return kernel / np.sum(kernel)
 
 
+def _shift_channel(samples: np.ndarray, delay: float,
+                   use_kernel: bool) -> np.ndarray:
+    """One channel's delay: sinc-interpolate the fractional part (when the
+    matrix has any fractional delay at all, so every channel carries the
+    same causal kernel group delay), zero-pad the integer part."""
+    delay = float(delay)
+    pad = int(math.floor(delay + 1e-12))
+    if use_kernel:
+        fraction = delay - math.floor(delay)
+        samples = np.convolve(samples, fractional_delay_kernel(fraction))
+    return np.concatenate([np.zeros(pad), samples]) if pad else samples
+
+
 def materialize_delays(
     channels: Sequence[np.ndarray], delays: Sequence[float]
 ) -> np.ndarray:
-    """Apply per-channel sample delays; returns [frames, channels] float32.
-
-    When any delay has a fractional part, EVERY channel is convolved with a
-    fractional-delay kernel (applying the same causal group delay across the
-    matrix); integer parts are zero-padded per channel.
-    """
+    """Apply per-channel sample delays; returns [frames, channels] float32."""
     if not channels or len(channels) != len(delays):
         raise ConversionError(
-            "Channels and delays must be non-empty and have equal length"
+            f"{len(channels)} channels vs {len(delays)} delays"
         )
     arrays = [np.asarray(c, np.float64) for c in channels]
     if any(a.ndim != 1 or a.size == 0 for a in arrays):
-        raise ConversionError("Every output channel must be a non-empty vector")
+        raise ConversionError("each channel must be a 1-D array with samples")
     delay_values = np.asarray(delays, np.float64)
     if not np.all(np.isfinite(delay_values)) or np.any(delay_values < 0):
-        raise ConversionError("Output delays must be finite and non-negative")
+        raise ConversionError("delays must all be finite and >= 0 samples")
 
     any_fractional = bool(
         np.any(np.abs(delay_values - np.rint(delay_values)) > 1e-9)
     )
-    rendered: List[np.ndarray] = []
-    for samples, delay in zip(arrays, delay_values):
-        integer = int(math.floor(float(delay) + 1e-12))
-        fraction = float(delay) - math.floor(float(delay))
-        if any_fractional:
-            samples = np.convolve(samples, fractional_delay_kernel(fraction))
-        if integer:
-            samples = np.concatenate([np.zeros(integer), samples])
-        rendered.append(samples)
-
+    rendered = [
+        _shift_channel(samples, delay, any_fractional)
+        for samples, delay in zip(arrays, delay_values)
+    ]
     frames = max(c.size for c in rendered)
     output = np.zeros((frames, len(rendered)), np.float32)
     for i, c in enumerate(rendered):
         output[: c.size, i] = c.astype(np.float32)
     if not np.all(np.isfinite(output)):
-        raise ConversionError("Delay materialization produced non-finite samples")
+        raise ConversionError("delay rendering left NaN/inf in the output")
     return output
 
 
 def front_stereo_binaural_energy(samples: np.ndarray) -> float:
-    """Mean L2 energy of the FL (tracks 0/1) and FR (tracks 8/7) pairs."""
+    """Mean L2 energy across the FL and FR binaural pairs (the calibration
+    statistic the dataset ecosystem is normalized on)."""
     array = np.asarray(samples, np.float64)
     if array.ndim != 2 or array.shape[0] == 0 or array.shape[1] != 14:
-        raise ConversionError("Loudness data must be a non-empty 14-channel matrix")
+        raise ConversionError(
+            f"loudness statistic needs [frames, 14] audio, got "
+            f"{getattr(array, 'shape', None)}"
+        )
     if not np.all(np.isfinite(array)):
-        raise ConversionError("Loudness data contains NaN or infinite samples")
+        raise ConversionError("loudness statistic input has NaN/inf samples")
     norms = np.linalg.norm(array, axis=0)
-    energy = float(np.mean([math.hypot(norms[0], norms[1]),
-                            math.hypot(norms[8], norms[7])]))
+    pair_energies = [
+        math.hypot(norms[a], norms[b]) for a, b in FRONT_PAIR_TRACKS
+    ]
+    energy = float(np.mean(pair_energies))
     if not np.isfinite(energy) or energy <= EPSILON:
-        raise ConversionError("Loudness data has no usable impulse energy")
+        raise ConversionError("front binaural tracks carry no impulse energy")
     return energy
 
 
@@ -186,12 +212,14 @@ def calibrate_loudness(
     """One global gain to hit the front-stereo binaural energy target.
     Returns (calibrated float32 [frames, 14], source_energy, gain)."""
     if not np.isfinite(target_energy) or target_energy <= EPSILON:
-        raise ConversionError("Loudness target must be positive and finite")
+        raise ConversionError(
+            f"loudness target {target_energy} is not a usable positive number"
+        )
     source = front_stereo_binaural_energy(samples)
     gain = target_energy / source
     output = (np.asarray(samples, np.float64) * gain).astype(np.float32)
     if not np.all(np.isfinite(output)):
-        raise ConversionError("Loudness calibration produced non-finite samples")
+        raise ConversionError("loudness gain overflowed float32")
     return output, source, gain
 
 
@@ -211,12 +239,16 @@ def validate_output(path: str, expected: np.ndarray, sample_rate: int) -> None:
     """Decode-identical check: the written float32 WAV reads back bit-exact."""
     loaded = wav_io.load(path)
     if loaded.sample_rate != sample_rate:
-        raise ConversionError("Decoded sample rate differs from generated data")
+        raise ConversionError(
+            f"written WAV decodes at {loaded.sample_rate} Hz, not {sample_rate}"
+        )
     actual = loaded.audio.T  # [frames, channels]
     if actual.shape != expected.shape:
-        raise ConversionError("Decoded output shape differs from generated data")
+        raise ConversionError(
+            f"written WAV decodes as {actual.shape}, not {expected.shape}"
+        )
     if not np.array_equal(actual, expected):
-        raise ConversionError("Decoded output samples differ from generated data")
+        raise ConversionError("written WAV does not decode bit-identical")
 
 
 def build_manifest(

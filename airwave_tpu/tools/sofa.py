@@ -1,11 +1,12 @@
 """Minimal SOFA (SimpleFreeFieldHRIR) reader built on h5py.
 
-Replaces the reference tool's sofar dependency
-(/root/reference/tools/ss2-to-hesuvi/convert.py:287-333) with a direct
-HDF5/netCDF4 reader covering exactly what the converter needs:
-Data.IR / Data.SamplingRate / Data.Delay, listener basis, source geometry
-(spherical-degrees or cartesian-metres), and left/right receiver
-identification from receiver positions.
+Covers exactly what the HeSuVi converter needs from a SOFA container:
+Data.IR / Data.SamplingRate / Data.Delay, the listener's orthonormal frame,
+source directions (spherical-degrees or cartesian-metres), and which
+receiver index is the left vs right ear. The reference tool
+(/root/reference/tools/ss2-to-hesuvi/convert.py:287-333) reads the same
+fields through the sofar library; only the field semantics are shared —
+this reader speaks HDF5 directly.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ EPSILON = 1e-9
 
 
 class ConversionError(RuntimeError):
-    """Raised when conversion cannot preserve the SOFA data safely."""
+    """A SOFA container that this converter cannot faithfully translate."""
 
 
 @dataclasses.dataclass
@@ -59,24 +60,32 @@ def _attr(obj, name: str, default: str = "") -> str:
     return str(value)
 
 
-def _rows(value, columns: int, name: str) -> np.ndarray:
+def _coord_matrix(value, name: str) -> np.ndarray:
+    """Coerce an HDF5 position variable to [rows, 3] float64, accepting the
+    squeezed / transposed layouts different writers emit."""
     array = np.asarray(value, np.float64).squeeze()
-    if array.ndim == 1:
-        if array.size != columns:
-            raise ConversionError(f"{name} must contain {columns} coordinates")
-        return array.reshape(1, columns)
-    if array.ndim == 2 and array.shape[1] == columns:
-        return array
-    if array.ndim == 2 and array.shape[0] == columns:
-        return array.T
-    raise ConversionError(f"Unsupported {name} shape: {array.shape}")
+    if array.ndim == 1 and array.size == 3:
+        return array.reshape(1, 3)
+    if array.ndim == 2:
+        if array.shape[1] == 3:
+            return array
+        if array.shape[0] == 3:
+            return array.T
+    raise ConversionError(f"cannot interpret {name} with shape {array.shape}")
 
 
-def _constant_row(value, name: str) -> np.ndarray:
-    rows = _rows(value, 3, name)
-    if rows.shape[0] > 1 and not np.allclose(rows, rows[0], atol=EPSILON, rtol=0):
-        raise ConversionError(f"Varying {name} is not supported")
+def _single_position(value, name: str) -> np.ndarray:
+    rows = _coord_matrix(value, name)
+    if rows.shape[0] > 1 and np.ptp(rows, axis=0).max() > EPSILON:
+        raise ConversionError(f"{name} varies across measurements")
     return rows[0]
+
+
+def _unit(vector: np.ndarray, what: str) -> np.ndarray:
+    norm = np.linalg.norm(vector)
+    if norm <= EPSILON:
+        raise ConversionError(f"{what} has no usable direction (norm ~ 0)")
+    return vector / norm
 
 
 def _spherical_to_cartesian(positions: np.ndarray) -> np.ndarray:
@@ -90,91 +99,99 @@ def _spherical_to_cartesian(positions: np.ndarray) -> np.ndarray:
 
 
 def _listener_frame(f) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Gram-Schmidt the listener's (view, up) into an orthonormal
+    (position, forward, left, up) frame."""
     lp_var = f["ListenerPosition"]
     if _attr(lp_var, "Type", "cartesian").lower() != "cartesian":
-        raise ConversionError("Unsupported ListenerPosition type")
-    position = _constant_row(lp_var[()], "ListenerPosition")
-    forward = _constant_row(f["ListenerView"][()], "ListenerView")
-    up = _constant_row(f["ListenerUp"][()], "ListenerUp")
-
-    norm = np.linalg.norm(forward)
-    if norm <= EPSILON:
-        raise ConversionError("ListenerView has zero length")
-    forward = forward / norm
-    up = up - np.dot(up, forward) * forward
-    norm = np.linalg.norm(up)
-    if norm <= EPSILON:
-        raise ConversionError("ListenerUp is parallel to ListenerView")
-    up = up / norm
-    left = np.cross(up, forward)
-    left = left / np.linalg.norm(left)
+        raise ConversionError("only cartesian ListenerPosition is handled")
+    position = _single_position(lp_var[()], "ListenerPosition")
+    forward = _unit(
+        _single_position(f["ListenerView"][()], "ListenerView"), "ListenerView"
+    )
+    raw_up = _single_position(f["ListenerUp"][()], "ListenerUp")
+    up = _unit(
+        raw_up - np.dot(raw_up, forward) * forward,
+        "ListenerUp (after removing the ListenerView component)",
+    )
+    left = _unit(np.cross(up, forward), "listener left axis")
     return position, forward, left, up
 
 
+def _require_units(var, allowed: Tuple[str, ...], name: str) -> None:
+    units = _attr(var, "Units").lower()
+    if not any(token in units for token in allowed):
+        raise ConversionError(
+            f"{name} units {units!r} are not among {'/'.join(allowed)}"
+        )
+
+
 def _source_geometry(f):
+    """Source directions as unit vectors in the listener frame, plus the
+    derived azimuth (+ = listener-left) and elevation angles in degrees."""
     position, forward, left, up = _listener_frame(f)
     var = f["SourcePosition"]
-    positions = _rows(var[()], 3, "SourcePosition")
+    positions = _coord_matrix(var[()], "SourcePosition")
     kind = _attr(var, "Type").lower()
-    units = _attr(var, "Units").lower()
     if kind == "spherical":
-        if "degree" not in units:
-            raise ConversionError(f"SourcePosition must use degrees, got: {units}")
+        _require_units(var, ("degree",), "spherical SourcePosition")
         world = _spherical_to_cartesian(positions)
     elif kind == "cartesian":
-        if "metre" not in units and "meter" not in units:
-            raise ConversionError(f"SourcePosition must use metres, got: {units}")
+        _require_units(var, ("metre", "meter"), "cartesian SourcePosition")
         world = positions
     else:
-        raise ConversionError(f"Unsupported SourcePosition type: {kind}")
+        raise ConversionError(f"unhandled SourcePosition type {kind!r}")
 
     offsets = world - position
-    norms = np.linalg.norm(offsets, axis=1)
-    if np.any(norms <= EPSILON):
-        raise ConversionError("SourcePosition contains a source at ListenerPosition")
-    unit = offsets / norms[:, None]
-    local = np.stack([unit @ forward, unit @ left, unit @ up], axis=1)
-    local = local / np.linalg.norm(local, axis=1)[:, None]
-    azimuths = np.rad2deg(np.arctan2(local[:, 1], local[:, 0]))
-    elevations = np.rad2deg(np.arcsin(np.clip(local[:, 2], -1.0, 1.0)))
-    return local, azimuths, elevations
+    distances = np.linalg.norm(offsets, axis=1)
+    if np.any(distances <= EPSILON):
+        raise ConversionError(
+            "a source sits on top of the listener; its direction is undefined"
+        )
+    rays = offsets / distances[:, None]
+    # Project onto the listener frame: columns = (forward, left, up).
+    frame = np.stack([forward, left, up], axis=1)
+    directions = rays @ frame
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+    azimuths = np.degrees(np.arctan2(directions[:, 1], directions[:, 0]))
+    elevations = np.degrees(np.arcsin(np.clip(directions[:, 2], -1.0, 1.0)))
+    return directions, azimuths, elevations
 
 
 def _receivers(f) -> Tuple[int, int]:
+    """Identify (left_ear_index, right_ear_index) from receiver geometry:
+    the ear with positive lateral offset along the listener's left axis is
+    the left ear."""
     var = f["ReceiverPosition"]
     if _attr(var, "Type").lower() != "cartesian":
-        raise ConversionError("Unsupported ReceiverPosition type")
-    units = _attr(var, "Units").lower()
-    if "metre" not in units and "meter" not in units:
-        raise ConversionError(f"ReceiverPosition must use metres, got: {units}")
-    positions = _rows(var[()], 3, "ReceiverPosition")
+        raise ConversionError("only cartesian ReceiverPosition is handled")
+    _require_units(var, ("metre", "meter"), "ReceiverPosition")
+    positions = _coord_matrix(var[()], "ReceiverPosition")
     if positions.shape[0] != 2:
         raise ConversionError(
-            f"Expected two receiver positions, got {positions.shape[0]}"
+            f"need exactly 2 receivers for a binaural set, found "
+            f"{positions.shape[0]}"
         )
     listener_position, _, left_axis, _ = _listener_frame(f)
-    lateral = (positions - listener_position) @ left_axis
-    left_candidates = np.flatnonzero(lateral > EPSILON)
-    right_candidates = np.flatnonzero(lateral < -EPSILON)
-    if left_candidates.size != 1 or right_candidates.size != 1:
+    leftness = (positions - listener_position) @ left_axis
+    if not (leftness.max() > EPSILON and leftness.min() < -EPSILON):
         raise ConversionError(
-            "ReceiverPosition does not identify exactly one left and one right ear"
+            "receiver geometry is ambiguous: could not place one ear on each "
+            "side of the listener"
         )
-    return int(left_candidates[0]), int(right_candidates[0])
+    return int(np.argmax(leftness)), int(np.argmin(leftness))
 
 
 def _expand_delays(raw, measurements: int) -> np.ndarray:
+    """Broadcast Data.Delay's scalar / [2] / [M, 2] layouts to [M, 2]."""
     array = np.asarray(raw, np.float64).squeeze()
     if array.ndim == 0:
         array = np.full((measurements, 2), float(array))
     elif array.shape == (2,):
         array = np.tile(array, (measurements, 1))
     elif array.shape != (measurements, 2):
-        raise ConversionError(f"Unsupported Data.Delay shape: {array.shape}")
+        raise ConversionError(f"cannot broadcast Data.Delay {array.shape}")
     if not np.all(np.isfinite(array)) or np.any(array < 0):
-        raise ConversionError(
-            "Data.Delay must contain finite, non-negative sample delays"
-        )
+        raise ConversionError("Data.Delay has negative or non-finite entries")
     return array
 
 
@@ -184,38 +201,39 @@ def read_sofa_hrir(path: str) -> SofaHRIR:
     try:
         f = h5py.File(path, "r")
     except OSError as err:
-        raise ConversionError(f"Cannot open SOFA file: {err}")
+        raise ConversionError(f"not a readable SOFA/HDF5 file: {err}")
     with f:
         conventions = _attr(f, "SOFAConventions")
         if conventions != "SimpleFreeFieldHRIR":
             raise ConversionError(
-                f"Expected SimpleFreeFieldHRIR, got {conventions}"
+                f"convention {conventions!r} is not SimpleFreeFieldHRIR"
             )
         data_type = _attr(f, "DataType")
         if data_type != "FIR":
-            raise ConversionError(f"Expected FIR data, got {data_type}")
+            raise ConversionError(f"data type {data_type!r} is not FIR")
 
         impulses = np.asarray(f["Data.IR"][()], np.float64)
         if impulses.ndim != 3 or impulses.shape[1] != 2 or impulses.shape[2] == 0:
             raise ConversionError(
-                f"Expected non-empty M x 2 x N Data.IR, got {impulses.shape}"
+                f"Data.IR shape {impulses.shape} is not [M, 2, N>0]"
             )
         if not np.all(np.isfinite(impulses)):
-            raise ConversionError("Data.IR contains NaN or infinite samples")
+            raise ConversionError("Data.IR has NaN/inf samples")
 
         rates = np.asarray(f["Data.SamplingRate"][()], np.float64).reshape(-1)
         if rates.size != 1 or not np.isfinite(rates[0]) or rates[0] <= 0:
-            raise ConversionError(
-                "Data.SamplingRate must contain one positive finite value"
-            )
+            raise ConversionError("Data.SamplingRate is not a single positive value")
         rate = int(round(float(rates[0])))
         if not math.isclose(float(rates[0]), rate, abs_tol=1e-6):
-            raise ConversionError("WAV output requires an integer sample rate")
+            raise ConversionError(
+                f"sample rate {rates[0]} is not an integer; WAV output needs one"
+            )
 
         vectors, azimuths, elevations = _source_geometry(f)
         if vectors.shape[0] != impulses.shape[0]:
             raise ConversionError(
-                "SourcePosition and Data.IR measurement counts differ"
+                f"{vectors.shape[0]} source positions vs "
+                f"{impulses.shape[0]} IR measurements"
             )
         left, right = _receivers(f)
         delays = _expand_delays(
