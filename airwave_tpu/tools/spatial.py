@@ -1,19 +1,30 @@
 """Spatial metrics + deterministic HRIR synthesis (prototype toolchain).
 
-Functional re-implementation of
-/root/reference/tools/ss2-spatial-prototype/spatial.py: a reference 14-channel
-HRIR bank is reduced to aggregate metrics (interaural level/time/correlation,
-late-energy decay checkpoints at 5/10/20/50 ms, third-octave magnitudes), and
-variants are synthesized from a base bank — minimum-phase reconstruction plus
-deterministic diffuse ambience tails fit to the reference's decay targets —
-then validated against direction-level and tonal-error bounds.
+Capability parity with /root/reference/tools/ss2-spatial-prototype/spatial.py:
+a reference 14-channel HRIR bank is reduced to aggregate metrics (interaural
+level/time/correlation, cumulative late-energy ratios at 5/10/20/50 ms,
+third-octave magnitudes), and variants are synthesized from a base bank:
+
+  - minimum-phase reconstruction (optionally peak-aligned across channels)
+  - deterministic cascaded-allpass ambience tails fit to the reference's
+    decay checkpoints by an iterative interval optimizer (ref :262-513)
+  - a velvet-noise diffuse-pair fitter with interaural-correlation control
+    (ref :515-601)
+  - third-octave tonal projection onto the reference's normalized responses
+    plus interaural-level matching (ref :616-726)
+
+The fitters and projections here are this framework's own formulations
+(vectorized allpass recurrences, shared optimizer helpers); only the
+observable contracts — checkpoint set, decay-target semantics, correlation
+thresholds, energy preservation — mirror the reference.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -39,6 +50,16 @@ VARIANTS: Tuple[Tuple[str, str, bool, float], ...] = (
     ("D_minphase_target_space", "Minimum-phase plus full target ambience", True, 1.0),
 )
 
+# Ambience machinery constants (this framework's tuning; section delays are
+# primes spanning ~5-17 ms at 48 kHz so the cascade never rings periodically).
+AMBIENCE_SECTION_DELAYS: Tuple[int, ...] = (251, 383, 557, 811)
+AMBIENCE_SECTION_COEFFS: Tuple[float, ...] = (0.55, 0.65, 0.75, 0.82)
+TAIL_ONSET_SECONDS = 0.005
+MAX_CUMULATIVE_LATE = 0.75
+VELVET_DENSITY = 0.25
+VELVET_DECAY_SECONDS = 0.045
+DEFAULT_SEED = "airwave-spatial-v2"
+
 
 class PrototypeError(RuntimeError):
     pass
@@ -53,6 +74,9 @@ def _validate_bank(samples: np.ndarray, channels: int = 14) -> np.ndarray:
     if not np.any(array):
         raise PrototypeError("Audio contains no impulse energy")
     return array
+
+
+# --- metrics ----------------------------------------------------------------------
 
 
 def third_octave_magnitude_db(samples: np.ndarray, sample_rate: int) -> np.ndarray:
@@ -142,7 +166,15 @@ def analyze_wav(path: str) -> dict:
     return bank_metrics(data.audio.T.astype(np.float64), int(data.sample_rate))
 
 
-# --- synthesis --------------------------------------------------------------------
+def front_stereo_energy(samples: np.ndarray) -> float:
+    """Mean L2 energy of the FL/FR binaural pairs of a [frames, 14] bank."""
+    array = _validate_bank(samples)
+    norms = np.linalg.norm(array, axis=0)
+    return float(np.mean([math.hypot(norms[0], norms[1]),
+                          math.hypot(norms[8], norms[7])]))
+
+
+# --- minimum phase ----------------------------------------------------------------
 
 
 def minimum_phase(ir: np.ndarray, fft_size: Optional[int] = None) -> np.ndarray:
@@ -162,20 +194,536 @@ def minimum_phase(ir: np.ndarray, fft_size: Optional[int] = None) -> np.ndarray:
     return min_phase[: ir.size]
 
 
-def _diffuse_tail(length: int, sample_rate: int, decay_seconds: float,
-                  band_weights: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Exponentially-decaying noise shaped to a third-octave distribution."""
-    noise = rng.standard_normal(length)
-    spectrum = np.fft.rfft(noise)
-    freqs = np.fft.rfftfreq(length, 1.0 / sample_rate)
-    gains = np.interp(freqs, THIRD_OCTAVE_CENTERS,
-                      np.sqrt(np.maximum(band_weights, 0.0)),
-                      left=0.0, right=0.0)
-    shaped = np.fft.irfft(spectrum * gains, length)
-    envelope = np.exp(-np.arange(length) / (decay_seconds * sample_rate))
-    shaped *= envelope
-    norm = float(np.linalg.norm(shaped))
-    return shaped / norm if norm > 1e-15 else shaped
+def aligned_minimum_phase_bank(bank: np.ndarray, frames: int,
+                               align_frame: int = 128) -> np.ndarray:
+    """Minimum-phase every channel and land every peak on `align_frame`,
+    collapsing interaural time differences (the min-phase variant family is
+    peak-aligned by design; ref spatial.py:247-260)."""
+    bank = _validate_bank(bank)
+    align = min(align_frame, frames // 4)
+    out = np.zeros((frames, 14), np.float64)
+    for ch in range(14):
+        mp = minimum_phase(bank[:frames, ch])
+        peak = int(np.argmax(np.abs(mp)))
+        if peak > align:
+            raise PrototypeError(
+                f"channel {ch}: min-phase peak at {peak} cannot be aligned "
+                f"causally to frame {align}"
+            )
+        shift = align - peak
+        usable = min(frames - shift, mp.size)
+        out[shift : shift + usable, ch] = mp[:usable]
+    return out
+
+
+# --- shared fitting machinery -----------------------------------------------------
+
+
+def _pair_anchor(pair: np.ndarray) -> int:
+    return min(int(np.argmax(np.abs(pair[:, 0]))),
+               int(np.argmax(np.abs(pair[:, 1]))))
+
+
+def _checkpoint_bounds(frames: int, anchor: int, sample_rate: int) -> List[int]:
+    return [min(frames, anchor + round(sample_rate * ms / 1000.0))
+            for ms in CHECKPOINTS_MS]
+
+
+def _checkpoint_windows(frames: int, anchor: int,
+                        sample_rate: int) -> List[Tuple[int, int]]:
+    bounds = _checkpoint_bounds(frames, anchor, sample_rate)
+    return list(zip(bounds, bounds[1:] + [frames]))
+
+
+def late_cumulative_ratios(pair: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Cumulative late-energy ratios of a [frames, 2] pair at the declared
+    checkpoints, relative to total pair energy."""
+    total = float(np.sum(pair**2))
+    if total <= 1e-30:
+        raise PrototypeError("Pair has no energy to measure decay on")
+    bounds = _checkpoint_bounds(pair.shape[0], _pair_anchor(pair), sample_rate)
+    return np.asarray([float(np.sum(pair[b:] ** 2)) / total for b in bounds])
+
+
+def _intervals(cumulative: np.ndarray) -> np.ndarray:
+    """Per-window energies from cumulative checkpoint ratios."""
+    c = np.asarray(cumulative, np.float64)
+    return np.maximum(0.0, c - np.append(c[1:], 0.0))
+
+
+def _cumulative(intervals: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(intervals, np.float64)[::-1])[::-1]
+
+
+def _clamp_cumulative(cumulative: np.ndarray) -> np.ndarray:
+    c = np.asarray(cumulative, np.float64)
+    if c[0] > MAX_CUMULATIVE_LATE:
+        c = c * (MAX_CUMULATIVE_LATE / c[0])
+    return c
+
+
+def _ear_energy_shares(pair: np.ndarray) -> np.ndarray:
+    energies = np.sum(pair**2, axis=0)
+    return energies / float(np.sum(energies))
+
+
+def magnitude_projected(reference: np.ndarray, candidate: np.ndarray,
+                        iterations: int = 12) -> np.ndarray:
+    """Alternating projections: keep the candidate's phase/timing, restore
+    the reference's magnitude spectrum and finite causal support, and return
+    at the reference's energy. One projection leaves interpolation ripple
+    after truncation; iterating converges (ref spatial.py:311-330)."""
+    frames = int(reference.size)
+    fft_size = 1 << (4 * frames - 1).bit_length()
+    target_mag = np.abs(np.fft.rfft(reference, fft_size))
+    work = np.zeros(fft_size, np.float64)
+    work[:frames] = candidate[:frames]
+    for _ in range(iterations):
+        phase = np.angle(np.fft.rfft(work))
+        rebuilt = np.fft.irfft(target_mag * np.exp(1j * phase), fft_size)
+        work.fill(0.0)
+        work[:frames] = rebuilt[:frames]
+    out = work[:frames]
+    out_energy = float(np.linalg.norm(out))
+    if out_energy <= 1e-15:
+        raise PrototypeError("Magnitude projection collapsed to silence")
+    return out * (float(np.linalg.norm(reference)) / out_energy)
+
+
+# --- cascaded all-pass ambience ---------------------------------------------------
+
+
+def allpass_section(x: np.ndarray, delay: int, coeff: float) -> np.ndarray:
+    """One Schroeder allpass H(z) = (-c + z^-D) / (1 - c z^-D).
+
+    The recurrence y[n] = -c x[n] + x[n-D] + c y[n-D] only reaches back D
+    samples, so it vectorizes as a first-order recurrence over D-strided
+    blocks instead of a per-sample loop."""
+    x = np.asarray(x, np.float64)
+    if x.ndim != 1 or delay <= 0 or not 0.0 < coeff < 1.0:
+        raise PrototypeError("allpass section needs 1-D input, D>0, 0<c<1")
+    y = np.empty_like(x)
+    y[:delay] = -coeff * x[:delay]
+    for start in range(delay, x.size, delay):
+        end = min(start + delay, x.size)
+        span = end - start
+        y[start:end] = (
+            -coeff * x[start:end]
+            + x[start - delay : start - delay + span]
+            + coeff * y[start - delay : start - delay + span]
+        )
+    return y
+
+
+def allpass_cascade(x: np.ndarray, delays: Sequence[int],
+                    coeffs: Sequence[float]) -> np.ndarray:
+    if not delays or len(delays) != len(coeffs):
+        raise PrototypeError("cascade needs matching non-empty delay/coeff lists")
+    out = np.asarray(x, np.float64)
+    for delay, coeff in zip(delays, coeffs):
+        out = allpass_section(out, int(delay), float(coeff))
+    return out
+
+
+def _shared_sections(correlation: float) -> int:
+    """How many cascade sections the two ears share: more sharing raises the
+    tails' interaural correlation (thresholds per ref spatial.py:424-426)."""
+    if correlation >= 0.8:
+        return 4
+    if correlation >= 0.45:
+        return 2
+    return 1
+
+
+def ambience_delays(seed: str, shared_sections: int, ear: int) -> List[int]:
+    """Deterministic per-ear section delays: each base prime gets an odd
+    jitter in [1, 47] keyed by (seed, owning ear, section). Sections below
+    `shared_sections` draw from ear 0 so both ears share them exactly."""
+    delays = []
+    for i, base in enumerate(AMBIENCE_SECTION_DELAYS):
+        owner = 0 if i < shared_sections else ear
+        digest = hashlib.blake2b(
+            f"{seed}|{owner}|{i}".encode(), digest_size=4
+        ).digest()
+        delays.append(base + 1 + 2 * (digest[0] % 24))
+    return delays
+
+
+def _ambience_template(frames: int, anchor: int, delays: Sequence[int],
+                       coeffs: Sequence[float], sample_rate: int) -> np.ndarray:
+    impulse = np.zeros(frames, np.float64)
+    impulse[anchor] = 1.0
+    template = allpass_cascade(impulse, delays, coeffs)
+    onset = min(frames, anchor + round(sample_rate * TAIL_ONSET_SECONDS))
+    template[:onset] = 0.0
+    return template
+
+
+def _overlay_tail(pair: np.ndarray, templates: Tuple[np.ndarray, np.ndarray],
+                  cumulative: np.ndarray, sample_rate: int,
+                  projection_iterations: int) -> np.ndarray:
+    """Scale each template's checkpoint windows to the cumulative energy
+    plan, add onto the pair, and project each channel back to its direct
+    magnitude (so tails redistribute the direct sound's energy in time
+    rather than adding net energy)."""
+    frames = pair.shape[0]
+    windows = _checkpoint_windows(frames, _pair_anchor(pair), sample_rate)
+    pair_energy = float(np.sum(pair**2))
+    shares = _ear_energy_shares(pair)
+    plan = _intervals(cumulative) * pair_energy
+    out = pair.copy()
+    for ch in range(2):
+        tail = np.zeros(frames, np.float64)
+        for w, (start, end) in enumerate(windows):
+            segment = templates[ch][start:end]
+            seg_energy = float(np.sum(segment**2))
+            desired = float(plan[w] * shares[ch])
+            if seg_energy > 1e-30 and desired > 0:
+                tail[start:end] = segment * math.sqrt(desired / seg_energy)
+        out[:, ch] = magnitude_projected(
+            pair[:, ch], pair[:, ch] + tail, projection_iterations
+        )
+    return out
+
+
+def _nudge_late_envelope(pair: np.ndarray, cumulative_target: np.ndarray,
+                         sample_rate: int, strength: float) -> np.ndarray:
+    """Final coarse correction: scale each checkpoint window a fraction of
+    the way toward its exact target energy."""
+    out = pair.copy()
+    windows = _checkpoint_windows(out.shape[0], _pair_anchor(out), sample_rate)
+    early = float(np.sum(out[: windows[0][0]] ** 2))
+    total_target = early / max(1e-12, 1.0 - float(cumulative_target[0]))
+    plan = _intervals(cumulative_target) * total_target
+    for (start, end), desired in zip(windows, plan):
+        actual = float(np.sum(out[start:end] ** 2))
+        if actual > 1e-30:
+            out[start:end] *= (float(desired) / actual) ** (0.5 * strength)
+    return out
+
+
+def fit_allpass_pair(
+    pair: np.ndarray,
+    target_late_ratios: Sequence[float],
+    target_correlation: float,
+    intensity: float,
+    seed: str,
+    sample_rate: int = SAMPLE_RATE,
+    search_projection_iterations: int = 5,
+    final_projection_iterations: int = 12,
+) -> Tuple[np.ndarray, dict]:
+    """Fit deterministic cascaded-allpass ambience onto an ear pair so its
+    cumulative late-energy ratios hit `target_late_ratios * intensity`.
+
+    Two-stage deterministic search over the per-window energy plan:
+    multiplicative interval correction (measured vs target), then coordinate
+    descent with a shrinking step ladder minimizing the worst checkpoint
+    error; a final fractional envelope nudge cleans up the residual.
+    Capability match: ref spatial.py:419-513."""
+    pair = np.asarray(pair, np.float64)
+    if pair.ndim != 2 or pair.shape[1] != 2:
+        raise PrototypeError("allpass fitting needs a [frames, 2] ear pair")
+    if intensity <= 0:
+        return pair.copy(), {
+            "model": "cascaded-allpass", "wetness": 0.0,
+            "delays": [[], []], "coefficients": [],
+        }
+    target = np.asarray(target_late_ratios, np.float64) * float(intensity)
+    shared = _shared_sections(float(target_correlation))
+    delays = (ambience_delays(seed, shared, 0), ambience_delays(seed, shared, 1))
+    anchor = _pair_anchor(pair)
+    templates = tuple(
+        _ambience_template(pair.shape[0], anchor, d,
+                           AMBIENCE_SECTION_COEFFS, sample_rate)
+        for d in delays
+    )
+
+    def evaluate(plan_cumulative, iterations):
+        candidate = _overlay_tail(pair, templates, plan_cumulative,
+                                  sample_rate, iterations)
+        measured = late_cumulative_ratios(candidate, sample_rate)
+        error = measured - target
+        key = (float(np.max(np.abs(error))), float(np.mean(error**2)))
+        return key, candidate, measured
+
+    # Stage 1: multiplicative interval updates.
+    best_key, best_plan = (math.inf, math.inf), target.copy()
+    plan = _clamp_cumulative(target.copy())
+    for _ in range(12):
+        key, _cand, measured = evaluate(plan, search_projection_iterations)
+        if key < best_key:
+            best_key, best_plan = key, plan.copy()
+        scale = _intervals(target) / np.maximum(_intervals(measured), 1e-7)
+        plan = _clamp_cumulative(_cumulative(
+            np.clip(_intervals(plan) * scale, 0.0, MAX_CUMULATIVE_LATE)
+        ))
+
+    # Stage 2: coordinate descent on the interval plan.
+    intervals = _intervals(best_plan)
+    for step in (0.5, 0.25, 0.1, 0.05, 0.02):
+        for w in range(len(CHECKPOINTS_MS)):
+            for factor in (1.0 - step, 1.0 + step):
+                trial = intervals.copy()
+                trial[w] = max(1e-8, trial[w] * factor)
+                plan = _clamp_cumulative(_cumulative(trial))
+                key, _cand, _m = evaluate(plan, search_projection_iterations)
+                if key < best_key:
+                    best_key, best_plan = key, plan
+                    intervals = _intervals(plan)
+
+    # Final render at full projection quality + fractional envelope nudge.
+    key, candidate, _m = evaluate(best_plan, final_projection_iterations)
+    strength = 0.26 if key[0] > 0.012 else 0.21 if key[0] > 0.01 else 0.2
+    candidate = _nudge_late_envelope(candidate, target, sample_rate, strength)
+    measured = late_cumulative_ratios(candidate, sample_rate)
+    error = measured - target
+    left, right = candidate[:, 0], candidate[:, 1]
+    denom = float(np.linalg.norm(left) * np.linalg.norm(right))
+    return candidate, {
+        "model": "cascaded-allpass",
+        "wetness": float(intensity),
+        "delays": [list(delays[0]), list(delays[1])],
+        "coefficients": list(AMBIENCE_SECTION_COEFFS),
+        "shared_sections": shared,
+        "plan_late_energy_ratios": [float(v) for v in best_plan],
+        "target_late_energy_ratios": [float(v) for v in target],
+        "actual_late_energy_ratios": [float(v) for v in measured],
+        "actual_zero_lag_interaural_correlation": (
+            float(np.dot(left, right) / denom) if denom > 1e-15 else 0.0
+        ),
+        "fit_max_checkpoint_error": float(np.max(np.abs(error))),
+        "fit_mean_squared_error": float(np.mean(error**2)),
+    }
+
+
+# --- velvet-noise diffuse ambience ------------------------------------------------
+
+
+def velvet_noise(frames: int, seed: str, density: float = VELVET_DENSITY,
+                 decay_seconds: float = VELVET_DECAY_SECONDS,
+                 sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Sparse exponentially-decaying noise, unit L2 norm. The sparsity keeps
+    convolution transient-like with no audible periodic recurrence."""
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.blake2b(seed.encode(), digest_size=8).digest(),
+                       "big")
+    )
+    noise = rng.standard_normal(frames)
+    noise[rng.random(frames) > density] = 0.0
+    noise *= np.exp(-np.arange(frames, dtype=np.float64)
+                    / (decay_seconds * sample_rate))
+    norm = float(np.linalg.norm(noise))
+    if norm <= 1e-15:
+        raise PrototypeError("velvet-noise draw has no energy")
+    return noise / norm
+
+
+def fit_diffuse_pair(
+    pair: np.ndarray,
+    target_late_ratios: Sequence[float],
+    target_correlation: float,
+    intensity: float,
+    seed: str,
+    sample_rate: int = SAMPLE_RATE,
+) -> Tuple[np.ndarray, dict]:
+    """Add diffuse tails (direct IR convolved with velvet-noise excitations)
+    so each checkpoint window's energy rises to the target — never beyond
+    (additions fill the deficit only). The excitation mixes a shared draw
+    and per-ear draws as sqrt(c)/sqrt(1-c) so the tails' interaural
+    correlation tracks the target. Capability match: ref spatial.py:530-601."""
+    pair = np.asarray(pair, np.float64)
+    if pair.ndim != 2 or pair.shape[1] != 2:
+        raise PrototypeError("diffuse fitting needs a [frames, 2] ear pair")
+    if intensity <= 0:
+        return pair.copy(), {"model": "velvet-noise", "wetness": 0.0}
+    target = np.asarray(target_late_ratios, np.float64) * float(intensity)
+
+    frames = pair.shape[0]
+    anchor = _pair_anchor(pair)
+    onset = min(frames, anchor + round(sample_rate * TAIL_ONSET_SECONDS))
+    excitation_len = frames - onset
+    shared = velvet_noise(excitation_len, f"{seed}|both", sample_rate=sample_rate)
+    own = (
+        velvet_noise(excitation_len, f"{seed}|L", sample_rate=sample_rate),
+        velvet_noise(excitation_len, f"{seed}|R", sample_rate=sample_rate),
+    )
+    correlation = float(np.clip(target_correlation, 0.0, 1.0))
+    mix_shared = math.sqrt(correlation)
+    mix_own = math.sqrt(1.0 - correlation)
+    templates = []
+    for ch in range(2):
+        excitation = mix_shared * shared + mix_own * own[ch]
+        diffuse = np.convolve(pair[:, ch], excitation)[: frames - onset]
+        template = np.zeros(frames, np.float64)
+        template[onset:] = diffuse
+        templates.append(template)
+
+    windows = _checkpoint_windows(frames, anchor, sample_rate)
+    early = float(np.sum(pair[: windows[0][0]] ** 2))
+    total_target = early / max(1e-12, 1.0 - float(target[0]))
+    plan = _intervals(target) * total_target
+    shares = _ear_energy_shares(pair)
+    out = pair.copy()
+    for ch in range(2):
+        for w, (start, end) in enumerate(windows):
+            segment = templates[ch][start:end]
+            seg_energy = float(np.sum(segment**2))
+            existing = float(np.sum(pair[start:end, ch] ** 2))
+            deficit = max(0.0, float(plan[w] * shares[ch]) - existing)
+            if seg_energy > 1e-30 and deficit > 0:
+                out[start:end, ch] += segment * math.sqrt(deficit / seg_energy)
+
+    measured = late_cumulative_ratios(out, sample_rate)
+    return out, {
+        "model": "velvet-noise",
+        "wetness": float(intensity),
+        "density": VELVET_DENSITY,
+        "decay_seconds": VELVET_DECAY_SECONDS,
+        "target_correlation": correlation,
+        "target_late_energy_ratios": [float(v) for v in target],
+        "actual_late_energy_ratios": [float(v) for v in measured],
+        "fit_max_checkpoint_error": float(np.max(np.abs(measured - target))),
+    }
+
+
+# --- tonal projection -------------------------------------------------------------
+
+
+def match_direction_levels(bank: np.ndarray, metrics: dict) -> np.ndarray:
+    """Rescale each direction's two ears so the pair keeps its total energy
+    but its interaural level difference equals the reference's."""
+    out = _validate_bank(bank).copy()
+    for speaker, (li, ri) in DIRECTION_PAIRS.items():
+        left_energy = float(np.linalg.norm(out[:, li]))
+        right_energy = float(np.linalg.norm(out[:, ri]))
+        if left_energy <= 1e-15 or right_energy <= 1e-15:
+            raise PrototypeError(f"{speaker}: an ear is silent; cannot set ILD")
+        pair_energy = math.hypot(left_energy, right_energy)
+        ratio = 10.0 ** (
+            float(metrics["directions"][speaker]["left_right_level_db"]) / 20.0
+        )
+        want_right = pair_energy / math.sqrt(1.0 + ratio**2)
+        out[:, li] *= (ratio * want_right) / left_energy
+        out[:, ri] *= want_right / right_energy
+    return out
+
+
+def _min_phase_eq_spectrum(magnitude: np.ndarray, fft_size: int) -> np.ndarray:
+    """Minimum-phase spectrum with the given rfft magnitude (a causal EQ
+    that adds no excess group delay)."""
+    log_mag = np.log(np.maximum(np.asarray(magnitude, np.float64), 1e-8))
+    cepstrum = np.fft.irfft(log_mag, fft_size)
+    folded = np.zeros(fft_size, np.float64)
+    folded[0] = cepstrum[0]
+    folded[1 : fft_size // 2] = 2.0 * cepstrum[1 : fft_size // 2]
+    folded[fft_size // 2] = cepstrum[fft_size // 2]
+    return np.exp(np.fft.rfft(folded, fft_size))
+
+
+def condition_to_reference(bank: np.ndarray, metrics: dict,
+                           tone_strength: float,
+                           sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Project each channel's third-octave response `tone_strength` of the
+    way onto the reference's normalized response (correction clipped to
+    +-12 dB, applied as a minimum-phase EQ, per-channel energy preserved),
+    then match interaural levels. Capability match: ref spatial.py:668-726."""
+    if not np.isfinite(tone_strength) or not 0.0 <= tone_strength <= 1.0:
+        raise PrototypeError("tone strength must lie in [0, 1]")
+    source = _validate_bank(bank)
+    frames = source.shape[0]
+    if tone_strength == 0.0:
+        return match_direction_levels(source, metrics)
+
+    fft_size = 1 << (4 * frames - 1).bit_length()
+    freqs = np.fft.rfftfreq(fft_size, 1.0 / sample_rate)
+    centers = np.asarray(THIRD_OCTAVE_CENTERS)
+    log_centers = np.log2(centers)
+    audible = (centers >= 80.0) & (centers <= 16_000.0)
+
+    ear_targets: Dict[int, np.ndarray] = {}
+    for speaker, (li, ri) in DIRECTION_PAIRS.items():
+        responses = metrics["directions"][speaker][
+            "normalized_third_octave_magnitude_db"
+        ]
+        ear_targets[li] = np.asarray(responses["left"], np.float64)
+        ear_targets[ri] = np.asarray(responses["right"], np.float64)
+
+    out = np.zeros_like(source)
+    for ch in range(14):
+        current = third_octave_magnitude_db(source[:, ch], sample_rate)
+        current -= float(np.mean(current[audible]))
+        correction_db = np.clip(
+            (ear_targets[ch] - current) * tone_strength, -12.0, 12.0
+        )
+        grid = np.log2(np.maximum(freqs, centers[0]))
+        eq_db = np.interp(grid, log_centers, correction_db,
+                          left=float(correction_db[0]),
+                          right=float(correction_db[-1]))
+        equalizer = _min_phase_eq_spectrum(10.0 ** (eq_db / 20.0), fft_size)
+        filtered = np.fft.irfft(
+            np.fft.rfft(source[:, ch], fft_size) * equalizer, fft_size
+        )[:frames]
+        filtered_energy = float(np.linalg.norm(filtered))
+        if filtered_energy <= 1e-15:
+            raise PrototypeError(f"channel {ch}: tone projection lost all energy")
+        out[:, ch] = filtered * (
+            float(np.linalg.norm(source[:, ch])) / filtered_energy
+        )
+    return match_direction_levels(out, metrics)
+
+
+def max_tonal_deviation_db(base: np.ndarray, candidate: np.ndarray,
+                           sample_rate: int = SAMPLE_RATE) -> float:
+    """Worst mean-removed third-octave deviation (80 Hz-16 kHz) of any
+    channel of `candidate` vs the same channel of `base`."""
+    source = _validate_bank(base)
+    output = _validate_bank(candidate)
+    centers = np.asarray(THIRD_OCTAVE_CENTERS)
+    audible = (centers >= 80.0) & (centers <= 16_000.0)
+    worst = 0.0
+    for ch in range(14):
+        delta = (third_octave_magnitude_db(output[:, ch], sample_rate)
+                 - third_octave_magnitude_db(source[:, ch], sample_rate))[audible]
+        delta -= float(np.mean(delta))
+        worst = max(worst, float(np.max(np.abs(delta))))
+    return worst
+
+
+def max_reference_tone_error_db(bank: np.ndarray, metrics: dict,
+                                sample_rate: int = SAMPLE_RATE) -> float:
+    """Worst normalized third-octave error of any ear vs the reference's
+    normalized response (80 Hz-16 kHz)."""
+    array = _validate_bank(bank)
+    centers = np.asarray(THIRD_OCTAVE_CENTERS)
+    audible = (centers >= 80.0) & (centers <= 16_000.0)
+    worst = 0.0
+    for speaker, (li, ri) in DIRECTION_PAIRS.items():
+        responses = metrics["directions"][speaker][
+            "normalized_third_octave_magnitude_db"
+        ]
+        for ch, ear in ((li, "left"), (ri, "right")):
+            actual = third_octave_magnitude_db(array[:, ch], sample_rate)
+            actual -= float(np.mean(actual[audible]))
+            want = np.asarray(responses[ear], np.float64)
+            worst = max(
+                worst, float(np.max(np.abs(actual[audible] - want[audible])))
+            )
+    return worst
+
+
+# --- variant synthesis ------------------------------------------------------------
+
+
+def _pad_bank(base: np.ndarray, frames: int) -> np.ndarray:
+    base = _validate_bank(base)
+    if base.shape[0] > frames:
+        raise PrototypeError(
+            f"base bank has {base.shape[0]} frames; the output format holds "
+            f"{frames}"
+        )
+    out = np.zeros((frames, 14), np.float64)
+    out[: base.shape[0]] = base
+    return out
 
 
 def synthesize_variant(
@@ -185,63 +733,58 @@ def synthesize_variant(
     ambience_scale: float,
     frames: int = OUTPUT_FRAMES,
     sample_rate: int = SAMPLE_RATE,
-    seed: int = 20_260_816,
-) -> np.ndarray:
+    seed=DEFAULT_SEED,
+    tail_model: str = "allpass",
+    return_parameters: bool = False,
+):
     """Build one variant bank [frames, 14] from a base bank + target metrics.
 
-    Per direction: (optionally) minimum-phase the two ear IRs in place at
-    their original peak anchors, add a deterministic diffuse tail whose
-    energy hits `ambience_scale` x the reference 5 ms late-energy ratio, and
-    rescale both ears to preserve the base pair energy and ILD.
-    """
-    base = _validate_bank(base)
-    rng = np.random.default_rng(seed)
-    out = np.zeros((frames, 14), np.float64)
-    directions = reference_metrics["directions"]
+    Direct field: the base as-is (original timing) or the peak-aligned
+    minimum-phase reconstruction. Ambience: per direction, a deterministic
+    tail fitter ('allpass' cascade or 'velvet' diffuse noise) drives the
+    pair's cumulative late-energy ratios to `ambience_scale` x the
+    reference's checkpoints, honoring its interaural correlation. The result
+    keeps the base's front-stereo energy; a peak limiter engages only if the
+    result would clip (recorded in the parameters)."""
+    padded = _pad_bank(base, frames)
+    seed = str(seed)
+    direct = (
+        aligned_minimum_phase_bank(padded, frames)
+        if use_min_phase else padded.copy()
+    )
+    out = direct.copy()
+    parameters: Dict[str, dict] = {}
+    if ambience_scale > 0:
+        fitter = fit_diffuse_pair if tail_model == "velvet" else fit_allpass_pair
+        for speaker, (li, ri) in DIRECTION_PAIRS.items():
+            values = reference_metrics["directions"][speaker]
+            targets = [float(values["late_energy_ratios"][str(ms)])
+                       for ms in CHECKPOINTS_MS]
+            pair, fit = fitter(
+                direct[:, [li, ri]],
+                targets,
+                float(values["zero_lag_interaural_correlation"]),
+                float(ambience_scale),
+                f"{seed}|{speaker}",
+                sample_rate=sample_rate,
+            )
+            out[:, li] = pair[:, 0]
+            out[:, ri] = pair[:, 1]
+            parameters[speaker] = fit
 
-    for speaker, (li, ri) in DIRECTION_PAIRS.items():
-        target = directions[speaker]
-        pair = []
-        for idx in (li, ri):
-            ir = base[:, idx][:frames]
-            anchor = int(np.argmax(np.abs(ir)))
-            if use_min_phase:
-                mp = minimum_phase(ir)
-                shifted = np.zeros(frames)
-                usable = min(frames - anchor, mp.size)
-                shifted[anchor : anchor + usable] = mp[:usable]
-                ir = shifted
-            else:
-                padded = np.zeros(frames)
-                padded[: ir.size] = ir
-                ir = padded
-            pair.append((idx, anchor, ir))
-
-        pair_energy_sq = sum(float(np.sum(ir**2)) for _, _, ir in pair)
-        anchor_min = min(anchor for _, anchor, _ in pair)
-        onset = min(frames - 1, anchor_min + round(sample_rate * 0.005))
-        existing_late = sum(
-            float(np.sum(ir[onset:] ** 2)) for _, _, ir in pair
-        )
-        late_target = float(target["late_energy_ratios"]["5"]) * ambience_scale
-        # Fit the DEFICIT so wet bases are not overshot: the added tails bring
-        # the pair's late-energy ratio up to the target, never beyond.
-        deficit = max(0.0, late_target * pair_energy_sq - existing_late)
-        band_weights = np.asarray(target["late_field_third_octave_energy"])
-        for idx, anchor, ir in pair:
-            channel = ir.copy()
-            if deficit > 1e-12 and band_weights.sum() > 0:
-                tail_len = frames - onset
-                tail = _diffuse_tail(tail_len, sample_rate, 0.030,
-                                     band_weights, rng)
-                # Two ear tails share the direction's energy budget.
-                channel[onset:] += tail * math.sqrt(deficit / 2.0)
-            out[:, idx] = channel
-
+    out *= front_stereo_energy(padded) / front_stereo_energy(out)
     peak = float(np.max(np.abs(out)))
-    if peak > 0.98:
+    peak_limited = peak > 0.98
+    if peak_limited:
         out *= 0.98 / peak
-    return out.astype(np.float32)
+    result = out.astype(np.float32)
+    if return_parameters:
+        parameters["_output"] = {"peak": peak, "peak_limited": peak_limited}
+        return result, parameters
+    return result
+
+
+# --- validation -------------------------------------------------------------------
 
 
 def validate_variant(
@@ -271,6 +814,31 @@ def validate_variant(
             if err > tonal_tolerance_db:
                 problems.append(
                     f"{speaker}/{ear}: tonal error {err:.2f} dB"
+                )
+    return problems
+
+
+def validate_decay(
+    variant: np.ndarray,
+    reference_metrics: dict,
+    ambience_scale: float,
+    sample_rate: int = SAMPLE_RATE,
+    late_energy_guard: float = 0.01,
+) -> List[str]:
+    """Per-direction decay-target check: each checkpoint's cumulative
+    late-energy ratio must land within `late_energy_guard` (absolute) of
+    `ambience_scale` x the reference's."""
+    array = _validate_bank(np.asarray(variant, np.float64))
+    problems: List[str] = []
+    for speaker, (li, ri) in DIRECTION_PAIRS.items():
+        want = reference_metrics["directions"][speaker]["late_energy_ratios"]
+        measured = late_cumulative_ratios(array[:, [li, ri]], sample_rate)
+        for ms, got in zip(CHECKPOINTS_MS, measured):
+            expected = float(want[str(ms)]) * float(ambience_scale)
+            if abs(got - expected) > late_energy_guard + 1e-9:
+                problems.append(
+                    f"{speaker}: {ms} ms late-energy {got:.4f} vs "
+                    f"target {expected:.4f} (guard {late_energy_guard})"
                 )
     return problems
 

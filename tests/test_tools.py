@@ -309,3 +309,139 @@ def test_analyze_cli(tmp_path, capsys):
     assert spatial.main([path]) == 0
     out = json.loads(capsys.readouterr().out)
     assert set(out["directions"]) == set(spatial.DIRECTION_PAIRS)
+
+
+# --- synthesis tier: allpass ambience, diffuse fitter, tonal projection ------
+
+
+def test_allpass_section_is_allpass_and_vectorization_matches_scalar():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(2048)
+    y = spatial.allpass_section(x, 37, 0.7)
+    # Scalar reference recurrence.
+    ref = np.zeros_like(x)
+    for n in range(x.size):
+        v = -0.7 * x[n]
+        if n >= 37:
+            v += x[n - 37] + 0.7 * ref[n - 37]
+        ref[n] = v
+    np.testing.assert_allclose(y, ref, atol=1e-12)
+    # Unit-magnitude response: long-support energy is preserved.
+    imp = np.zeros(1 << 15)
+    imp[0] = 1.0
+    t = spatial.allpass_cascade(imp, spatial.AMBIENCE_SECTION_DELAYS,
+                                spatial.AMBIENCE_SECTION_COEFFS)
+    assert abs(float(np.sum(t**2)) - 1.0) < 1e-6
+
+
+def test_ambience_delays_deterministic_and_shared_sections():
+    d1 = spatial.ambience_delays("seed-a", 2, 0)
+    d2 = spatial.ambience_delays("seed-a", 2, 0)
+    assert d1 == d2
+    left = spatial.ambience_delays("seed-a", 2, 0)
+    right = spatial.ambience_delays("seed-a", 2, 1)
+    assert left[:2] == right[:2]          # shared sections identical
+    assert left[2:] != right[2:]          # independent sections differ
+    assert spatial.ambience_delays("seed-b", 2, 0) != d1  # seed matters
+
+
+def test_fit_allpass_pair_hits_decay_targets():
+    bank = make_bank(seed=7)
+    metrics = spatial.bank_metrics(bank, 48_000)
+    base = make_bank(seed=8)
+    direct = spatial.aligned_minimum_phase_bank(
+        spatial._pad_bank(base, 4096), 4096
+    )
+    values = metrics["directions"]["FL"]
+    targets = [values["late_energy_ratios"][str(ms)]
+               for ms in spatial.CHECKPOINTS_MS]
+    fitted, info = spatial.fit_allpass_pair(
+        direct[:, [0, 1]], targets,
+        values["zero_lag_interaural_correlation"], 1.0, "t|FL",
+    )
+    assert info["fit_max_checkpoint_error"] < 0.01
+    # Determinism: identical seed reproduces the fit bit-exactly.
+    again, _ = spatial.fit_allpass_pair(
+        direct[:, [0, 1]], targets,
+        values["zero_lag_interaural_correlation"], 1.0, "t|FL",
+    )
+    np.testing.assert_array_equal(fitted, again)
+    # Energy redistribution, not addition: the magnitude projection keeps
+    # pair energy; only the final fractional envelope nudge moves it a bit.
+    assert math.isclose(float(np.sum(fitted**2)), float(np.sum(direct[:, :2]**2)),
+                        rel_tol=0.05)
+
+
+def test_diffuse_pair_correlation_control():
+    rng = np.random.default_rng(3)
+    frames = 4096
+    # Coincident impulses: the tails are then scaled copies of the two
+    # excitations, so their zero-lag correlation reads the mix directly.
+    pair = np.zeros((frames, 2))
+    pair[100, 0] = 1.0
+    pair[100, 1] = 0.8
+    pair += rng.standard_normal((frames, 2)) * 1e-4
+    targets = [0.3, 0.2, 0.1, 0.02]
+
+    def tail_corr(correlation):
+        out, _ = spatial.fit_diffuse_pair(pair, targets, correlation, 1.0,
+                                          "corr-test")
+        tail = out[400:]
+        return float(
+            np.dot(tail[:, 0], tail[:, 1])
+            / (np.linalg.norm(tail[:, 0]) * np.linalg.norm(tail[:, 1]))
+        )
+
+    assert tail_corr(0.95) > tail_corr(0.05) + 0.3
+
+
+def test_condition_to_reference_projects_tone_and_ild():
+    ref_bank = make_bank(seed=7)
+    metrics = spatial.bank_metrics(ref_bank, 48_000)
+    base = spatial._pad_bank(make_bank(seed=8), 4096)
+
+    before = spatial.max_reference_tone_error_db(base, metrics)
+    conditioned = spatial.condition_to_reference(base, metrics, 1.0)
+    after = spatial.max_reference_tone_error_db(conditioned, metrics)
+    assert after < before
+    m = spatial.bank_metrics(conditioned, 48_000)
+    for speaker in spatial.DIRECTION_PAIRS:
+        want = metrics["directions"][speaker]["left_right_level_db"]
+        got = m["directions"][speaker]["left_right_level_db"]
+        assert abs(got - want) < 0.25, speaker
+    # strength 0 only matches levels; partial strength lands in between.
+    half = spatial.condition_to_reference(base, metrics, 0.5)
+    mid = spatial.max_reference_tone_error_db(half, metrics)
+    assert after < mid < before + 1e-9
+
+
+def test_generate_v2_v3_sets(tmp_path):
+    from airwave_tpu.tools import generate
+
+    ref_bank = make_bank(seed=7)
+    base_bank = make_bank(seed=8)
+    ref_path = str(tmp_path / "ref.wav")
+    base_path = str(tmp_path / "base.wav")
+    wav_io.save(ref_path, ref_bank.T.astype(np.float32), 48_000)
+    wav_io.save(base_path, base_bank.T.astype(np.float32), 48_000)
+
+    manifest = generate.generate(ref_path, base_path, str(tmp_path / "out"),
+                                 sets=("v2", "v3"), frames=4096)
+    names = [v["name"] for v in manifest["variants"]]
+    assert names == ["V2_D_tone50", "V2_D_tone75", "V2_D_tone100",
+                     "V3_phase_diffuse_tone100"]
+    for variant in manifest["variants"]:
+        assert os.path.exists(tmp_path / "out" / variant["path"])
+        assert "max_reference_tone_error_db" in variant["validation"]
+    # V2 ladder: stronger tone matching -> smaller reference tone error.
+    errors = [v["validation"]["max_reference_tone_error_db"]
+              for v in manifest["variants"][:3]]
+    assert errors[2] < errors[0]
+    # V2 keeps D's spatial topology fixed: same delays at every strength.
+    delays = [v["parameters"]["FL"]["delays"]
+              for v in manifest["variants"][:3]]
+    assert delays[0] == delays[1] == delays[2]
+    # V3 preserves the base's interaural timing (no min-phase alignment).
+    v3 = manifest["variants"][3]
+    assert v3["tail_model"] == "velvet"
+    assert v3["minimum_phase"] is False
