@@ -75,6 +75,40 @@ chain_step = functools.partial(
 )(chain_step_fn)
 
 
+def chain_step_multi_fn(
+    conv_params: upols.ConvParams,
+    eq_from: eq_block.EqParams,
+    eq_to: eq_block.EqParams,
+    state: ChainState,
+    x: jax.Array,
+    transition_length: int,
+    eq_enabled: bool,
+    eq_crossfading: bool = False,
+):
+    """Throughput (bake) variant: x [B, S, M, T] -> (state', y [B, M, 2, T]).
+
+    The spatial stage renders all M blocks against one delay-line read
+    (upols.conv_step_paged — conv_params must be built with lookahead=M and
+    state.conv with make_conv_state_paged); the stateful EQ then runs the M
+    outputs in order, so the result is block-for-block identical to M
+    chain_step_fn calls. Surrounding scans should unroll by the page count
+    (see conv_step_paged)."""
+    conv_state, eq_state = state
+    conv_state, y = upols.conv_step_paged(conv_params, conv_state, x)
+    if eq_enabled:
+        # Unrolled (M is small and static): lets XLA fuse across blocks
+        # instead of paying lax.scan's per-iteration stacking.
+        outs = []
+        for m in range(x.shape[2]):
+            eq_state, ym = eq_block.eq_step(
+                eq_from, eq_to, eq_state, y[:, m], transition_length,
+                eq_crossfading,
+            )
+            outs.append(ym)
+        y = jnp.stack(outs, axis=1)
+    return ChainState(conv_state, eq_state), y
+
+
 class BinauralEngine:
     """Host wrapper: owns device state, preset hot-swap, and the EQ runtime.
 

@@ -140,14 +140,36 @@ def partition_spectra(hrir: np.ndarray, block_size: int,
 
 
 def make_conv_params(hrir: np.ndarray, block_size: int,
-                     pad_to_pow2: bool = True) -> ConvParams:
+                     pad_to_pow2: bool = True,
+                     lookahead: int = 1) -> ConvParams:
     """Build ConvParams from time-domain HRIRs [S, E, L].
 
     pad_to_pow2=True keeps compiled-step shapes stable across preset swaps
     (the reference's bucketing rationale); False uses the exact partition
     count — ~P2/P less FDL traffic, at the cost of a re-jit when a preset
-    changes partition count."""
+    changes partition count.
+
+    lookahead=M reserves M-1 zero partitions at the tail so conv_step_multi
+    can render M blocks per delay-line read: the slots holding blocks that
+    are "future" relative to output m then land on zero filter weights (see
+    conv_step_multi)."""
     H = partition_spectra(hrir, block_size, pad_to_pow2)  # [S, E, P2, K]
+    if lookahead > 1:
+        # conv_step_multi needs (a) >= M-1 zero tail partitions and (b) a
+        # partition count divisible by M, so the M slot writes of a step are
+        # one contiguous non-wrapping dynamic_update_slice (in-place on TPU;
+        # M separate updates each copied the whole delay line — measured).
+        real_p = max(1, math.ceil(hrir.shape[-1] / block_size))
+        need = real_p + lookahead - 1
+        if pad_to_pow2:
+            need = 1 << (need - 1).bit_length()
+        need += (-need) % lookahead
+        if H.shape[2] < need:
+            H = np.concatenate(
+                [H, np.zeros(H.shape[:2] + (need - H.shape[2],) + H.shape[3:],
+                             H.dtype)],
+                axis=2,
+            )
     Hflip = H[:, :, ::-1, :]
     Hflip2 = np.concatenate([Hflip, Hflip], axis=2)  # [S, E, 2*P2, K]
     planes = np.stack([Hflip2.real, Hflip2.imag], axis=-1).astype(np.float32)
@@ -210,6 +232,92 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
         write_pos=(state.write_pos + 1) % P2,
     )
     return new_state, y
+
+
+class PagedConvState(NamedTuple):
+    """Delay line as P2/M pages of M slots each (pages[0] newest). Rotation
+    is tuple renaming — ZERO data movement when the surrounding scan is
+    unrolled by the page count — and the 'write' is just the analysis DFT's
+    own output tensor becoming page 0. This removes the delay-line
+    rewrite/update traffic entirely (both the windowed dynamic-update-slice
+    and the shift concat measured 1-5 ms/step on a 1 GB line)."""
+
+    pages: tuple  # each [Kp, S, C, M, B] float32, newest first
+    overlap: jax.Array  # [B, S, T]
+
+
+def make_conv_state_paged(batch: int, num_speakers: int, partition_count: int,
+                          block_size: int, lookahead: int) -> PagedConvState:
+    assert partition_count % lookahead == 0, (partition_count, lookahead)
+    n_pages = partition_count // lookahead
+    shape = (padded_bin_count(block_size), num_speakers, 2, lookahead, batch)
+    return PagedConvState(
+        # Distinct buffers per page — donation would reject one buffer
+        # appearing in two carry slots.
+        pages=tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_pages)),
+        overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
+    )
+
+
+def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array):
+    """M-block lookahead step on the paged delay line:
+    x [B, S, M, T] -> (state', y [B, M, E, T]).
+
+    Page a, in-page slot j holds block t+M-1-j-a*M, so output m's
+    coefficient against it is Hz[m+j+a*M] with Hz = natural-order H behind
+    M-1 zero partitions — every rotation is a static slice. The MAC is one
+    k-batched dot per page, summed; per-block FLOPs match conv_step while
+    the line is read once per M blocks and never rewritten.
+
+    Run inside lax.scan with unroll = len(state.pages) so the page rotation
+    stays pure renaming (an un-unrolled scan would copy every page at each
+    iteration boundary)."""
+    B, S, M, T = x.shape
+    Kp = state.pages[0].shape[0]
+    K = params.wf.shape[1]
+    n_pages = len(state.pages)
+    P2 = n_pages * M
+
+    full = jnp.concatenate([state.overlap, x.reshape(B, S, M * T)], axis=-1)
+    frames = jnp.stack(
+        [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
+        axis=2,
+    )  # [B, S, M, 2T], newest first
+    wf_padded = jnp.pad(params.wf, ((0, 0), (0, Kp - K), (0, 0)))
+    new_page = jnp.einsum("bsmt,tkc->kscmb", frames, wf_padded,
+                          preferred_element_type=jnp.float32,
+                          precision=fftmm.DFT_PRECISION)
+    pages = (new_page,) + tuple(state.pages[:-1])
+
+    # Hz: natural-order H behind M-1 zero partitions (params-derived — the
+    # whole block hoists out of a scan).
+    h_nat = params.Hflip2[:, :, :P2][:, :, ::-1]
+    hre, him = h_nat[..., 0], h_nat[..., 1]
+    h2 = jnp.stack(
+        [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
+        axis=-2,
+    )  # [S, E, P2, K, C, Q]
+    h2 = jnp.pad(h2, ((0, 0), (0, 0), (M - 1, 0), (0, Kp - K), (0, 0), (0, 0)))
+    hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
+
+    Ykm = None
+    for a, page in enumerate(pages):
+        G_a = jnp.stack(
+            [hz[:, :, :, (m + a * M) : (m + a * M) + M] for m in range(M)],
+            axis=4,
+        )  # [Kp, S, C, M(j), M(m), E, Q]
+        term = jax.lax.dot_general(
+            page, G_a,
+            dimension_numbers=(((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_MAC_PRECISION,
+        )  # [Kp, B, M, E, Q]
+        Ykm = term if Ykm is None else Ykm + term
+    y = jnp.einsum("kbmeq,kqt->bmet", Ykm[:K], params.wi,
+                   preferred_element_type=jnp.float32,
+                   precision=fftmm.DFT_PRECISION).astype(x.dtype)
+
+    return PagedConvState(pages=pages, overlap=x[:, :, -1, :]), y
 
 
 def _to_slot(X_planes: jax.Array, k_padded: int) -> jax.Array:

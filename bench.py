@@ -51,7 +51,8 @@ def _watchdog(seconds: float, message: str):
     return t
 
 
-def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None):
+def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
+          lookahead: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -67,8 +68,9 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None):
         hrir = (rng.standard_normal((2, 2, hrir_len)) * 0.02).astype(np.float32)
         hrir *= np.exp(-np.arange(hrir_len) / (0.3 * SAMPLE_RATE))
         hrir[:, :, 0] += 0.8
-        conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False)
-        return _finish_build(batch, hrir, conv_params)
+        conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
+                                             lookahead=lookahead)
+        return _finish_build(batch, hrir, conv_params, lookahead)
 
     # HRIR: prefer the real bundled asset; synthesize the same shape if absent.
     try:
@@ -82,11 +84,12 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None):
         hrir = (rng.standard_normal((2, 2, hrir_len)) * 0.05).astype(np.float32)
         hrir[:, :, 0] += 0.8
     # Exact partition count: 9 vs pow2 16 = 1.78x less FDL traffic.
-    conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False)
-    return _finish_build(batch, hrir, conv_params)
+    conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
+                                         lookahead=lookahead)
+    return _finish_build(batch, hrir, conv_params, lookahead)
 
 
-def _finish_build(batch: int, hrir, conv_params):
+def _finish_build(batch: int, hrir, conv_params, lookahead: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -107,10 +110,15 @@ def _finish_build(batch: int, hrir, conv_params):
                                        SAMPLE_RATE)
     eq_params = eq_block.make_eq_params(coeffs, preamp, BLOCK)
 
-    state = ChainState(
-        conv=upols.make_conv_state(batch, 2, conv_params.partition_count, BLOCK),
-        eq=eq_block.make_eq_state(batch),
-    )
+    if lookahead > 1:
+        conv_state = upols.make_conv_state_paged(
+            batch, 2, conv_params.partition_count, BLOCK, lookahead
+        )
+    else:
+        conv_state = upols.make_conv_state(
+            batch, 2, conv_params.partition_count, BLOCK
+        )
+    state = ChainState(conv=conv_state, eq=eq_block.make_eq_state(batch))
     # Generate the input block ON DEVICE (no multi-MB host upload — keeps
     # the bench viable over slow/flaky device transports).
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 2, BLOCK),
@@ -119,13 +127,16 @@ def _finish_build(batch: int, hrir, conv_params):
 
 
 def make_runner(blocks_per_call: int, use_pallas: bool = False,
-                batch_tile: int = 256):
+                batch_tile: int = 256, blocks_per_step: int = 1):
     """One jit: scan `blocks_per_call` chained render blocks; return final
-    state + a [8, 128] checksum that depends on every block's output."""
+    state + a [8, 128] checksum that depends on every block's output.
+
+    blocks_per_step=M > 1 uses the M-block lookahead chain (one delay-line
+    read per M blocks, 4M-column MAC; upols.conv_step_multi)."""
     import jax
     import jax.numpy as jnp
 
-    from airwave_tpu.models.binaural import chain_step_fn
+    from airwave_tpu.models.binaural import chain_step_fn, chain_step_multi_fn
     from airwave_tpu.kernels import upols_pallas as kp
     from airwave_tpu.ops import eq_block
 
@@ -152,6 +163,41 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
             return s, acc
         return run
 
+    if blocks_per_step > 1:
+        M = blocks_per_step
+        assert blocks_per_call % M == 0, (blocks_per_call, M)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def run(conv_params, eq_params, state, x):
+            xm = jnp.broadcast_to(
+                x[:, :, None, :], x.shape[:2] + (M,) + x.shape[2:]
+            )
+            # Unroll by the page count so page rotation stays SSA renaming
+            # (see upols.conv_step_paged).
+            pages = (len(state.conv.pages)
+                     if hasattr(state.conv, "pages") else 1)
+
+            def body(carry, _):
+                s, acc = carry
+                s, y = chain_step_multi_fn(
+                    conv_params, eq_params, eq_params, s, xm,
+                    transition_length=960, eq_enabled=True,
+                    eq_crossfading=False,
+                )
+                acc = acc + jnp.sum(y.reshape(-1, 8, 128), axis=0)
+                return (s, acc), None
+
+            acc0 = jnp.zeros((8, 128), jnp.float32)
+            steps = blocks_per_call // M
+            unroll = max(1, min(pages, steps))
+            while steps % unroll:
+                unroll -= 1
+            (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
+                                       length=steps, unroll=unroll)
+            return s, acc
+
+        return run
+
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(conv_params, eq_params, state, x):
         def body(carry, _):
@@ -173,7 +219,8 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
 
 def measure(batch: int, blocks_per_call: int, calls: int,
             use_pallas: bool = False, batch_tile: int = 256,
-            hrir_seconds: float = None, fdl_dtype: str = "float32"):
+            hrir_seconds: float = None, fdl_dtype: str = "float32",
+            blocks_per_step: int = 1):
     import jax
 
     # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
@@ -185,7 +232,8 @@ def measure(batch: int, blocks_per_call: int, calls: int,
     except Exception:
         pass
 
-    conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds)
+    conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
+                                             lookahead=blocks_per_step)
     if use_pallas:
         from airwave_tpu.kernels import upols_pallas as kp
         from airwave_tpu.graph.renderer import build_hrir_time_domain
@@ -211,7 +259,8 @@ def measure(batch: int, blocks_per_call: int, calls: int,
                                  dtype=dtype),
             eq_block.make_eq_state(batch),
         )
-    runner = make_runner(blocks_per_call, use_pallas, batch_tile)
+    runner = make_runner(blocks_per_call, use_pallas, batch_tile,
+                         blocks_per_step)
 
     # Warmup: compile + one real execution, checksum fetched (true sync).
     state, acc = runner(conv_params, eq_params, state, x)
@@ -247,18 +296,25 @@ def main():
     parser.add_argument("--fdl-dtype", choices=["float32", "bf16"],
                         default="float32",
                         help="bf16 = fast mode (pallas path only)")
+    parser.add_argument("--blocks-per-step", type=int, default=8,
+                        help="M-block lookahead per delay-line read "
+                             "(1 = classic per-block stepping)")
     parser.add_argument("--deadline", type=float, default=480.0)
     args = parser.parse_args()
+    if args.pallas:
+        args.blocks_per_step = 1  # the fused kernel path is single-block
 
     if args.smoke:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         batch = args.batch or 8
-        blocks = args.blocks or 4
+        blocks = args.blocks or (4 * args.blocks_per_step)
     else:
         batch = args.batch or 8192
-        blocks = args.blocks or 188  # ~2 s of audio per stream per call
+        blocks = args.blocks or 192  # ~2 s of audio per stream per call
+    blocks -= blocks % args.blocks_per_step or 0
+    blocks = max(blocks, args.blocks_per_step)
 
     _watchdog(args.deadline, "device wedged: checksum readback did not "
                              "complete before deadline")
@@ -272,7 +328,8 @@ def main():
                                           use_pallas=args.pallas,
                                           batch_tile=args.batch_tile,
                                           hrir_seconds=args.hrir_seconds,
-                                          fdl_dtype=args.fdl_dtype)
+                                          fdl_dtype=args.fdl_dtype,
+                                          blocks_per_step=args.blocks_per_step)
             break
         except Exception as err:  # noqa: BLE001
             last_error = err

@@ -28,6 +28,8 @@ def main() -> int:
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--blocks", type=int, default=24)
     parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--blocks-per-step", type=int, default=1,
+                        help="validate the M-block lookahead (paged) chain")
     args = parser.parse_args()
 
     import jax
@@ -86,6 +88,32 @@ def main() -> int:
                 jnp.asarray(x[:, :, i * T:(i + 1) * T]),
             )
             outs.append(np.asarray(y))
+    elif args.blocks_per_step > 1:
+        from airwave_tpu.models.binaural import chain_step_multi_fn
+
+        M = args.blocks_per_step
+        assert N % M == 0, (N, M)
+        conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
+                                             lookahead=M)
+        state = ChainState(
+            conv=upols.make_conv_state_paged(
+                B, S, conv_params.partition_count, T, M
+            ),
+            eq=eq_block.make_eq_state(B),
+        )
+        import functools
+
+        step = jax.jit(functools.partial(
+            chain_step_multi_fn, transition_length=960,
+            eq_enabled=True, eq_crossfading=False,
+        ))
+        outs = []
+        for i in range(N // M):
+            xm = x[:, :, i * M * T:(i + 1) * M * T].reshape(B, S, M, T)
+            state, y = step(conv_params, eq_params, eq_params, state,
+                            jnp.asarray(xm))
+            y = np.asarray(y)  # [B, M, 2, T]
+            outs.extend(y[:, m] for m in range(M))
     else:
         conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False)
         state = ChainState(
@@ -133,6 +161,7 @@ def main() -> int:
         "backend": _jax.default_backend(),
         "device": str(_jax.devices()[0]),
         "pallas": bool(args.pallas),
+        "blocks_per_step": args.blocks_per_step,
         "batch": B,
         "blocks": N,
     }

@@ -261,3 +261,88 @@ def test_cca_cra_reference_curve_within_003db():
         measured = 20 * np.log10(out_rms / in_rms)
         assert np.all(np.isfinite(out))
         assert abs(measured - expected_db) < 0.03, (freq, measured, expected_db)
+
+
+# --- M-block lookahead (paged delay line) --------------------------------
+
+
+def test_conv_step_paged_matches_sequential_steps():
+    """conv_step_paged renders M blocks per delay-line read with outputs
+    equal (to f32 reassociation) to M sequential conv_step calls, across
+    page-boundary wraps and partition counts that need tail padding."""
+    rng = np.random.default_rng(0)
+    B, S, T = 3, 2, 64
+    for M, L in ((4, 5 * 64 + 13), (8, 5 * 64 + 13), (2, 3)):
+        hrir = (rng.standard_normal((S, 2, L)) * 0.3).astype(np.float32)
+        p1 = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+        pm = upols.make_conv_params(hrir, T, pad_to_pow2=False, lookahead=M)
+        assert pm.partition_count % M == 0
+        assert pm.partition_count >= p1.partition_count + M - 1
+        s1 = upols.make_conv_state(B, S, p1.partition_count, T)
+        sp = upols.make_conv_state_paged(B, S, pm.partition_count, T, M)
+        singles, paged = [], []
+        for _ in range(2 * (pm.partition_count // M) + 3):
+            xs = (rng.standard_normal((M, B, S, T)) * 0.5).astype(np.float32)
+            for m in range(M):
+                s1, y = upols.conv_step(p1, s1, jnp.asarray(xs[m]))
+                singles.append(np.asarray(y))
+            sp, ym = upols.conv_step_paged(
+                pm, sp, jnp.asarray(np.transpose(xs, (1, 2, 0, 3)))
+            )
+            ym = np.asarray(ym)
+            paged.extend(ym[:, m] for m in range(M))
+        a = np.concatenate(singles, -1)
+        b = np.concatenate(paged, -1)
+        err = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
+        assert err < 1e-6, (M, L, err)
+
+
+def test_chain_step_multi_matches_sequential_chain():
+    """Full multi-block chain (conv + stateful EQ) == M sequential chain
+    steps, block for block."""
+    from airwave_tpu.models.binaural import (
+        ChainState, chain_step_fn, chain_step_multi_fn,
+    )
+
+    rng = np.random.default_rng(1)
+    B, S, T, M = 2, 2, 64, 4
+    hrir = (rng.standard_normal((S, 2, 200)) * 0.3).astype(np.float32)
+    p1 = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+    pm = upols.make_conv_params(hrir, T, pad_to_pow2=False, lookahead=M)
+    preamp, coeffs = bd.design_cascade(
+        EqualizerDefinition(
+            -3.0, (make_filter(FilterType.PEAKING, 1000.0, 4.0, 1.1),)
+        ),
+        48_000.0,
+    )
+    eq_params = eq_block.make_eq_params(coeffs, preamp, T)
+
+    s1 = ChainState(
+        conv=upols.make_conv_state(B, S, p1.partition_count, T),
+        eq=eq_block.make_eq_state(B),
+    )
+    sm = ChainState(
+        conv=upols.make_conv_state_paged(B, S, pm.partition_count, T, M),
+        eq=eq_block.make_eq_state(B),
+    )
+    singles, multi = [], []
+    for _ in range(5):
+        xs = (rng.standard_normal((M, B, S, T)) * 0.4).astype(np.float32)
+        for m in range(M):
+            s1, y = chain_step_fn(
+                p1, eq_params, eq_params, s1, jnp.asarray(xs[m]),
+                transition_length=960, spatial_enabled=True,
+                eq_enabled=True, eq_crossfading=False,
+            )
+            singles.append(np.asarray(y))
+        sm, ym = chain_step_multi_fn(
+            pm, eq_params, eq_params, sm,
+            jnp.asarray(np.transpose(xs, (1, 2, 0, 3))),
+            transition_length=960, eq_enabled=True, eq_crossfading=False,
+        )
+        ym = np.asarray(ym)
+        multi.extend(ym[:, m] for m in range(M))
+    a = np.concatenate(singles, -1)
+    b = np.concatenate(multi, -1)
+    err = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
+    assert err < 1e-6, err
