@@ -24,6 +24,8 @@ import numpy as np
 from airwave_tpu.config import DEFAULT_CONFIG, AirwaveConfig
 from airwave_tpu.graph.eq_processor import ParametricEqualizerProcessor
 from airwave_tpu.io.apo import EqualizerDefinition
+from airwave_tpu.ops import biquad_design as bd
+from airwave_tpu.oracle.eq_oracle import EqCascadeOracle
 from airwave_tpu.utils import errors
 
 SPATIAL = "spatial"
@@ -87,6 +89,21 @@ class EqualizerEffect:
         """First row's processor (single-stream convenience)."""
         return self.processors[0] if self.processors else None
 
+    def _publish_all(self, definition: Optional[EqualizerDefinition]) -> None:
+        """Design the cascade ONCE (the expensive f64 filter design), then
+        give every stream row its own oracle over the shared coefficients —
+        z-history and ramp position stay per-stream."""
+        preamp, coeffs = bd.design_cascade(definition, self._sample_rate)
+        for processor in self.processors:
+            # Control-thread housekeeping at publication time: free the
+            # retirement slot so a ramp queued behind an in-flight one can
+            # start as soon as it finishes (the reference's control thread
+            # drains retired states off the render path).
+            processor.drain_retired_states()
+            processor.publish(
+                EqCascadeOracle(coeffs, preamp, self._sample_rate)
+            )
+
     def prepare(
         self, definition: Optional[EqualizerDefinition], sample_rate: float
     ) -> None:
@@ -101,19 +118,16 @@ class EqualizerEffect:
                 )
                 for _ in range(self.batch)
             ]
-        for processor in self.processors:
-            processor.set_target(definition)
+        self._publish_all(definition)
 
     def set_target(self, definition: Optional[EqualizerDefinition]) -> None:
         if not self.processors:
             raise errors.EqualizerPreparationError("equalizer not prepared")
         try:
-            for processor in self.processors:
-                processor.set_target(definition)
+            self._publish_all(definition)
         except errors.EqualizerPreparationError:
             # Invalid live preset: fall back to a unity target (swift :29-33).
-            for processor in self.processors:
-                processor.set_target(None)
+            self._publish_all(None)
             raise
 
     def process(self, left: np.ndarray, right: Optional[np.ndarray],
@@ -126,22 +140,151 @@ class EqualizerEffect:
         return self.processors[stream].process(left, right)
 
 
+class DeviceEqualizerEffect:
+    """Batched live EQ: ONE jitted dual-cascade device step per callback.
+
+    The host EqualizerEffect runs B independent f64 processors — exact, but
+    a Python loop over streams; at serving batch sizes the documented live
+    composition would crawl. This effect routes the whole [B, 2, n] block
+    through ops/eq_block (the same kernel the StreamPool uses) under the
+    EqualizerRuntime publication/crossfade protocol. Targets are observed at
+    callback starts, matching the reference's render-thread observation
+    points (ParametricEqualizerProcessor.swift:263-265); ramp values are
+    per-sample exact. Parity with the host path is pinned by
+    tests/test_graph.py::test_device_equalizer_matches_host_rows.
+
+    Variable callback sizes: the cascade is designed once per target; the
+    block-size-specific EqParams (Toeplitz + state-space matrices) are
+    materialized lazily per (target, n) and cached.
+    """
+
+    def __init__(self, config: AirwaveConfig = DEFAULT_CONFIG,
+                 batch: int = 1) -> None:
+        self.config = config
+        self.batch = int(batch)
+        self.runtime = None  # EqualizerRuntime, built per sample rate
+        self._state = None   # eq_block.EqState [B, 2, D]
+        self._params_cache = {}
+
+    def prepare(
+        self, definition: Optional[EqualizerDefinition], sample_rate: float
+    ) -> None:
+        from airwave_tpu.graph.eq_runtime import EqualizerRuntime
+        from airwave_tpu.ops import eq_block
+
+        if self.runtime is None or self.runtime.sample_rate != sample_rate:
+            self.runtime = EqualizerRuntime(
+                sample_rate, self.config.block_size,
+                self.config.eq_state_dim, self.config,
+            )
+            self._state = eq_block.make_eq_state(
+                self.batch, 2, self.config.eq_state_dim
+            )
+            self._params_cache.clear()
+        self.runtime.set_target(definition)
+
+    def set_target(self, definition: Optional[EqualizerDefinition]) -> None:
+        if self.runtime is None:
+            raise errors.EqualizerPreparationError("equalizer not prepared")
+        self.runtime.drain_retired_states()  # control-thread housekeeping
+        try:
+            self.runtime.set_target(definition)
+        except errors.EqualizerPreparationError:
+            self.runtime.set_target(None)  # unity fallback (swift :29-33)
+            raise
+
+    def _params_for(self, prepared, n: int):
+        from airwave_tpu.ops import eq_block
+
+        key = (id(prepared), n)
+        hit = self._params_cache.get(key)
+        if hit is not None and hit[0] is prepared:
+            return hit[1]
+        if n == self.runtime.block_size:
+            params = prepared.params
+        else:
+            preamp, coeffs = prepared.design
+            params = eq_block.make_eq_params(
+                coeffs, preamp, n, self.config.eq_state_dim
+            )
+        self._params_cache[key] = (prepared, params)
+        if len(self._params_cache) > 64:
+            self._params_cache.pop(next(iter(self._params_cache)))
+        return params
+
+    def process_batch(self, y: np.ndarray) -> np.ndarray:
+        """y [B, 2, n] -> [B, 2, n] in one device step."""
+        import jax.numpy as jnp
+
+        from airwave_tpu.ops import eq_block
+
+        runtime = self.runtime
+        assert runtime is not None, "equalizer not prepared"
+        B, _C, n = y.shape
+        assert B == self.batch, (B, self.batch)
+        eq_state, _pf, _pt, _ = runtime.begin_block(self._state)
+        p_from = self._params_for(
+            runtime.transition_from
+            if runtime.transition_from is not None else runtime.active, n
+        )
+        p_to = self._params_for(runtime.active, n)
+        crossfading = (
+            runtime.is_transitioning or runtime.pending_target is not None
+        )
+        eq_state, out = _device_eq_step(
+            p_from, p_to, eq_state, jnp.asarray(y, jnp.float32),
+            runtime.transition_length, crossfading,
+        )
+        self._state = eq_state
+        runtime.after_block(n)
+        return np.asarray(out)
+
+
+def _device_eq_step(p_from, p_to, state, x, transition_length, crossfading):
+    import functools
+
+    global _device_eq_step_jit
+    try:
+        fn = _device_eq_step_jit
+    except NameError:
+        import jax
+
+        from airwave_tpu.ops import eq_block
+
+        fn = _device_eq_step_jit = jax.jit(
+            eq_block.eq_step,
+            static_argnames=("transition_length", "crossfade_active"),
+        )
+    return fn(p_from, p_to, state, x,
+              transition_length=transition_length,
+              crossfade_active=crossfading)
+
+
 class AudioEffectGraph:
     """Composes a spatial effect and an equalizer effect.
 
     `spatial` must expose `is_ready: bool` and
     `process(x: [B, C, n]) -> [B, 2, n]`.
+
+    EQ lowering: batch == 1 keeps the host f64 fidelity processor; batch > 1
+    defaults to the batched device EQ (one jitted step per callback instead
+    of a B-long Python loop). Pass `equalizer=` to override either way.
     """
 
     def __init__(
         self,
         spatial,
-        equalizer: Optional[EqualizerEffect] = None,
+        equalizer=None,
         config: AirwaveConfig = DEFAULT_CONFIG,
         batch: int = 1,
     ) -> None:
         self.spatial = spatial
-        self.equalizer = equalizer or EqualizerEffect(config, batch=batch)
+        if equalizer is None:
+            equalizer = (
+                DeviceEqualizerEffect(config, batch=batch)
+                if batch > 1 else EqualizerEffect(config, batch=batch)
+            )
+        self.equalizer = equalizer
         self.config = config
         self._equalizer_active = False
 
@@ -211,6 +354,8 @@ class AudioEffectGraph:
         return y
 
     def _run_equalizer(self, y: np.ndarray) -> np.ndarray:
+        if hasattr(self.equalizer, "process_batch"):
+            return self.equalizer.process_batch(y)
         out = np.empty_like(y)
         for b in range(y.shape[0]):
             out[b, 0], out[b, 1] = self.equalizer.process(

@@ -36,11 +36,16 @@ _IDLE = int(eq_block.COUNTER_IDLE)
 
 
 class PreparedEq(NamedTuple):
-    """A prepared cascade target (analog of ParametricEqualizerState)."""
+    """A prepared cascade target (analog of ParametricEqualizerState).
+
+    `design` keeps the (preamp, coeffs) cascade design so consumers that run
+    at other block sizes (the live graph's variable callback sizes) can
+    materialize size-specific EqParams without redesigning the filters."""
 
     params: eq_block.EqParams
     definition: Optional[EqualizerDefinition]
     sample_rate: float
+    design: tuple = ((), ())
 
 
 class EqualizerRuntime:
@@ -60,8 +65,10 @@ class EqualizerRuntime:
         self.state_dim = int(state_dim)
         self.transition_length = config.transition_length(sample_rate)
 
+        unity_design = bd.design_cascade(None, sample_rate)
         self.unity = PreparedEq(
-            eq_block.unity_eq_params(block_size, state_dim), None, sample_rate
+            eq_block.unity_eq_params(block_size, state_dim), None, sample_rate,
+            unity_design,
         )
         # Render-side view.
         self.active: PreparedEq = self.unity          # == params_to when idle
@@ -85,7 +92,8 @@ class EqualizerRuntime:
         params = eq_block.make_eq_params(
             coeffs, preamp, self.block_size, self.state_dim
         )
-        return PreparedEq(params, definition, self.sample_rate)
+        return PreparedEq(params, definition, self.sample_rate,
+                          (preamp, coeffs))
 
     def publish(self, prepared: PreparedEq) -> None:
         if prepared.sample_rate != self.sample_rate:
