@@ -63,6 +63,21 @@ def shard_chain_state(state: ChainState, mesh: Mesh,
     )
 
 
+def chain_state_shardings(mesh: Mesh) -> ChainState:
+    """Sharding pytree for a stream-sharded ChainState (batch axis sharded,
+    everything else chip-local/replicated). Public so multi-process hosts
+    can allocate a globally-sharded carry with
+    jax.jit(make_state, out_shardings=chain_state_shardings(mesh))()."""
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("streams"))
+    fdl_sharding = NamedSharding(mesh, P(None, None, None, None, "streams"))
+    return ChainState(
+        conv=upols.ConvState(fdl=fdl_sharding, overlap=batched,
+                             write_pos=repl),
+        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
+    )
+
+
 def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
                         spatial_enabled: bool = True, eq_enabled: bool = True,
                         eq_crossfading: bool = True):
@@ -76,12 +91,7 @@ def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
 
     conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
     eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
-    fdl_sharding = NamedSharding(mesh, P(None, None, None, None, "streams"))
-    state_shardings = ChainState(
-        conv=upols.ConvState(fdl=fdl_sharding, overlap=batched,
-                             write_pos=repl),
-        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
-    )
+    state_shardings = chain_state_shardings(mesh)
 
     fn = functools.partial(
         chain_step_fn,

@@ -133,3 +133,143 @@ def route_launch(reason: LaunchReason, onboarding_complete: bool,
     if not onboarding_complete and not onboarding_deferred:
         return LaunchRoute.SETUP
     return LaunchRoute.SETTINGS
+
+
+# --- launch-event classification, queueing, and dedup -------------------------------
+#
+# Headless equivalent of the reference's Apple-event launch plumbing
+# (AppDelegate.swift:45-142, 508-707; contracts pinned by
+# ProductSurfaceTests.swift:131-345): a transport-agnostic launch event is
+# classified into an intent (login-item marker and trusted login-window
+# sender both force the silent path), routed to a surface, deduplicated per
+# delivery token, and queued until the shell reports ready.
+
+
+LOGIN_WINDOW_SENDER = "system.loginwindow"
+
+
+class LaunchIntent(enum.Enum):
+    LOGIN_ITEM_LAUNCH = "loginItemLaunch"
+    USER_COLD_OPEN = "userColdOpen"
+    USER_REOPEN = "userReopen"
+
+
+@dataclasses.dataclass(frozen=True)
+class LaunchEvent:
+    """Transport-agnostic launch notification.
+
+    kind: "open" (first activation) or "reopen" (activate-while-running);
+    anything else classifies to no intent. delivery_id identifies ONE
+    delivery for dedup — redelivery of the same id must not re-present."""
+
+    kind: str
+    sender: Optional[str] = None
+    login_item_marker: bool = False
+    delivery_id: Optional[object] = None
+
+
+def classify_launch(event: LaunchEvent) -> Optional[LaunchIntent]:
+    if event.kind not in ("open", "reopen"):
+        return None
+    if event.login_item_marker or event.sender == LOGIN_WINDOW_SENDER:
+        return LaunchIntent.LOGIN_ITEM_LAUNCH
+    return (LaunchIntent.USER_COLD_OPEN if event.kind == "open"
+            else LaunchIntent.USER_REOPEN)
+
+
+class WindowAction(enum.Enum):
+    NONE = "none"
+    SETUP = "setup"
+    SETTINGS = "settings"
+
+
+def window_action(intent: LaunchIntent, setup_complete: bool,
+                  setup_deferred: bool = False) -> WindowAction:
+    """Surface for an intent. Menu-bar visibility never changes routing
+    (ref ProductSurfaceTests.swift:21-62)."""
+    if intent == LaunchIntent.LOGIN_ITEM_LAUNCH:
+        return WindowAction.NONE
+    if not setup_complete and not setup_deferred:
+        return WindowAction.SETUP
+    return WindowAction.SETTINGS
+
+
+@dataclasses.dataclass(frozen=True)
+class PendingLaunchAction:
+    intent: LaunchIntent
+    action: WindowAction
+
+
+class LaunchWindowCoordinator:
+    """Dedup + readiness queue over window_action.
+
+    - the same delivery token presents at most once, even across repeated
+      intents (ref :263-330)
+    - events arriving before the shell is ready queue and resolve at drain
+      time against the THEN-current onboarding state (ref :229-262)
+    """
+
+    def __init__(self) -> None:
+        self._seen: set = set()
+        self._queued: List[LaunchIntent] = []
+
+    def action(self, intent: LaunchIntent, setup_complete: bool,
+               setup_deferred: bool = False, ready: bool = True,
+               delivery_id: Optional[object] = None) -> WindowAction:
+        if delivery_id is not None:
+            if delivery_id in self._seen:
+                return WindowAction.NONE
+            self._seen.add(delivery_id)
+        if not ready:
+            self._queued.append(intent)
+            return WindowAction.NONE
+        return window_action(intent, setup_complete, setup_deferred)
+
+    def drain_pending_actions(
+        self, setup_complete: bool, setup_deferred: bool = False
+    ) -> List[PendingLaunchAction]:
+        queued, self._queued = self._queued, []
+        return [
+            PendingLaunchAction(
+                intent, window_action(intent, setup_complete, setup_deferred)
+            )
+            for intent in queued
+        ]
+
+
+# --- termination policy --------------------------------------------------------------
+
+
+class TerminationReply(enum.Enum):
+    NOW = "terminateNow"
+    CANCEL = "terminateCancel"
+
+
+class ApplicationLifecycle:
+    """Termination policy (ref ProductSurfaceTests.swift:131-168):
+
+    - unsolicited termination requests are CANCELLED (the runtime owns
+      teardown; nothing may kill the audio path out from under it)
+    - an update relaunch pre-authorizes exactly ONE termination reply
+    - an explicit user quit requests termination itself (once) and
+      authorizes the reply that follows
+    """
+
+    def __init__(self, terminate=None) -> None:
+        self._terminate = terminate or (lambda: None)
+        self.terminate_call_count = 0
+        self._authorized = False
+
+    def begin_update_relaunch_termination(self) -> None:
+        self._authorized = True
+
+    def request_explicit_quit(self) -> None:
+        self._authorized = True
+        self.terminate_call_count += 1
+        self._terminate()
+
+    def termination_reply(self) -> TerminationReply:
+        if self._authorized:
+            self._authorized = False  # one-shot
+            return TerminationReply.NOW
+        return TerminationReply.CANCEL

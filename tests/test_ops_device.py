@@ -346,3 +346,66 @@ def test_chain_step_multi_matches_sequential_chain():
     b = np.concatenate(multi, -1)
     err = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
     assert err < 1e-6, err
+
+
+# --- denormal / subnormal flush parity ------------------------------------
+
+
+def test_denormal_flush_behavior_device_vs_oracle():
+    """VERDICT #8: pin the f32 device EQ's behavior on denormal-range
+    signals against the f64 oracle's reference-exact 1e-30 flush
+    (ref ParametricEqualizerProcessor.swift:94-97).
+
+    The oracle flushes filter state below 1e-30 to exact zero — observable
+    as the ring-out going EXACTLY silent. The f32 device path keeps ringing
+    at sub-1e-30 magnitudes (f32 stays normal down to ~1e-38; TPU hardware
+    flushes at f32-subnormal scale instead). The divergence is therefore
+    nonzero but bounded at the flush threshold scale — inaudible by ~250
+    dB — which is the documented contract (docs/parity.md)."""
+    from airwave_tpu.oracle.eq_oracle import EqCascadeOracle
+
+    preamp, coeffs = bd.design_cascade(
+        EqualizerDefinition(
+            0.0, (make_filter(FilterType.PEAKING, 2000.0, 8.0, 4.0),)
+        ),
+        48_000.0,
+    )
+    n = 2048
+    x = np.zeros(n, np.float32)
+    x[0] = 1e-26  # ring-out crosses the 1e-30 flush within the window
+
+    oracle = EqCascadeOracle(coeffs, preamp, 48_000.0)
+    ol, _ = oracle.process_exact(x, x)
+
+    params = eq_block.make_eq_params(coeffs, preamp, n)
+    state = eq_block.make_eq_state(1, 2, 128)
+    xb = jnp.asarray(np.stack([x, x])[None])
+    _, y = eq_block.eq_step(params, params, state, xb, 960,
+                            crossfade_active=False)
+    dev = np.asarray(y)[0, 0]
+
+    # 1) The oracle's flush is observable: its ring-out ends in EXACT zeros.
+    assert ol[0] != 0.0                      # the impulse itself passes
+    tail = ol[n // 2:]
+    assert np.all(tail == 0.0), "oracle flush must silence the ring-out"
+    first_zero = int(np.argmax(ol == 0.0))
+    assert 0 < first_zero < n // 2
+
+    # 2) The device path diverges only below the flush scale.
+    diff = np.abs(dev.astype(np.float64) - ol.astype(np.float64))
+    assert float(diff.max()) < 1e-28, float(diff.max())
+    # Where the oracle is exactly zero, the device may still carry
+    # sub-flush energy — but nothing above the flush threshold's order.
+    assert float(np.abs(dev[n // 2:]).max()) < 1e-29
+
+    # 3) At audible levels the two paths agree to the chain contract.
+    loud = (np.random.default_rng(0).standard_normal(n) * 0.3).astype(np.float32)
+    oracle2 = EqCascadeOracle(coeffs, preamp, 48_000.0)
+    rl, _ = oracle2.process_exact(loud, loud)
+    state2 = eq_block.make_eq_state(1, 2, 128)
+    _, y2 = eq_block.eq_step(params, params, state2,
+                             jnp.asarray(np.stack([loud, loud])[None]),
+                             960, crossfade_active=False)
+    dl = np.asarray(y2)[0, 0]
+    rel = np.sqrt(np.mean((dl - rl) ** 2)) / np.sqrt(np.mean(rl ** 2))
+    assert rel < 1e-5, rel

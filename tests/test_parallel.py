@@ -126,3 +126,88 @@ def test_stream_sharded_bake_matches_bake(devices):
     _, y_blocks = runner(conv_params, eq_params, eq_params, state, blocks)
     got = np.moveaxis(np.asarray(y_blocks), 0, 2).reshape(B, 2, N * T)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_two_process_multihost_parity(tmp_path):
+    """VERDICT #7: a REAL 2-process jax.distributed run (4 virtual CPU
+    devices each, 8 global) exercising host_shard_spec + make_global_array
+    + the stream-sharded step across a process boundary, with output parity
+    against a single-process reference. Also exercises the host-device
+    contiguity assumption in multihost.host_shard_spec on a genuinely
+    multi-process mesh."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    # Keep the repo importable; drop the TPU plugin site dir so the worker
+    # boots a plain CPU backend.
+    env_base["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid), str(tmp_path)],
+            env=env_base, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"worker failed rc={p.returncode}\n{out.decode()[-2000:]}\n"
+            f"{err.decode()[-2000:]}"
+        )
+
+    # Assemble both processes' rows.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("mh_worker", worker)
+    wk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wk)
+    hrir, x = wk.build_inputs()
+    B, n_blocks = wk.GLOBAL_BATCH, wk.N_BLOCKS
+    got = np.zeros((n_blocks, B, 2, wk.T), np.float32)
+    covered = np.zeros(B, bool)
+    for pid in range(2):
+        with np.load(tmp_path / f"out_{pid}.npz") as data:
+            start, count = int(data["start"]), int(data["count"])
+            assert count == B // 2
+            covered[start:start + count] = True
+            for key in data.files:
+                if not key.startswith("block"):
+                    continue
+                blk, row = key.replace("block", "").split("_row")
+                rows = data[key]
+                got[int(blk), int(row):int(row) + rows.shape[0]] = rows
+    assert covered.all(), "both processes together must cover the batch"
+
+    # Single-process reference (same deterministic problem).
+    from airwave_tpu.io.apo import EqualizerDefinition
+    from airwave_tpu.models.binaural import chain_step_fn
+    from airwave_tpu.ops import biquad_design as bd
+
+    conv_params = upols.make_conv_params(hrir, wk.T, pad_to_pow2=False)
+    preamp, coeffs = bd.design_cascade(
+        EqualizerDefinition(preamp_db=-3.0), 48_000.0
+    )
+    eq_params = eq_block.make_eq_params(coeffs, preamp, wk.T)
+    state = ChainState(
+        conv=upols.make_conv_state(B, wk.S, conv_params.partition_count, wk.T),
+        eq=eq_block.make_eq_state(B),
+    )
+    for i in range(n_blocks):
+        state, y = chain_step_fn(
+            conv_params, eq_params, eq_params, state, x[i],
+            transition_length=960, spatial_enabled=True, eq_enabled=True,
+            eq_crossfading=False,
+        )
+        np.testing.assert_allclose(got[i], np.asarray(y), atol=1e-5)

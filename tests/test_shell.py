@@ -164,3 +164,132 @@ def test_presets_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Neutral" in out and "Vocal Booster" in out
+
+
+# --- launch routing matrix, dedup, queueing, termination (VERDICT #9) -------
+
+
+def test_launch_intent_classification_matrix():
+    """Marker and trusted login-window sender both force the silent path;
+    unknown event kinds produce no intent (ref ProductSurfaceTests:169-345)."""
+    C, I, E = pres.classify_launch, pres.LaunchIntent, pres.LaunchEvent
+    # Login-window sender: open AND reopen are both login-item launches.
+    assert C(E("open", sender=pres.LOGIN_WINDOW_SENDER)) == I.LOGIN_ITEM_LAUNCH
+    assert C(E("reopen", sender=pres.LOGIN_WINDOW_SENDER)) == I.LOGIN_ITEM_LAUNCH
+    # Marker wins regardless of sender.
+    assert C(E("open", sender="shell.terminal",
+               login_item_marker=True)) == I.LOGIN_ITEM_LAUNCH
+    # No marker, non-login sender: cold open / reopen by kind.
+    assert C(E("open", sender="shell.terminal")) == I.USER_COLD_OPEN
+    assert C(E("reopen", sender=None)) == I.USER_REOPEN
+    # Unknown kinds produce no intent at all.
+    assert C(E("open-documents", login_item_marker=True)) is None
+    assert C(E("quit")) is None
+
+
+def test_window_action_full_matrix():
+    """Every intent x completion x deferral combination; menu-bar state is
+    deliberately absent from the policy (routing is independent of it)."""
+    A, I, W = pres.window_action, pres.LaunchIntent, pres.WindowAction
+    for complete in (False, True):
+        for deferred in (False, True):
+            assert A(I.LOGIN_ITEM_LAUNCH, complete, deferred) == W.NONE
+    for intent in (I.USER_COLD_OPEN, I.USER_REOPEN):
+        assert A(intent, False, False) == W.SETUP
+        assert A(intent, False, True) == W.SETTINGS   # deferred setup
+        assert A(intent, True, False) == W.SETTINGS
+        assert A(intent, True, True) == W.SETTINGS
+
+
+def test_launch_coordinator_dedup_same_delivery_allows_later_events():
+    """Same delivery token presents at most once — even when onboarding
+    state changes between deliveries; a NEW token presents again."""
+    coord = pres.LaunchWindowCoordinator()
+    I, W = pres.LaunchIntent, pres.WindowAction
+    assert coord.action(I.USER_COLD_OPEN, False, delivery_id="d1") == W.SETUP
+    assert coord.action(I.USER_COLD_OPEN, False, delivery_id="d1") == W.NONE
+    assert coord.action(I.USER_REOPEN, True, delivery_id="d2") == W.SETTINGS
+    assert coord.action(I.USER_REOPEN, True, delivery_id="d2") == W.NONE
+    # A later reopen (fresh token) presents against the CURRENT state.
+    assert coord.action(I.USER_REOPEN, False, delivery_id="d3") == W.SETUP
+    assert coord.action(I.USER_REOPEN, True, delivery_id="d3") == W.NONE
+
+
+def test_launch_coordinator_queues_until_ready_and_login_item_stays_silent():
+    coord = pres.LaunchWindowCoordinator()
+    I, W = pres.LaunchIntent, pres.WindowAction
+    assert coord.action(I.LOGIN_ITEM_LAUNCH, True, ready=False,
+                        delivery_id="a") == W.NONE
+    assert coord.action(I.USER_REOPEN, True, ready=False,
+                        delivery_id="b") == W.NONE
+    drained = coord.drain_pending_actions(setup_complete=True)
+    assert drained == [
+        pres.PendingLaunchAction(I.LOGIN_ITEM_LAUNCH, W.NONE),
+        pres.PendingLaunchAction(I.USER_REOPEN, W.SETTINGS),
+    ]
+    # The queue drains once.
+    assert coord.drain_pending_actions(setup_complete=True) == []
+    # Queued intents resolve against the state AT DRAIN TIME.
+    coord.action(I.USER_COLD_OPEN, True, ready=False, delivery_id="c")
+    drained = coord.drain_pending_actions(setup_complete=False)
+    assert drained == [pres.PendingLaunchAction(I.USER_COLD_OPEN, W.SETUP)]
+
+
+def test_termination_policy_matrix():
+    """Unprepared termination cancelled; update relaunch authorizes exactly
+    one reply without requesting termination; explicit quit terminates once
+    and allows the following reply."""
+    calls = []
+    app = pres.ApplicationLifecycle(terminate=lambda: calls.append(1))
+    R = pres.TerminationReply
+    # Unsolicited request: cancelled, nothing terminated.
+    assert app.termination_reply() == R.CANCEL
+    assert app.terminate_call_count == 0
+    # Update relaunch: authorized once, no termination requested by us.
+    app.begin_update_relaunch_termination()
+    assert app.termination_reply() == R.NOW
+    assert app.terminate_call_count == 0
+    assert app.termination_reply() == R.CANCEL  # one-shot
+    # Explicit quit: we request termination once and allow the reply.
+    app.request_explicit_quit()
+    assert app.terminate_call_count == 1 and calls == [1]
+    assert app.termination_reply() == R.NOW
+    assert app.termination_reply() == R.CANCEL
+
+
+def test_onboarding_deferral_relaunch_and_version_bump_resume(tmp_path):
+    """Deferred onboarding survives a relaunch (user opens route to
+    settings); a version bump clears deferral AND completion so the next
+    open routes back to setup (ref onboarding gates + v2 migration)."""
+    settings = make_settings(tmp_path)
+    persistence = shell_settings.OnboardingPersistence(settings)
+    flow = shell_settings.OnboardingFlow(persistence)
+    flow.advance()          # WELCOME -> SYSTEM_AUDIO
+    flow.defer()
+    assert persistence.is_deferred and not persistence.is_complete
+
+    # Relaunch at the same version: deferral persists, checkpoint resumes.
+    p2 = shell_settings.OnboardingPersistence(settings)
+    assert p2.is_deferred
+    assert p2.checkpoint == shell_settings.OnboardingStep.SYSTEM_AUDIO
+    assert pres.route_launch(
+        pres.LaunchReason.USER_OPEN, p2.is_complete, p2.is_deferred
+    ) == pres.LaunchRoute.SETTINGS
+
+    # Version bump: everything resets; user opens route to setup again.
+    settings.set("Airwave.OnboardingV2.Version", 999)
+    p3 = shell_settings.OnboardingPersistence(settings)
+    assert not p3.is_deferred and not p3.is_complete
+    assert p3.checkpoint == shell_settings.OnboardingStep.WELCOME
+    assert pres.route_launch(
+        pres.LaunchReason.USER_OPEN, p3.is_complete, p3.is_deferred
+    ) == pres.LaunchRoute.SETUP
+
+
+def test_completed_onboarding_survives_relaunch_but_not_version_bump(tmp_path):
+    settings = make_settings(tmp_path)
+    persistence = shell_settings.OnboardingPersistence(settings)
+    shell_settings.OnboardingFlow(persistence).complete()
+    assert shell_settings.OnboardingPersistence(settings).is_complete
+    settings.set("Airwave.OnboardingV2.Version", 999)
+    assert not shell_settings.OnboardingPersistence(settings).is_complete
