@@ -124,3 +124,39 @@ def test_end_to_end_determinism_across_fresh_jits():
     y1, _ = bake.bake(hrir, x, 48_000.0, block_size=64)
     y2, _ = bake.bake(hrir, x, 48_000.0, block_size=64)
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_bake_blocks_per_step_matches_single_block_path():
+    """The M-block lookahead bake is output-identical (f32 tolerance) to
+    the classic per-block bake, including continuation across two calls."""
+    rng = np.random.default_rng(3)
+    T, B, S = 64, 3, 2
+    hrir = (rng.standard_normal((S, 2, 300)) * 0.3).astype(np.float32)
+    definition = EqualizerDefinition(
+        preamp_db=-2.0,
+        filters=(EqualizerFilter(1, None, True, FilterType.PEAKING,
+                                 1_000, 6, 0.707),),
+    )
+    preamp, coeffs = bd.design_cascade(definition, 48_000)
+    n = 7 * T + 19  # ragged: exercises the M*T padding path
+    x = (rng.standard_normal((B, S, n)) * 0.4).astype(np.float32)
+
+    y1, _ = bake.bake(hrir, x, 48_000.0, coeffs, preamp, block_size=T)
+    y4, s4 = bake.bake(hrir, x, 48_000.0, coeffs, preamp, block_size=T,
+                       blocks_per_step=4)
+    assert y4.shape == y1.shape
+    err = np.sqrt(np.mean((y4 - y1) ** 2)) / np.sqrt(np.mean(y1**2))
+    assert err < 1e-5, err
+
+    # Continuation with the paged carry: two halves == one pass.
+    half = 4 * 4 * T  # multiple of M*T so the carry seam is block-aligned
+    long_x = (rng.standard_normal((B, S, 2 * half)) * 0.4).astype(np.float32)
+    whole, _ = bake.bake(hrir, long_x, 48_000.0, coeffs, preamp, T,
+                         blocks_per_step=4)
+    first, mid = bake.bake(hrir, long_x[:, :, :half], 48_000.0, coeffs,
+                           preamp, T, blocks_per_step=4)
+    second, _ = bake.bake(hrir, long_x[:, :, half:], 48_000.0, coeffs,
+                          preamp, T, state=mid, blocks_per_step=4)
+    joined = np.concatenate([first, second], axis=-1)
+    err = np.sqrt(np.mean((joined - whole) ** 2)) / np.sqrt(np.mean(whole**2))
+    assert err < 1e-6, err
