@@ -149,16 +149,14 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
     count — ~P2/P less FDL traffic, at the cost of a re-jit when a preset
     changes partition count.
 
-    lookahead=M reserves M-1 zero partitions at the tail so conv_step_multi
+    lookahead=M reserves M-1 zero partitions at the tail so conv_step_paged
     can render M blocks per delay-line read: the slots holding blocks that
     are "future" relative to output m then land on zero filter weights (see
-    conv_step_multi)."""
+    conv_step_paged)."""
     H = partition_spectra(hrir, block_size, pad_to_pow2)  # [S, E, P2, K]
     if lookahead > 1:
-        # conv_step_multi needs (a) >= M-1 zero tail partitions and (b) a
-        # partition count divisible by M, so the M slot writes of a step are
-        # one contiguous non-wrapping dynamic_update_slice (in-place on TPU;
-        # M separate updates each copied the whole delay line — measured).
+        # conv_step_paged needs (a) >= M-1 zero tail partitions and (b) a
+        # partition count divisible by M (whole pages).
         real_p = max(1, math.ceil(hrir.shape[-1] / block_size))
         need = real_p + lookahead - 1
         if pad_to_pow2:

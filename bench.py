@@ -132,7 +132,7 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
     state + a [8, 128] checksum that depends on every block's output.
 
     blocks_per_step=M > 1 uses the M-block lookahead chain (one delay-line
-    read per M blocks, 4M-column MAC; upols.conv_step_multi)."""
+    read per M blocks, 4M-column MAC; upols.conv_step_paged)."""
     import jax
     import jax.numpy as jnp
 
