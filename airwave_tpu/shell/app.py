@@ -87,11 +87,39 @@ def cmd_render(args) -> int:
         x[i, : audio.shape[0], : data.frame_count] = audio
 
     profiler = RenderProfiler(rate, block, batch)
-    outs = []
-    for i in range(padded // block):
-        with profiler.step():
-            outs.append(graph.process(x[:, :, i * block:(i + 1) * block]))
-    y = np.concatenate(outs, axis=-1)
+    if args.throughput:
+        # Device-resident lookahead bake: the whole signal scans on-device
+        # with 8 blocks per delay-line read (ops/upols.conv_step_paged) —
+        # the fast path for long renders. Difference vs the default graph
+        # path: the EQ applies from sample 0 with no activation ramp (the
+        # graph path plays the reference's 20 ms unity->target ramp).
+        from airwave_tpu.graph.renderer import build_hrir_time_domain
+        from airwave_tpu.models.bake import bake as bake_fn
+        from airwave_tpu.ops import biquad_design as bd
+
+        hrir_td = build_hrir_time_domain(hrir, layout, rate)
+        import time as _time
+
+        if definition is not None:
+            preamp, coeffs = bd.design_cascade(definition, rate)
+        else:
+            preamp, coeffs = 1.0, None
+        t0 = _time.perf_counter()
+        y, _ = bake_fn(hrir_td, x, rate, coeffs, preamp,
+                       block_size=block, blocks_per_step=8)
+        elapsed = _time.perf_counter() - t0
+        profile_report = {
+            "mode": "throughput",
+            "seconds": elapsed,
+            "realtime_multiple": (batch * padded / rate) / max(elapsed, 1e-9),
+        }
+    else:
+        outs = []
+        for i in range(padded // block):
+            with profiler.step():
+                outs.append(graph.process(x[:, :, i * block:(i + 1) * block]))
+        y = np.concatenate(outs, axis=-1)
+        profile_report = profiler.report()
 
     os.makedirs(args.output_dir, exist_ok=True)
     written = []
@@ -108,7 +136,7 @@ def cmd_render(args) -> int:
         "sample_rate": rate,
         "layout": layout.name,
         "equalizer": bool(definition),
-        "profile": profiler.report(),
+        "profile": profile_report,
     }, indent=2))
     return 0
 
@@ -303,6 +331,10 @@ def build_parser() -> argparse.ArgumentParser:
     render.add_argument("--eq", help="EqualizerAPO preset path")
     render.add_argument("--block-size", type=int, default=512)
     render.add_argument("--cpu", action="store_true")
+    render.add_argument("--throughput", action="store_true",
+                        help="device-resident lookahead bake (fastest for "
+                             "long renders; EQ applies from sample 0 with "
+                             "no 20 ms activation ramp)")
     render.set_defaults(fn=cmd_render)
 
     presets = sub.add_parser("presets", help="manage preset libraries")

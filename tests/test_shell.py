@@ -293,3 +293,38 @@ def test_completed_onboarding_survives_relaunch_but_not_version_bump(tmp_path):
     assert shell_settings.OnboardingPersistence(settings).is_complete
     settings.set("Airwave.OnboardingV2.Version", 999)
     assert not shell_settings.OnboardingPersistence(settings).is_complete
+
+
+def test_render_cli_throughput_mode_matches_graph_past_ramp(tmp_path, capsys):
+    """--throughput routes through the device-resident lookahead bake;
+    output matches the graph path exactly once the EQ activation ramp has
+    played out (the documented difference)."""
+    from airwave_tpu.assets.bundled import synthesize_hrir
+    from airwave_tpu.io import wav
+
+    hrir_path = str(tmp_path / "h.wav")
+    wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
+    rng = np.random.default_rng(1)
+    in_path = str(tmp_path / "in.wav")
+    n = 4096
+    wav.save(in_path, (rng.standard_normal((2, n)) * 0.2).astype(np.float32),
+             48_000)
+    eq_path = tmp_path / "p.txt"
+    eq_path.write_text("Preamp: -3 dB\nFilter 1: ON PK Fc 100 Hz Gain 2 dB Q 1\n")
+
+    outs = {}
+    for name, extra in (("graph", []), ("throughput", ["--throughput"])):
+        rc = app_main([
+            "render", "--cpu", "--input", in_path, "--hrir", hrir_path,
+            "--eq", str(eq_path), "--output-dir",
+            str(tmp_path / f"out_{name}"), "--block-size", "128",
+        ] + extra)
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        outs[name] = wav.load(report["rendered"][0]).audio
+        if name == "throughput":
+            assert report["profile"]["mode"] == "throughput"
+    ramp = 960 + 128  # 20 ms transition + one block of skew
+    a, b = outs["graph"][:, ramp:], outs["throughput"][:, ramp:]
+    err = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
+    assert err < 1e-5, err
