@@ -52,7 +52,7 @@ def _watchdog(seconds: float, message: str):
 
 
 def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
-          lookahead: int = 1):
+          lookahead: int = 1, speakers: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +65,7 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
 
     if hrir_seconds:  # config-5 stress: long partitioned IRs
         hrir_len = int(hrir_seconds * SAMPLE_RATE)
-        hrir = (rng.standard_normal((2, 2, hrir_len)) * 0.02).astype(np.float32)
+        hrir = (rng.standard_normal((speakers, 2, hrir_len)) * 0.02).astype(np.float32)
         hrir *= np.exp(-np.arange(hrir_len) / (0.3 * SAMPLE_RATE))
         hrir[:, :, 0] += 0.8
         conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
@@ -79,9 +79,10 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
         from airwave_tpu.io import wav
 
         data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
-        hrir = build_hrir_time_domain(data, cm.STEREO, SAMPLE_RATE)
+        layout = cm.STEREO if speakers == 2 else cm.detect_layout(speakers)
+        hrir = build_hrir_time_domain(data, layout, SAMPLE_RATE)
     except Exception:
-        hrir = (rng.standard_normal((2, 2, hrir_len)) * 0.05).astype(np.float32)
+        hrir = (rng.standard_normal((speakers, 2, hrir_len)) * 0.05).astype(np.float32)
         hrir[:, :, 0] += 0.8
     # Exact partition count: 9 vs pow2 16 = 1.78x less FDL traffic.
     conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
@@ -90,6 +91,7 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
 
 
 def _finish_build(batch: int, hrir, conv_params, lookahead: int = 1):
+    speakers = hrir.shape[0]
     import jax
     import jax.numpy as jnp
 
@@ -112,16 +114,16 @@ def _finish_build(batch: int, hrir, conv_params, lookahead: int = 1):
 
     if lookahead > 1:
         conv_state = upols.make_conv_state_paged(
-            batch, 2, conv_params.partition_count, BLOCK, lookahead
+            batch, speakers, conv_params.partition_count, BLOCK, lookahead
         )
     else:
         conv_state = upols.make_conv_state(
-            batch, 2, conv_params.partition_count, BLOCK
+            batch, speakers, conv_params.partition_count, BLOCK
         )
     state = ChainState(conv=conv_state, eq=eq_block.make_eq_state(batch))
     # Generate the input block ON DEVICE (no multi-MB host upload — keeps
     # the bench viable over slow/flaky device transports).
-    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 2, BLOCK),
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, speakers, BLOCK),
                           jnp.float32) * 0.25
     return conv_params, eq_params, state, x
 
@@ -220,7 +222,7 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
 def measure(batch: int, blocks_per_call: int, calls: int,
             use_pallas: bool = False, batch_tile: int = 256,
             hrir_seconds: float = None, fdl_dtype: str = "float32",
-            blocks_per_step: int = 1):
+            blocks_per_step: int = 1, speakers: int = 2):
     import jax
 
     # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
@@ -233,7 +235,8 @@ def measure(batch: int, blocks_per_call: int, calls: int,
         pass
 
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
-                                             lookahead=blocks_per_step)
+                                             lookahead=blocks_per_step,
+                                             speakers=speakers)
     if use_pallas:
         from airwave_tpu.kernels import upols_pallas as kp
         from airwave_tpu.graph.renderer import build_hrir_time_domain
@@ -293,6 +296,9 @@ def main():
     parser.add_argument("--batch-tile", type=int, default=256)
     parser.add_argument("--hrir-seconds", type=float, default=None,
                         help="config-5 stress: synthetic IR of this length")
+    parser.add_argument("--speakers", type=int, default=2,
+                        help="input/virtual-speaker count (8 = BASELINE "
+                             "config 3, 7.1 surround to binaural)")
     parser.add_argument("--fdl-dtype", choices=["float32", "bf16"],
                         default="float32",
                         help="bf16 = fast mode (pallas path only)")
@@ -329,7 +335,8 @@ def main():
                                           batch_tile=args.batch_tile,
                                           hrir_seconds=args.hrir_seconds,
                                           fdl_dtype=args.fdl_dtype,
-                                          blocks_per_step=args.blocks_per_step)
+                                          blocks_per_step=args.blocks_per_step,
+                                          speakers=args.speakers)
             break
         except Exception as err:  # noqa: BLE001
             last_error = err
@@ -347,6 +354,7 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(multiple / 5000.0, 3),
         "batch_streams": batch,
+        "speakers": args.speakers,
         "ms_per_block_step": round(per_block * 1e3, 3),
     }))
 
