@@ -50,7 +50,7 @@ def load_bank(path: str) -> np.ndarray:
     data = wav_io.load(path)
     if data.channel_count != 14:
         raise spatial.PrototypeError(
-            f"Expected 14 channels, got {data.channel_count}"
+            f"bank WAV has {data.channel_count} channels, need 14"
         )
     return data.audio.T.astype(np.float64)
 

@@ -68,11 +68,11 @@ class PrototypeError(RuntimeError):
 def _validate_bank(samples: np.ndarray, channels: int = 14) -> np.ndarray:
     array = np.asarray(samples, np.float64)
     if array.ndim != 2 or array.shape[0] == 0 or array.shape[1] != channels:
-        raise PrototypeError(f"Expected a non-empty {channels}-channel matrix")
+        raise PrototypeError(f"need a non-empty [frames, {channels}] bank")
     if not np.all(np.isfinite(array)):
-        raise PrototypeError("Audio contains NaN or infinite samples")
+        raise PrototypeError("bank has NaN/inf samples")
     if not np.any(array):
-        raise PrototypeError("Audio contains no impulse energy")
+        raise PrototypeError("bank is all-zero; nothing to analyze")
     return array
 
 
@@ -116,7 +116,7 @@ def direction_metrics(samples: np.ndarray, sample_rate: int,
     right_energy = float(np.linalg.norm(right))
     pair_sq = left_energy**2 + right_energy**2
     if pair_sq <= 1e-30:
-        raise PrototypeError("Direction contains no usable energy")
+        raise PrototypeError("direction pair carries no energy")
 
     late_ratios = {}
     for ms in CHECKPOINTS_MS:
@@ -162,7 +162,7 @@ def bank_metrics(samples: np.ndarray, sample_rate: int) -> dict:
 def analyze_wav(path: str) -> dict:
     data = wav_io.load(path)
     if data.channel_count != 14:
-        raise PrototypeError(f"Expected 14 channels, got {data.channel_count}")
+        raise PrototypeError(f"bank WAV has {data.channel_count} channels, need 14")
     return bank_metrics(data.audio.T.astype(np.float64), int(data.sample_rate))
 
 
