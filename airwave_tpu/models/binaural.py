@@ -92,8 +92,26 @@ def chain_step_multi_fn(
     state.conv with make_conv_state_paged); the stateful EQ then runs the M
     outputs in order, so the result is block-for-block identical to M
     chain_step_fn calls. Surrounding scans should unroll by the page count
-    (see conv_step_paged)."""
+    (see conv_step_paged).
+
+    Steady state (eq_crossfading=False) takes the folded fast path: the
+    EQ's Toeplitz FIR and state-drive matrices fold into the convolution's
+    synthesis-DFT weights (upols.paged_project), so the spatial output
+    never materializes and the per-block FIR matmuls disappear; only the
+    EQ's tiny sequential state recurrence remains
+    (eq_block.eq_apply_folded). Measured on-chip: same math, one fewer
+    full-size MXU pass per block (BENCH_NOTES.md round-2 addendum)."""
     conv_state, eq_state = state
+    if eq_enabled and not eq_crossfading:
+        conv_state, Ykm = upols.conv_step_paged_raw(
+            conv_params, conv_state, x
+        )
+        fir = upols.paged_project(conv_params, Ykm, post=eq_to.Hm.T)
+        drive = upols.paged_project(conv_params, Ykm, post=eq_to.G.T)
+        eq_state, y = eq_block.eq_apply_folded(
+            eq_to, eq_state, fir, drive, x.shape[-1]
+        )
+        return ChainState(conv_state, eq_state), y.astype(x.dtype)
     conv_state, y = upols.conv_step_paged(conv_params, conv_state, x)
     if eq_enabled:
         # Unrolled (M is small and static): lets XLA fuse across blocks

@@ -156,6 +156,35 @@ def eq_step(
     return EqState(s_from=s_from, s_to=s_to, counter=counter), y
 
 
+def eq_apply_folded(params: EqParams, state: EqState, fir: jax.Array,
+                    drive: jax.Array, block_size: int):
+    """M-block EQ from pre-folded responses (bake path, steady state only):
+    fir [B, M, C, T], drive [B, M, C, N] -> (state', y [B, M, C, T]).
+
+    The bake chain folds this EQ's Toeplitz FIR (x @ Hm^T) and state-drive
+    map (x @ G^T) into the convolution's synthesis weights
+    (ops/upols.paged_project), so by the time this runs the only remaining
+    work is the genuinely sequential part: the [N]-dim state recurrence
+    across the M blocks (tiny matmuls) and one batched state->output
+    matmul. Math is block-for-block the eq_step(crossfade_active=False)
+    recurrence — y_m = x_m @ Hm^T + s_m @ O^T, s_{m+1} = s_m @ A_T^T +
+    x_m @ G^T — just with the x-dependent terms precomputed."""
+    M = fir.shape[1]
+    s = state.s_to
+    states = []
+    for m in range(M):
+        states.append(s)
+        s = jnp.einsum("bcn,mn->bcm", s, params.A_T,
+                       preferred_element_type=s.dtype,
+                       precision=PRECISION) + drive[:, m]
+    sm = jnp.stack(states, axis=1)  # [B, M, C, N]
+    y = fir + jnp.einsum("bmcn,tn->bmct", sm, params.O,
+                         preferred_element_type=fir.dtype,
+                         precision=PRECISION)
+    counter = jnp.minimum(state.counter + M * block_size, COUNTER_IDLE)
+    return EqState(s_from=state.s_from, s_to=s, counter=counter), y
+
+
 def eq_begin_transition(state: EqState, stream_mask: Optional[jax.Array] = None) -> EqState:
     """Host-published retarget: 'to' becomes 'from', counter restarts.
 

@@ -55,6 +55,16 @@ PRECISION = {
 # output, while the explicit k-batched dot reads it once.
 _MAC_IMPL = _os.environ.get("AIRWAVE_MAC_IMPL", "dot").lower()
 
+# Paged-MAC lowering: block-diagonal bin grouping (see _paged_mac). Exact
+# math either way. MEASURED AND REJECTED as the default: the 4x zero-block
+# FLOP inflation at 6 HIGHEST passes outweighs the tile-utilization gain on
+# every config tried (headline 3.63 vs 3.29 ms/block, config-5 5.85 vs
+# 4.33 — BENCH_NOTES.md round-2 addendum); XLA already schedules the small
+# k-batched dots densely. Kept behind the flag for re-measurement.
+_PAGED_MAC_GROUPING = _os.environ.get(
+    "AIRWAVE_PAGED_MAC_GROUPING", "0"
+) != "0"
+
 # AIRWAVE_MAC_PRECISION overrides the MAC contraction's precision alone.
 # Measured: HIGH here (DFTs kept at HIGHEST) gives 1.3e-5 chain rel RMS —
 # just over the 1e-5 contract, because the quantization lands on the
@@ -257,9 +267,35 @@ def make_conv_state_paged(batch: int, num_speakers: int, partition_count: int,
     )
 
 
+def _group_factor(kp: int, rows: int, cols: int, tile: int = 128) -> int:
+    """Pick the k-grouping g for the paged MAC's block-diagonal lowering.
+
+    The per-bin contraction is [rows x cols] (e.g. 32x32 for the stereo
+    chain) — a tiny tile that leaves the 128x128 MXU mostly idle. Grouping g
+    adjacent bins into one dense [g*rows x g*cols] block-diagonal matmul
+    multiplies nominal FLOPs by g (the off-diagonal blocks are zeros) but
+    multiplies tile utilization by g^2, a net g-fold win while the grouped
+    tile still fits one MXU tile. g is capped by that fit and must divide
+    the padded bin count so the grouped reshape stays free."""
+    best, best_gain = 1, 1.0
+    g = 1
+    while kp % (g * 2) == 0 and g < tile:
+        g *= 2
+        gain = g / (math.ceil(g * rows / tile) * math.ceil(g * cols / tile))
+        if gain > best_gain:
+            best, best_gain = g, gain
+    return best
+
+
 def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array):
     """M-block lookahead step on the paged delay line:
     x [B, S, M, T] -> (state', y [B, M, E, T]).
+
+    Composition of conv_step_paged_raw (analysis + MAC) and paged_project
+    (synthesis). Callers that post-process the time-domain output with
+    another matmul (e.g. the EQ's Toeplitz FIR) should use the raw/project
+    pair and fold their matrix into the synthesis weights instead —
+    paged_project(params, Ykm, post=...) — which costs nothing extra.
 
     Page a, in-page slot j holds block t+M-1-j-a*M, so output m's
     coefficient against it is Hz[m+j+a*M] with Hz = natural-order H behind
@@ -270,6 +306,19 @@ def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array):
     Run inside lax.scan with unroll = len(state.pages) so the page rotation
     stays pure renaming (an un-unrolled scan would copy every page at each
     iteration boundary)."""
+    new_state, Ykm = conv_step_paged_raw(params, state, x)
+    y = paged_project(params, Ykm).astype(x.dtype)
+    return new_state, y
+
+
+def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
+                        x: jax.Array):
+    """Analysis + MAC of the M-block lookahead step, stopping before the
+    synthesis transform: x [B, S, M, T] -> (state', Ykm).
+
+    Ykm is the frequency-domain mix in the grouped MAC layout (see
+    _paged_mac); feed it to paged_project to synthesize time-domain output
+    (optionally with a folded post-matrix)."""
     B, S, M, T = x.shape
     Kp = state.pages[0].shape[0]
     K = params.wf.shape[1]
@@ -298,24 +347,89 @@ def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array):
     h2 = jnp.pad(h2, ((0, 0), (0, 0), (M - 1, 0), (0, Kp - K), (0, 0), (0, 0)))
     hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
 
+    Ykm = _paged_mac(params, pages, hz, M)
+    return PagedConvState(pages=pages, overlap=x[:, :, -1, :]), Ykm
+
+
+def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int) -> jax.Array:
+    """Multiply-accumulate every page against its rotated filter window.
+
+    Default lowering: one k-batched dot per page (the per-bin contraction
+    is [R x O], R = S*C*M rows, O = M*E*Q columns). The optional grouped
+    lowering (AIRWAVE_PAGED_MAC_GROUPING=1) packs g adjacent bins into one
+    dense block-diagonal [g*R x g*O] matmul — exact math, zero blocks — but
+    measured SLOWER on-chip at every config (the g-fold nominal-FLOP
+    inflation at 6 HIGHEST passes beats the tile-utilization gain; see
+    BENCH_NOTES.md round-2 addendum), so it stays opt-in for
+    re-measurement. Returns Ykm in the grouped layout
+    [Kp/g, B, g, M, E, Q] (g=1 by default); paged_project consumes it via
+    a reshaped weight matrix so no transpose ever materializes."""
+    Kp = pages[0].shape[0]
+    S, C, _, B = pages[0].shape[1:]
+    E = params.num_ears
+    R = S * C * M
+    O = M * E * 2
+    g = _group_factor(Kp, R, O) if _PAGED_MAC_GROUPING else 1
+    eye = jnp.eye(g, dtype=hz.dtype) if g > 1 else None
     Ykm = None
     for a, page in enumerate(pages):
         G_a = jnp.stack(
             [hz[:, :, :, (m + a * M) : (m + a * M) + M] for m in range(M)],
             axis=4,
         )  # [Kp, S, C, M(j), M(m), E, Q]
-        term = jax.lax.dot_general(
-            page, G_a,
-            dimension_numbers=(((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_MAC_PRECISION,
-        )  # [Kp, B, M, E, Q]
+        if g > 1:
+            pg = page.reshape(Kp // g, g * R, B)
+            G4 = G_a.reshape(Kp // g, g, R, O)
+            # Block-diagonal: row (i*R + r), col (i*O + c) <- G4[t, i, r, c].
+            Gblk = jnp.einsum("tirc,ij->tirjc", G4, eye).reshape(
+                Kp // g, g * R, g * O
+            )
+            term = jax.lax.dot_general(
+                pg, Gblk,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=_MAC_PRECISION,
+            )  # [Kp/g, B, g*O]
+        else:
+            term = jax.lax.dot_general(
+                page, G_a,
+                dimension_numbers=(((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=_MAC_PRECISION,
+            )  # [Kp, B, M, E, Q]
         Ykm = term if Ykm is None else Ykm + term
-    y = jnp.einsum("kbmeq,kqt->bmet", Ykm[:K], params.wi,
-                   preferred_element_type=jnp.float32,
-                   precision=fftmm.DFT_PRECISION).astype(x.dtype)
+    return Ykm.reshape(Kp // g, B, g, M, E, 2)
 
-    return PagedConvState(pages=pages, overlap=x[:, :, -1, :]), y
+
+def paged_project(params: ConvParams, Ykm: jax.Array,
+                  post: jax.Array | None = None) -> jax.Array:
+    """Second-half inverse DFT of the grouped-layout MAC output:
+    Ykm -> y [B, M, E, X].
+
+    With post=None this is the plain synthesis (X = T). A `post` matrix
+    [T, X] is folded INTO the synthesis weights (one [K,Q,T]x[T,X]
+    contraction, params-derived, hoisted out of any surrounding scan), so
+    `irfft-then-matmul` chains collapse to a single MXU pass over Ykm —
+    the time-domain intermediate never exists. Used by the bake chain to
+    absorb the EQ's Toeplitz FIR and its state-drive map (models/binaural
+    chain_step_multi_fn).
+
+    The weights are zero-padded to the padded bin count and reshaped to the
+    MAC's [Kp/g, g, ...] bin grouping, so the grouped Ykm is consumed in
+    place (pad bins hold zeros on both sides and contribute nothing)."""
+    Kpg, B, g, _, E, Q = Ykm.shape
+    K, T = params.wi.shape[0], params.wi.shape[2]
+    w = params.wi
+    if post is not None:
+        w = jnp.einsum("kqt,tx->kqx", w, post,
+                       preferred_element_type=jnp.float32,
+                       precision=fftmm.DFT_PRECISION)
+    w_p = jnp.pad(w, ((0, Kpg * g - K), (0, 0), (0, 0)))
+    return jnp.einsum(
+        "kbgmeq,kgqx->bmex", Ykm, w_p.reshape(Kpg, g, Q, w.shape[-1]),
+        preferred_element_type=jnp.float32,
+        precision=fftmm.DFT_PRECISION,
+    )
 
 
 def _to_slot(X_planes: jax.Array, k_padded: int) -> jax.Array:
