@@ -45,7 +45,15 @@ def chain_step_fn(
     eq_enabled: bool,
     eq_crossfading: bool = True,
 ):
-    """x [B, S, T] -> (state', y [B, 2, T]). Spatial THEN eq (fixed order)."""
+    """x [B, S, T] -> (state', y [B, 2, T]). Spatial THEN eq (fixed order).
+
+    The bake path's EQ-into-synthesis fold was measured on THIS step too
+    (upols.conv_step posts=...) and REJECTED: the dual projection outputs
+    re-constrain XLA's layout assignment so the FDL slot write stops being
+    in-place (a 2.25 ms/block full-line copy appears) and the MAC dot
+    slows 1.28 -> 1.66 ms/block — 6.6 vs 4.0 ms/block end-to-end
+    (BENCH_NOTES.md round-2 addendum). The fold stays multi-block-only
+    (chain_step_multi_fn), where the paged delay line has no slot write."""
     conv_state, eq_state = state
     if spatial_enabled:
         conv_state, y = upols.conv_step(conv_params, conv_state, x)

@@ -65,6 +65,20 @@ _PAGED_MAC_GROUPING = _os.environ.get(
     "AIRWAVE_PAGED_MAC_GROUPING", "0"
 ) != "0"
 
+# Accumulation chunking for the paged MAC. Without it XLA schedules every
+# page's dot before the summing fusion, keeping all n_pages Ykm terms
+# (545 MB each at the production shapes) alive at once — at 13 pages
+# (config-5) that is ~7 GB of temporaries, pushing peak memory past HBM
+# and triggering rematerialization of the analysis DFT. A barrier every
+# AIRWAVE_PAGED_ACC_CHUNK pages threads the accumulator into the next
+# page's dot operand, bounding live terms to the chunk size. MEASURED AND
+# REJECTED as the default: temp memory drops 12 -> 5 GB and remat shrinks,
+# but config-5 runs 2% SLOWER (chunk 2/4/6 = 19.7/19.8/19.8k vs 20.2k
+# unchunked) — XLA's remat choice costs less than the barrier's scheduling
+# constraint. 0 (default) disables; kept for memory-tight shapes, where
+# OOM beats speed.
+_PAGED_ACC_CHUNK = int(_os.environ.get("AIRWAVE_PAGED_ACC_CHUNK", "0"))
+
 # AIRWAVE_MAC_PRECISION overrides the MAC contraction's precision alone.
 # Measured: HIGH here (DFTs kept at HIGHEST) gives 1.3e-5 chain rel RMS —
 # just over the 1e-5 contract, because the quantization lands on the
@@ -371,8 +385,16 @@ def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int) -> jax.Array:
     O = M * E * 2
     g = _group_factor(Kp, R, O) if _PAGED_MAC_GROUPING else 1
     eye = jnp.eye(g, dtype=hz.dtype) if g > 1 else None
+    chunk = _PAGED_ACC_CHUNK
     Ykm = None
     for a, page in enumerate(pages):
+        if chunk and a and a % chunk == 0:
+            # Chunk boundary: make this page's dot depend on the running
+            # sum so the scheduler cannot hoist every dot ahead of the
+            # adds (which would keep all n_pages terms alive — see
+            # _PAGED_ACC_CHUNK). The page data itself is carry-resident,
+            # so the barrier adds no traffic.
+            page, Ykm = jax.lax.optimization_barrier((page, Ykm))
         G_a = jnp.stack(
             [hz[:, :, :, (m + a * M) : (m + a * M) + M] for m in range(M)],
             axis=4,
@@ -441,7 +463,7 @@ def _to_slot(X_planes: jax.Array, k_padded: int) -> jax.Array:
     return X_km[:, :, None, :, :]
 
 
-def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
+def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array):
     """Real-plane complex multiply-accumulate + second-half inverse DFT.
 
     fdl [Kp,S,P,C,B] x h [S,E,P,K,2] -> y [B,E,T]. The 2x2 complex-product
@@ -449,6 +471,13 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array) -> jax.Array:
     exactly once from HBM; the inverse transform is an MXU matmul
     synthesizing only the kept half (ops/fftmm). The delay line stores the
     batch minor (lane axis) so the Pallas kernel tiles it natively.
+
+    NOTE: a `posts` variant folding the EQ's matrices into the synthesis
+    (the bake path's paged_project, single-block form) was measured and
+    REJECTED here — the dual projection outputs re-constrain XLA's layout
+    assignment, the FDL slot write stops lowering in place, and both the
+    live chain and the pool step run ~1.6-2x slower (BENCH_NOTES.md
+    round-2 addendum). The fold is multi-block-only.
     """
     # MAC formulation notes (all measured on a v5e at B=8192, whole chain):
     #   - exact-f32 VPU Pallas kernel (kernels/mac_kmajor) on this

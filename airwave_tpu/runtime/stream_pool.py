@@ -45,6 +45,10 @@ class PoolState(NamedTuple):
 )
 def _pool_step(conv_params, eq_from, eq_to, state, x, active,
                transition_length, eq_enabled, eq_crossfading):
+    # NOTE: the bake path's EQ-into-synthesis fold was measured on this
+    # step too and REJECTED (fused 10.5 vs plain 8.5 ms/block at B=8192 —
+    # the dual projections re-constrain layouts; BENCH_NOTES.md round-2
+    # addendum). The fold is multi-block-only.
     conv_state, eq_state = state
     mask = active.astype(bool)
     conv_state, y = upols.conv_step_rolled(conv_params, conv_state, x, mask)
