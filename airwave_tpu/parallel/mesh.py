@@ -150,6 +150,50 @@ def stream_sharded_bake(mesh: Mesh, transition_length: int = 960,
     )
 
 
+def stream_sharded_bake_multi(mesh: Mesh, n_pages: int,
+                              transition_length: int = 960,
+                              eq_enabled: bool = True):
+    """Sharded M-block lookahead bake (the headline-throughput path on a
+    slice): streams sharded, paged delay-line carry chip-local, zero
+    steady-state collectives — the multi-chip form of
+    models/bake.bake_scan_multi. x_steps [N, B, S, M, T] with B sharded;
+    returns (state', y_steps [N, B, M, 2, T]). `n_pages` must equal
+    len(state.conv.pages) (the scan unrolls by it so page rotation stays
+    free — see upols.conv_step_paged)."""
+    from airwave_tpu.models.binaural import chain_step_multi_fn
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("streams"))
+    steps_sharded = NamedSharding(mesh, P(None, "streams"))
+    page = NamedSharding(mesh, P(None, None, None, None, "streams"))
+
+    conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
+    eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
+    state_shardings = ChainState(
+        conv=upols.PagedConvState(pages=(page,) * n_pages, overlap=batched),
+        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
+    )
+
+    def run(conv_params, eq_from, eq_to, state, x_steps):
+        def body(s, xs):
+            s, y = chain_step_multi_fn(
+                conv_params, eq_from, eq_to, s, xs,
+                transition_length=transition_length,
+                eq_enabled=eq_enabled,
+                eq_crossfading=False,
+            )
+            return s, y
+        return jax.lax.scan(body, state, x_steps, unroll=n_pages)
+
+    return jax.jit(
+        run,
+        in_shardings=(conv_shardings, eq_shardings, eq_shardings,
+                      state_shardings, steps_sharded),
+        out_shardings=(state_shardings, steps_sharded),
+        donate_argnums=(3,),
+    )
+
+
 def stream_speaker_sharded_step(mesh: Mesh, transition_length: int = 960,
                                 eq_enabled: bool = True):
     """2-D sharding via shard_map: streams x speakers; psum over speakers.

@@ -128,6 +128,53 @@ def test_stream_sharded_bake_matches_bake(devices):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_stream_sharded_bake_multi_matches_bake(devices):
+    """The M-block lookahead (headline-throughput) bake on the 8-device
+    mesh: streams sharded, paged carry chip-local, output block-identical
+    to the single-device bake at f32 tolerance, zero collectives."""
+    import jax.numpy as jnp
+    from airwave_tpu.models import bake as bake_mod
+    from airwave_tpu.models.binaural import ChainState as CS
+
+    m = pmesh.make_mesh(devices, ("streams",))
+    B, S, T, M, NSTEPS = 16, 2, 64, 4, 3
+    rng = np.random.default_rng(1)
+    hrir = (rng.standard_normal((S, 2, 200)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((B, S, NSTEPS * M * T)) * 0.4).astype(np.float32)
+
+    want, _ = bake_mod.bake(hrir, x, 48_000.0, block_size=T,
+                            pad_to_pow2=False, blocks_per_step=M)
+
+    conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
+                                         lookahead=M)
+    eq_params = eq_block.unity_eq_params(T, 16)
+    state = CS(
+        conv=upols.make_conv_state_paged(
+            B, S, conv_params.partition_count, T, M
+        ),
+        eq=eq_block.make_eq_state(B, 2, 16),
+    )
+    n_pages = len(state.conv.pages)
+    shardings = pmesh.stream_sharded_bake_multi(
+        m, n_pages, transition_length=960, eq_enabled=False
+    )
+    steps = jnp.asarray(
+        np.moveaxis(x.reshape(B, S, NSTEPS, M, T), 2, 0)
+    )  # [N, B, S, M, T]
+    new_state, y_steps = shardings(
+        conv_params, eq_params, eq_params, state, steps
+    )
+    got = np.transpose(np.asarray(y_steps), (1, 3, 0, 2, 4)).reshape(
+        B, 2, NSTEPS * M * T
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert "streams" in str(new_state.conv.pages[0].sharding)
+    hlo = shardings.lower(
+        conv_params, eq_params, eq_params, new_state, steps
+    ).compile().as_text()
+    assert "all-reduce" not in hlo and "collective-permute" not in hlo
+
+
 def test_two_process_multihost_parity(tmp_path):
     """VERDICT #7: a REAL 2-process jax.distributed run (4 virtual CPU
     devices each, 8 global) exercising host_shard_spec + make_global_array
