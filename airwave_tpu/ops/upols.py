@@ -79,6 +79,15 @@ _PAGED_MAC_GROUPING = _os.environ.get(
 # OOM beats speed.
 _PAGED_ACC_CHUNK = int(_os.environ.get("AIRWAVE_PAGED_ACC_CHUNK", "0"))
 
+# Paged delay-line logical layout. "kcsmb" carries pages as [Kp, C, S, M, B]
+# — the analysis dot's NATURAL output order when the frames operand is
+# arranged [S, M, B, 2T] — so the new page needs no layout copy before
+# becoming a MAC operand (the profile shows a ~0.22 ms/block copy of the
+# analysis output in the default order). Measured on-chip before switching
+# the default; identical math either way (the filter tensor is permuted to
+# match).
+_PAGED_LAYOUT = _os.environ.get("AIRWAVE_PAGED_LAYOUT", "kscmb")
+
 # AIRWAVE_MAC_PRECISION overrides the MAC contraction's precision alone.
 # Measured: HIGH here (DFTs kept at HIGHEST) gives 1.3e-5 chain rel RMS —
 # just over the 1e-5 contract, because the quantization lands on the
@@ -272,7 +281,12 @@ def make_conv_state_paged(batch: int, num_speakers: int, partition_count: int,
                           block_size: int, lookahead: int) -> PagedConvState:
     assert partition_count % lookahead == 0, (partition_count, lookahead)
     n_pages = partition_count // lookahead
-    shape = (padded_bin_count(block_size), num_speakers, 2, lookahead, batch)
+    if _PAGED_LAYOUT == "kcsmb":
+        shape = (padded_bin_count(block_size), 2, num_speakers, lookahead,
+                 batch)
+    else:
+        shape = (padded_bin_count(block_size), num_speakers, 2, lookahead,
+                 batch)
     return PagedConvState(
         # Distinct buffers per page — donation would reject one buffer
         # appearing in two carry slots.
@@ -339,15 +353,32 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
     n_pages = len(state.pages)
     P2 = n_pages * M
 
-    full = jnp.concatenate([state.overlap, x.reshape(B, S, M * T)], axis=-1)
-    frames = jnp.stack(
-        [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
-        axis=2,
-    )  # [B, S, M, 2T], newest first
     wf_padded = jnp.pad(params.wf, ((0, 0), (0, Kp - K), (0, 0)))
-    new_page = jnp.einsum("bsmt,tkc->kscmb", frames, wf_padded,
-                          preferred_element_type=jnp.float32,
-                          precision=fftmm.DFT_PRECISION)
+    if _PAGED_LAYOUT == "kcsmb":
+        # Frames arranged [S, M, B, 2T] make [Kp, C, S, M, B] the analysis
+        # dot's natural output order — the new page is born in the MAC's
+        # operand layout, no copy (see _PAGED_LAYOUT).
+        xt = jnp.transpose(x, (1, 0, 2, 3)).reshape(S, B, M * T)
+        ov = jnp.transpose(state.overlap, (1, 0, 2))  # [S, B, T]
+        full = jnp.concatenate([ov, xt], axis=-1)  # [S, B, (M+1)T]
+        frames = jnp.stack(
+            [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
+            axis=1,
+        )  # [S, M, B, 2T], newest first
+        new_page = jnp.einsum("smbt,tkc->kcsmb", frames, wf_padded,
+                              preferred_element_type=jnp.float32,
+                              precision=fftmm.DFT_PRECISION)
+    else:
+        full = jnp.concatenate(
+            [state.overlap, x.reshape(B, S, M * T)], axis=-1
+        )
+        frames = jnp.stack(
+            [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
+            axis=2,
+        )  # [B, S, M, 2T], newest first
+        new_page = jnp.einsum("bsmt,tkc->kscmb", frames, wf_padded,
+                              preferred_element_type=jnp.float32,
+                              precision=fftmm.DFT_PRECISION)
     pages = (new_page,) + tuple(state.pages[:-1])
 
     # Hz: natural-order H behind M-1 zero partitions (params-derived — the
@@ -359,7 +390,10 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
         axis=-2,
     )  # [S, E, P2, K, C, Q]
     h2 = jnp.pad(h2, ((0, 0), (0, 0), (M - 1, 0), (0, Kp - K), (0, 0), (0, 0)))
-    hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
+    if _PAGED_LAYOUT == "kcsmb":
+        hz = jnp.transpose(h2, (3, 4, 0, 2, 1, 5))  # [Kp, C, S, P2+M-1, E, Q]
+    else:
+        hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
 
     Ykm = _paged_mac(params, pages, hz, M)
     return PagedConvState(pages=pages, overlap=x[:, :, -1, :]), Ykm
