@@ -348,6 +348,71 @@ def test_chain_step_multi_matches_sequential_chain():
     assert err < 1e-6, err
 
 
+def test_chain_step_multi_crossfading_matches_sequential_chain():
+    """The multi path's crossfading branch (the per-block dual-cascade
+    loop — the EQ fold only applies in steady state) matches M sequential
+    chain steps mid-ramp, including the exact per-sample ramp positions
+    across step boundaries."""
+    from airwave_tpu.models.binaural import (
+        ChainState, chain_step_fn, chain_step_multi_fn,
+    )
+
+    rng = np.random.default_rng(5)
+    B, S, T, M = 2, 2, 64, 4
+    hrir = (rng.standard_normal((S, 2, 150)) * 0.3).astype(np.float32)
+    p1 = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+    pm = upols.make_conv_params(hrir, T, pad_to_pow2=False, lookahead=M)
+    _, coeffs_a = bd.design_cascade(
+        EqualizerDefinition(
+            -3.0, (make_filter(FilterType.PEAKING, 1000.0, 4.0, 1.1),)
+        ),
+        48_000.0,
+    )
+    _, coeffs_b = bd.design_cascade(
+        EqualizerDefinition(
+            2.0, (make_filter(FilterType.HIGH_SHELF, 4000.0, -6.0, 0.8),)
+        ),
+        48_000.0,
+    )
+    eq_a = eq_block.make_eq_params(coeffs_a, 10 ** (-3.0 / 20.0), T)
+    eq_b = eq_block.make_eq_params(coeffs_b, 10 ** (2.0 / 20.0), T)
+
+    # Mid-ramp carries: counter starts at 0 (retarget just published).
+    s1 = ChainState(
+        conv=upols.make_conv_state(B, S, p1.partition_count, T),
+        eq=eq_block.make_eq_state(B)._replace(
+            counter=jnp.zeros((B,), jnp.int32)
+        ),
+    )
+    sm = ChainState(
+        conv=upols.make_conv_state_paged(B, S, pm.partition_count, T, M),
+        eq=eq_block.make_eq_state(B)._replace(
+            counter=jnp.zeros((B,), jnp.int32)
+        ),
+    )
+    length = 3 * T  # ramp spans the first step and ends inside the second
+    singles, multi = [], []
+    for _ in range(3):
+        xs = (rng.standard_normal((M, B, S, T)) * 0.4).astype(np.float32)
+        for m in range(M):
+            s1, y = chain_step_fn(
+                p1, eq_a, eq_b, s1, jnp.asarray(xs[m]),
+                transition_length=length, spatial_enabled=True,
+                eq_enabled=True, eq_crossfading=True,
+            )
+            singles.append(np.asarray(y))
+        sm, ym = chain_step_multi_fn(
+            pm, eq_a, eq_b, sm, jnp.asarray(np.transpose(xs, (1, 2, 0, 3))),
+            transition_length=length, eq_enabled=True, eq_crossfading=True,
+        )
+        ym = np.asarray(ym)
+        multi.extend(ym[:, m] for m in range(M))
+    a = np.concatenate(singles, -1)
+    b = np.concatenate(multi, -1)
+    err = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
+    assert err < 1e-6, err
+
+
 # --- denormal / subnormal flush parity ------------------------------------
 
 
