@@ -317,7 +317,9 @@ def main():
         batch = args.batch or 8
         blocks = args.blocks or (4 * args.blocks_per_step)
     else:
-        batch = args.batch or 8192
+        # 16384 measured the headline sweet spot after the EQ fold (round-2
+        # sweep: 8192 = 29.2-29.5k, 16384 = 30.16k twice; BENCH_NOTES.md).
+        batch = args.batch or 16384
         blocks = args.blocks or 192  # ~2 s of audio per stream per call
     blocks -= blocks % args.blocks_per_step or 0
     blocks = max(blocks, args.blocks_per_step)
