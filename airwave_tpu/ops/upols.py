@@ -447,6 +447,11 @@ def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int) -> jax.Array:
                 precision=_MAC_PRECISION,
             )  # [Kp/g, B, g*O]
         else:
+            # NOTE: the operand-swapped orientation dot(G_a, page) ->
+            # [Kp, M, E, Q, B] was measured and rejected (headline 29.1k
+            # vs 30.2k, config-5 17.1k vs 20.2k) — the post-dot layout
+            # copies the profiler shows on this orientation are XLA's
+            # cheapest option, not an oversight.
             term = jax.lax.dot_general(
                 page, G_a,
                 dimension_numbers=(((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
@@ -473,13 +478,13 @@ def paged_project(params: ConvParams, Ykm: jax.Array,
     The weights are zero-padded to the padded bin count and reshaped to the
     MAC's [Kp/g, g, ...] bin grouping, so the grouped Ykm is consumed in
     place (pad bins hold zeros on both sides and contribute nothing)."""
-    Kpg, B, g, _, E, Q = Ykm.shape
-    K, T = params.wi.shape[0], params.wi.shape[2]
+    K = params.wi.shape[0]
     w = params.wi
     if post is not None:
         w = jnp.einsum("kqt,tx->kqx", w, post,
                        preferred_element_type=jnp.float32,
                        precision=fftmm.DFT_PRECISION)
+    Kpg, B, g, _, E, Q = Ykm.shape
     w_p = jnp.pad(w, ((0, Kpg * g - K), (0, 0), (0, 0)))
     return jnp.einsum(
         "kbgmeq,kgqx->bmex", Ykm, w_p.reshape(Kpg, g, Q, w.shape[-1]),
