@@ -17,6 +17,7 @@ adapter EqualizerRuntimeEffect.swift:10-107:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Set
 
 import numpy as np
@@ -240,24 +241,24 @@ class DeviceEqualizerEffect:
         return np.asarray(out)
 
 
+@functools.lru_cache(maxsize=1)
+def _device_eq_step_jit():
+    import jax
+
+    from airwave_tpu.ops import eq_block
+
+    return jax.jit(
+        eq_block.eq_step,
+        static_argnames=("transition_length", "crossfade_active"),
+    )
+
+
 def _device_eq_step(p_from, p_to, state, x, transition_length, crossfading):
-    import functools
-
-    global _device_eq_step_jit
-    try:
-        fn = _device_eq_step_jit
-    except NameError:
-        import jax
-
-        from airwave_tpu.ops import eq_block
-
-        fn = _device_eq_step_jit = jax.jit(
-            eq_block.eq_step,
-            static_argnames=("transition_length", "crossfade_active"),
-        )
-    return fn(p_from, p_to, state, x,
-              transition_length=transition_length,
-              crossfade_active=crossfading)
+    return _device_eq_step_jit()(
+        p_from, p_to, state, x,
+        transition_length=transition_length,
+        crossfade_active=crossfading,
+    )
 
 
 class AudioEffectGraph:

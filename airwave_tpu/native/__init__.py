@@ -192,6 +192,29 @@ class RaggedAssembler:
                 [self._py_out[stream], blocks[j]], axis=1
             )
 
+    def try_push_out(self, stream: int, chunk: np.ndarray) -> bool:
+        """Queue rendered output for one stream; False when the ring lacks
+        space (no partial write — callers keep the chunk and retry)."""
+        chunk = np.ascontiguousarray(chunk, np.float32)
+        assert chunk.ndim == 2 and chunk.shape[0] == self.channels
+        if self._handle is not None:
+            rc = _lib.awv_push_out(self._handle, stream, _f32(chunk),
+                                   chunk.shape[1])
+            if rc == -1:
+                return False
+            if rc != 0:
+                raise ValueError(f"push_out failed ({rc})")
+            return True
+        if self._py_out[stream].shape[1] + chunk.shape[1] > self.capacity:
+            return False
+        self._py_out[stream] = np.concatenate(
+            [self._py_out[stream], chunk], axis=1
+        )
+        return True
+
+    def out_free(self, stream: int) -> int:
+        return self.capacity - self.out_available(stream)
+
     def pop(self, stream: int, frames: int) -> np.ndarray:
         out = np.zeros((self.channels, frames), np.float32)
         if self._handle is not None:

@@ -107,6 +107,11 @@ class StreamPool:
         )
         self._attached: Dict[int, bool] = {}
         self._free = list(range(max_streams - 1, -1, -1))
+        # Rendered blocks that found their stream's output ring full (a
+        # slow reader): held here IN ORDER and re-flushed on every pull —
+        # a full ring must never lose a rendered block or kill the pump
+        # (the carry has already advanced past it).
+        self._pending_out: Dict[int, list] = {}
         self.rounds = 0
         self.blocks_rendered = 0
 
@@ -125,6 +130,7 @@ class StreamPool:
     def detach(self, stream: int) -> None:
         if self._attached.pop(stream, None):
             self._free.append(stream)
+            self._pending_out.pop(stream, None)
             self.assembler.reset_stream(stream)
             self._out.reset_stream(stream)
 
@@ -221,15 +227,54 @@ class StreamPool:
             self._state = state
             self.eq_runtime.after_block(self.block_size)
 
-            self._out.scatter(indices, np.asarray(y)[indices])
+            self._deliver(indices, np.asarray(y)[indices])
             self.rounds += 1
             self.blocks_rendered += len(indices)
             rounds += 1
         return rounds
 
+    def _deliver(self, indices: np.ndarray, blocks: np.ndarray) -> None:
+        """Queue rendered blocks; a full output ring (slow reader) stashes
+        the block host-side instead of dropping it or raising out of the
+        render loop — `pull` re-flushes the stash in order."""
+        if not self._pending_out and all(
+            self._out.out_free(int(s)) >= self.block_size for s in indices
+        ):
+            self._out.scatter(indices, blocks)
+            return
+        for j, stream in enumerate(int(s) for s in indices):
+            queue = self._pending_out.setdefault(stream, [])
+            if queue or not self._out.try_push_out(stream, blocks[j]):
+                queue.append(np.array(blocks[j]))
+            if not queue:
+                self._pending_out.pop(stream, None)
+
+    def _flush_pending(self, stream: int) -> None:
+        queue = self._pending_out.get(stream)
+        while queue and self._out.try_push_out(stream, queue[0]):
+            queue.pop(0)
+        if queue is not None and not queue:
+            self._pending_out.pop(stream, None)
+
     def pull(self, stream: int, frames: int) -> np.ndarray:
         """Drain rendered stereo; zero-fills on underflow (latency contract)."""
-        return self._out.pop(stream, frames)
+        pieces = []
+        left = frames
+        while left > 0:
+            self._flush_pending(stream)
+            avail = self._out.out_available(stream)
+            if avail <= 0:
+                break
+            take = min(left, avail)
+            pieces.append(self._out.pop(stream, take))
+            left -= take
+            if stream not in self._pending_out:
+                break
+        if left > 0 or not pieces:
+            pieces.append(self._out.pop(stream, left))  # zero-fills
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces, 1)
 
     def available(self, stream: int) -> int:
-        return self._out.out_available(stream)
+        return self._out.out_available(stream) + sum(
+            b.shape[1] for b in self._pending_out.get(stream, ())
+        )

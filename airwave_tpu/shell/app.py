@@ -64,17 +64,20 @@ def cmd_render(args) -> int:
     layout = cm.detect_layout(channels) if channels > 1 else cm.STEREO
 
     hrir = wav_io.load(args.hrir)
-    renderer = prepare_renderer(hrir, layout, rate, args.block_size)
-
     batch = len(inputs)
-    spatial = SpatialEffect(batch=batch, sample_rate=rate,
-                            block_size=args.block_size)
-    spatial.set_renderer(renderer)
-    graph = AudioEffectGraph(spatial)
     definition = _load_equalizer(args.eq)
-    result = graph.prepare(rate, definition)
-    if result.equalizer_warning is not None:
-        print(f"warning: {result.equalizer_warning}", file=sys.stderr)
+    eq_active = definition is not None
+    graph = None
+    if not args.throughput:
+        renderer = prepare_renderer(hrir, layout, rate, args.block_size)
+        spatial = SpatialEffect(batch=batch, sample_rate=rate,
+                                block_size=args.block_size)
+        spatial.set_renderer(renderer)
+        graph = AudioEffectGraph(spatial)
+        result = graph.prepare(rate, definition)
+        if result.equalizer_warning is not None:
+            print(f"warning: {result.equalizer_warning}", file=sys.stderr)
+            eq_active = False
 
     frames = max(d.frame_count for d in inputs)
     block = args.block_size
@@ -100,10 +103,16 @@ def cmd_render(args) -> int:
         hrir_td = build_hrir_time_domain(hrir, layout, rate)
         import time as _time
 
+        preamp, coeffs = 1.0, None
         if definition is not None:
-            preamp, coeffs = bd.design_cascade(definition, rate)
-        else:
-            preamp, coeffs = 1.0, None
+            # EQ preparation failures stay NON-FATAL warnings here too
+            # (the graph path's contract, AudioEffectGraph.swift:103-137):
+            # spatial continues without the EQ.
+            try:
+                preamp, coeffs = bd.design_cascade(definition, rate)
+            except Exception as exc:
+                print(f"warning: equalizer disabled: {exc}", file=sys.stderr)
+                eq_active = False
         t0 = _time.perf_counter()
         y, _ = bake_fn(hrir_td, x, rate, coeffs, preamp,
                        block_size=block, blocks_per_step=8)
@@ -135,7 +144,7 @@ def cmd_render(args) -> int:
         "rendered": written,
         "sample_rate": rate,
         "layout": layout.name,
-        "equalizer": bool(definition),
+        "equalizer": eq_active,
         "profile": profile_report,
     }, indent=2))
     return 0

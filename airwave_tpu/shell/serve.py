@@ -17,8 +17,10 @@ Wire protocol (little-endian):
                      then frames: uint32 n | float32 data[C*n]  (n == 0: EOF)
   server -> client:  frames: uint32 n | float32 data[2*n]
 Wire limits: C must be 1 (mono duplicated) or the pool's speaker count, and
-each message's n is capped at the pool ring capacity — violations close the
-connection with a clean EOF frame instead of killing the serving thread.
+each message's n is capped at ring capacity minus (block - 1) by default —
+the largest size guaranteed to eventually fit past any un-harvestable
+sub-block residue. Violations close the connection with a clean EOF frame
+instead of killing the serving thread.
 Rendered audio follows the pool's underflow contract: the server returns
 whatever is rendered so far; remaining tail is flushed after the client EOF
 (zero-padded to the block boundary).
@@ -72,10 +74,14 @@ class RenderServer:
         self.pool = pool
         self.client_timeout = float(client_timeout)
         self.batch_window = float(batch_window)
+        # Default cap: a max-size message must ALWAYS eventually fit. Up to
+        # block-1 frames of residue can linger un-harvestable in the input
+        # ring, so capacity-sized messages could stall forever against a
+        # permanently short ring.
         self.max_message_frames = int(
             max_message_frames
             if max_message_frames is not None
-            else pool.assembler.capacity
+            else pool.assembler.capacity - (pool.block_size - 1)
         )
         self._lock = threading.Lock()  # pool control-plane lock
         self._listener = socket.create_server((host, port))
@@ -90,6 +96,7 @@ class RenderServer:
         self._pump_generation = 0
         self.connections_served = 0
         self.protocol_errors = 0
+        self.pump_errors = 0
 
     def start(self) -> None:
         self._pump_thread = threading.Thread(target=self._pump_loop,
@@ -127,9 +134,16 @@ class RenderServer:
             if self.batch_window > 0:
                 time.sleep(self.batch_window)
             self._data_ready.clear()
-            with self._lock:
-                if self.pool.assembler.ready_count() > 0:
-                    self.pool.pump()
+            try:
+                with self._lock:
+                    if self.pool.assembler.ready_count() > 0:
+                        self.pool.pump()
+            except Exception:
+                # The pump thread must survive anything a render round can
+                # throw (e.g. transient device errors) — a dead pump wedges
+                # every connection. The pool's delivery path itself never
+                # raises on full output rings (StreamPool._deliver).
+                self.pump_errors += 1
             with self._pump_cond:
                 self._pump_generation += 1
                 self._pump_cond.notify_all()

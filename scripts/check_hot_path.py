@@ -31,10 +31,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Modules forming the device compute path, and the step functions whose call
 # graphs must stay pure.
 HOT_MODULES = {
-    "airwave_tpu/ops/upols.py": {"conv_step", "conv_step_rolled", "conv_reset"},
+    "airwave_tpu/ops/upols.py": {"conv_step", "conv_step_rolled", "conv_reset",
+                                 "conv_step_paged", "conv_step_paged_raw",
+                                 "_paged_mac", "paged_project", "_mac_irfft",
+                                 "_to_slot"},
     "airwave_tpu/ops/eq_block.py": {"eq_step", "_cascade_block",
-                                    "eq_begin_transition", "eq_reset"},
-    "airwave_tpu/models/binaural.py": {"chain_step_fn"},
+                                    "eq_begin_transition", "eq_reset",
+                                    "eq_apply_folded"},
+    "airwave_tpu/models/binaural.py": {"chain_step_fn", "chain_step_multi_fn"},
     "airwave_tpu/kernels/upols_pallas.py": {"conv_step_packed", "_mac_kernel",
                                             "_fdl_mac_call", "_rotate_h"},
     "airwave_tpu/runtime/stream_pool.py": {"_pool_step"},

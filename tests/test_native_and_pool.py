@@ -231,3 +231,37 @@ def test_stream_pool_set_equalizer_none_semantics():
     pool.pump()
     out = pool.pull(a, block)
     assert np.all(np.isfinite(out))
+
+
+def test_pool_slow_reader_never_drops_rendered_blocks():
+    """A full output ring (slow reader) must not raise out of pump() or
+    lose rendered audio: blocks stash host-side and drain on pull, in
+    order. Regression for the render server's single-pump architecture,
+    where a scatter OverflowError would have killed the pump thread."""
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    # Output ring of only 2 blocks; input ring the same.
+    pool = StreamPool(2, 48_000.0, renderer, eq_definition=None,
+                      block_size=block, ring_blocks=2)
+    fast = StreamPool(2, 48_000.0, renderer, eq_definition=None,
+                      block_size=block, ring_blocks=16)
+    s = pool.attach()
+    f = fast.attach()
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((2, 6 * block)) * 0.4).astype(np.float32)
+
+    # Slow reader: push + pump 6 blocks without ever pulling. Rounds 3-6
+    # overflow the 2-block out ring; nothing may raise or vanish.
+    for i in range(6):
+        pool.push(s, audio[:, i * block:(i + 1) * block])
+        pool.pump()
+        fast.push(f, audio[:, i * block:(i + 1) * block])
+        fast.pump()
+    assert pool.available(s) == 6 * block
+    got = pool.pull(s, 6 * block)
+    want = fast.pull(f, 6 * block)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # Stash fully drained; stream detaches clean.
+    assert pool.available(s) == 0
+    pool.detach(s)
+    assert not pool._pending_out

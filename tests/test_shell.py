@@ -328,3 +328,37 @@ def test_render_cli_throughput_mode_matches_graph_past_ramp(tmp_path, capsys):
     a, b = outs["graph"][:, ramp:], outs["throughput"][:, ramp:]
     err = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a**2))
     assert err < 1e-5, err
+
+
+def test_render_cli_throughput_eq_failure_is_nonfatal(tmp_path, capsys):
+    """An EQ preset that parses but fails coefficient design (Fc above
+    Nyquist) must stay a non-fatal warning on the throughput path too —
+    spatial continues without the EQ, matching the graph path's contract
+    (ref AudioEffectGraph.swift:103-137)."""
+    from airwave_tpu.assets.bundled import synthesize_hrir
+    from airwave_tpu.io import wav
+
+    hrir_path = str(tmp_path / "h.wav")
+    wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
+    rng = np.random.default_rng(2)
+    in_path = str(tmp_path / "in.wav")
+    wav.save(in_path,
+             (rng.standard_normal((2, 1024)) * 0.2).astype(np.float32),
+             48_000)
+    eq_path = tmp_path / "bad.txt"
+    eq_path.write_text(
+        "Preamp: -3 dB\nFilter 1: ON PK Fc 40000 Hz Gain 2 dB Q 1\n"
+    )
+
+    rc = app_main([
+        "render", "--cpu", "--throughput", "--input", in_path,
+        "--hrir", hrir_path, "--eq", str(eq_path),
+        "--output-dir", str(tmp_path / "out"), "--block-size", "128",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    report = json.loads(captured.out)
+    assert report["equalizer"] is False
+    assert "warning" in captured.err
+    audio = wav.load(report["rendered"][0]).audio
+    assert np.isfinite(audio).all() and np.abs(audio).max() > 1e-4
