@@ -144,6 +144,11 @@ class RenderServer:
                 # every connection. The pool's delivery path itself never
                 # raises on full output rings (StreamPool._deliver).
                 self.pump_errors += 1
+                # The event was cleared before this round claimed the
+                # pending input; re-arm it so the work retries next cycle
+                # instead of stranding until the next client push.
+                self._data_ready.set()
+                time.sleep(0.05)
             with self._pump_cond:
                 self._pump_generation += 1
                 self._pump_cond.notify_all()

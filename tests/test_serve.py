@@ -234,3 +234,31 @@ def test_churn_soak(server):
         time.sleep(0.01)
     assert not srv.pool._attached
     assert len(srv.pool._free) == srv.pool.max_streams
+
+
+def test_pump_thread_survives_render_exceptions(server):
+    """A render round that raises must not kill the pump thread (a dead
+    pump wedges every current and future connection): the error is
+    counted and the next round proceeds normally."""
+    srv, _ = server
+    real_pump = srv.pool.pump
+    fired = threading.Event()
+
+    def flaky_pump(*args, **kwargs):
+        if not fired.is_set():
+            fired.set()
+            raise RuntimeError("injected transient device failure")
+        return real_pump(*args, **kwargs)
+
+    srv.pool.pump = flaky_pump
+    try:
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((2, 4 * BLOCK)) * 0.3).astype(np.float32)
+        y = render_via_server(srv.address, x, chunk=2 * BLOCK)
+        assert fired.is_set()
+        assert srv.pump_errors >= 1
+        assert srv._pump_thread.is_alive()
+        # The failed round's input was not lost: rendering completed.
+        assert y.shape == (2, 4 * BLOCK) and np.abs(y).max() > 1e-4
+    finally:
+        srv.pool.pump = real_pump
