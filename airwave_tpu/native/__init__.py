@@ -56,6 +56,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.awv_ready_count.argtypes = [ctypes.c_void_p]
     lib.awv_harvest.restype = ctypes.c_int
     lib.awv_harvest.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p, f32p]
+    lib.awv_harvest_allowed.restype = ctypes.c_int
+    lib.awv_harvest_allowed.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p,
+                                        i32p, f32p]
+    lib.awv_out_free_all.restype = ctypes.c_int
+    lib.awv_out_free_all.argtypes = [ctypes.c_void_p, i32p]
     lib.awv_scatter_out.restype = ctypes.c_int
     lib.awv_scatter_out.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p, f32p]
     lib.awv_push_out.restype = ctypes.c_int
@@ -171,9 +176,43 @@ class RaggedAssembler:
                     k += 1
         return indices[:k], blocks[:k]
 
+    def harvest_allowed(self, max_batch: int,
+                        allow: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """harvest(), restricted to streams with allow[stream] truthy."""
+        allow = np.ascontiguousarray(allow, np.int32)
+        assert allow.shape == (self.n_streams,)
+        indices = np.zeros(max_batch, np.int32)
+        blocks = np.zeros((max_batch, self.channels, self.block), np.float32)
+        if self._handle is not None:
+            k = _lib.awv_harvest_allowed(self._handle, max_batch, _i32(allow),
+                                         _i32(indices), _f32(blocks))
+        else:
+            k = 0
+            for i in range(self.n_streams):
+                if k >= max_batch:
+                    break
+                if allow[i] and self._py_in[i].shape[1] >= self.block:
+                    blocks[k] = self._py_in[i][:, : self.block]
+                    self._py_in[i] = self._py_in[i][:, self.block:]
+                    indices[k] = i
+                    k += 1
+        return indices[:k], blocks[:k]
+
     # --- output side -----------------------------------------------------------------
 
+    def out_free_all(self) -> np.ndarray:
+        """Per-stream output-ring free space [n_streams] in one call."""
+        if self._handle is not None:
+            out = np.zeros(self.n_streams, np.int32)
+            _lib.awv_out_free_all(self._handle, _i32(out))
+            return out
+        return np.array(
+            [self.capacity - buf.shape[1] for buf in self._py_out], np.int32
+        )
+
     def scatter(self, indices: np.ndarray, blocks: np.ndarray) -> None:
+        """Queue one rendered block per (unique) stream. All-or-nothing:
+        an OverflowError means NO ring was modified."""
         indices = np.ascontiguousarray(indices, np.int32)
         blocks = np.ascontiguousarray(blocks, np.float32)
         assert blocks.shape == (len(indices), self.channels, self.block)
@@ -185,9 +224,10 @@ class RaggedAssembler:
             if rc != 0:
                 raise ValueError(f"scatter failed ({rc})")
             return
-        for j, stream in enumerate(indices):
+        for stream in indices:
             if self._py_out[stream].shape[1] + self.block > self.capacity:
                 raise OverflowError("output ring full")
+        for j, stream in enumerate(indices):
             self._py_out[stream] = np.concatenate(
                 [self._py_out[stream], blocks[j]], axis=1
             )
@@ -211,9 +251,6 @@ class RaggedAssembler:
             [self._py_out[stream], chunk], axis=1
         )
         return True
-
-    def out_free(self, stream: int) -> int:
-        return self.capacity - self.out_available(stream)
 
     def pop(self, stream: int, frames: int) -> np.ndarray:
         out = np.zeros((self.channels, frames), np.float32)

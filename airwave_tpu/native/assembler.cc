@@ -148,17 +148,51 @@ int awv_harvest(Assembler* a, int max_batch, int32_t* indices, float* out) {
   return k;
 }
 
+// Harvest like awv_harvest, but only from streams with allow[stream] != 0.
+// The serving pool passes the output side's free-space mask so a stream
+// with a full output ring is simply not harvested — backpressure then
+// propagates to the producer through the input ring instead of surfacing
+// as an overflow after rendering.
+int awv_harvest_allowed(Assembler* a, int max_batch, const int32_t* allow,
+                        int32_t* indices, float* out) {
+  if (!a || max_batch <= 0 || !allow) return -2;
+  int k = 0;
+  const size_t stride = static_cast<size_t>(a->channels) * a->block;
+  for (int i = 0; i < a->n_streams && k < max_batch; ++i) {
+    if (!allow[i]) continue;
+    Ring& r = a->input[i];
+    if (r.count < a->block) continue;
+    ring_pop(a, r, out + k * stride, a->block);
+    indices[k] = i;
+    ++k;
+  }
+  return k;
+}
+
+// Per-stream output-ring free space (frames), one call for the whole pool.
+int awv_out_free_all(Assembler* a, int32_t* out) {
+  if (!a || !out) return -2;
+  for (int i = 0; i < a->n_streams; ++i) {
+    out[i] = a->capacity - static_cast<int>(a->output[i].count);
+  }
+  return 0;
+}
+
 // Scatter rendered blocks back: indices/int32[k], data float32[k, C, block].
+// All-or-nothing: free space is verified for every target before any write,
+// so a -1 return means NO ring was modified (callers may safely fall back
+// to per-stream delivery without duplicating blocks).
 int awv_scatter_out(Assembler* a, int k, const int32_t* indices,
                     const float* data) {
   if (!a || k < 0) return -2;
-  const size_t stride = static_cast<size_t>(a->channels) * a->block;
   for (int j = 0; j < k; ++j) {
     int stream = indices[j];
     if (stream < 0 || stream >= a->n_streams) return -2;
-    if (ring_push(a, a->output[stream], data + j * stride, a->block) != 0) {
-      return -1;
-    }
+    if (a->output[stream].count + a->block > a->capacity) return -1;
+  }
+  const size_t stride = static_cast<size_t>(a->channels) * a->block;
+  for (int j = 0; j < k; ++j) {
+    ring_push(a, a->output[indices[j]], data + j * stride, a->block);
   }
   return 0;
 }

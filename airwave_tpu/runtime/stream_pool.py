@@ -19,6 +19,7 @@ an idle stream has no samples to blend).
 from __future__ import annotations
 
 import functools
+from collections import deque
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -107,11 +108,15 @@ class StreamPool:
         )
         self._attached: Dict[int, bool] = {}
         self._free = list(range(max_streams - 1, -1, -1))
-        # Rendered blocks that found their stream's output ring full (a
-        # slow reader): held here IN ORDER and re-flushed on every pull —
-        # a full ring must never lose a rendered block or kill the pump
-        # (the carry has already advanced past it).
-        self._pending_out: Dict[int, list] = {}
+        # Safety net for unlocked concurrent pull/pump races: rendered
+        # blocks whose output ring filled between the harvest-time space
+        # check and delivery stash here IN ORDER and re-flush on pull. In
+        # lock-serialized use (the render server) this stays empty — pump
+        # simply does not harvest a stream whose output ring lacks a free
+        # block, so backpressure reaches the producer through the INPUT
+        # ring (push raises OverflowError) instead of surfacing after the
+        # carry has already advanced past the rendered block.
+        self._pending_out: Dict[int, deque] = {}
         self.rounds = 0
         self.blocks_rendered = 0
 
@@ -199,7 +204,16 @@ class StreamPool:
         """Render while any stream has a full block. Returns rounds run."""
         rounds = 0
         while rounds < max_rounds and self.assembler.ready_count() > 0:
-            indices, blocks = self.assembler.harvest(self.max_streams)
+            # Only harvest streams whose output ring can take the rendered
+            # block — a slow reader's stream stays un-harvested (and its
+            # producer eventually sees input-ring backpressure) instead of
+            # overflowing after the carry has advanced.
+            allow = self._out.out_free_all() >= self.block_size
+            indices, blocks = self.assembler.harvest_allowed(
+                self.max_streams, allow
+            )
+            if len(indices) == 0:
+                break
             x = np.zeros(
                 (self.max_streams, self.renderer.num_speakers,
                  self.block_size),
@@ -234,25 +248,29 @@ class StreamPool:
         return rounds
 
     def _deliver(self, indices: np.ndarray, blocks: np.ndarray) -> None:
-        """Queue rendered blocks; a full output ring (slow reader) stashes
-        the block host-side instead of dropping it or raising out of the
-        render loop — `pull` re-flushes the stash in order."""
-        if not self._pending_out and all(
-            self._out.out_free(int(s)) >= self.block_size for s in indices
-        ):
-            self._out.scatter(indices, blocks)
-            return
+        """Queue rendered blocks. Harvest gating guarantees space at
+        harvest time, so the single atomic scatter is the whole fast path;
+        an unlocked pull racing the round can still shrink a ring between
+        check and write, in which case the affected blocks stash in order
+        (scatter is all-or-nothing, so nothing double-delivers)."""
+        if not self._pending_out:
+            try:
+                self._out.scatter(indices, blocks)
+                return
+            except OverflowError:
+                pass
         for j, stream in enumerate(int(s) for s in indices):
-            queue = self._pending_out.setdefault(stream, [])
-            if queue or not self._out.try_push_out(stream, blocks[j]):
-                queue.append(np.array(blocks[j]))
-            if not queue:
-                self._pending_out.pop(stream, None)
+            queue = self._pending_out.get(stream)
+            if queue is None and self._out.try_push_out(stream, blocks[j]):
+                continue
+            if queue is None:
+                queue = self._pending_out.setdefault(stream, deque())
+            queue.append(np.array(blocks[j]))
 
     def _flush_pending(self, stream: int) -> None:
         queue = self._pending_out.get(stream)
         while queue and self._out.try_push_out(stream, queue[0]):
-            queue.pop(0)
+            queue.popleft()
         if queue is not None and not queue:
             self._pending_out.pop(stream, None)
 

@@ -233,14 +233,16 @@ def test_stream_pool_set_equalizer_none_semantics():
     assert np.all(np.isfinite(out))
 
 
-def test_pool_slow_reader_never_drops_rendered_blocks():
-    """A full output ring (slow reader) must not raise out of pump() or
-    lose rendered audio: blocks stash host-side and drain on pull, in
-    order. Regression for the render server's single-pump architecture,
-    where a scatter OverflowError would have killed the pump thread."""
+def test_pool_slow_reader_backpressure_without_loss():
+    """A slow reader must never lose rendered audio or raise out of
+    pump(): pump defers harvesting a stream whose output ring is full, so
+    backpressure reaches the producer through the INPUT ring (push raises
+    OverflowError) while every rendered block stays intact and ordered.
+    Regression for the render server's single-pump architecture, where a
+    post-render scatter OverflowError would have killed the pump thread."""
     block = 64
     renderer, _ = make_renderer(block=block)
-    # Output ring of only 2 blocks; input ring the same.
+    # Input and output rings of only 2 blocks each.
     pool = StreamPool(2, 48_000.0, renderer, eq_definition=None,
                       block_size=block, ring_blocks=2)
     fast = StreamPool(2, 48_000.0, renderer, eq_definition=None,
@@ -250,18 +252,31 @@ def test_pool_slow_reader_never_drops_rendered_blocks():
     rng = np.random.default_rng(9)
     audio = (rng.standard_normal((2, 6 * block)) * 0.4).astype(np.float32)
 
-    # Slow reader: push + pump 6 blocks without ever pulling. Rounds 3-6
-    # overflow the 2-block out ring; nothing may raise or vanish.
-    for i in range(6):
+    def feed(i):
         pool.push(s, audio[:, i * block:(i + 1) * block])
         pool.pump()
         fast.push(f, audio[:, i * block:(i + 1) * block])
         fast.pump()
-    assert pool.available(s) == 6 * block
-    got = pool.pull(s, 6 * block)
+
+    got = []
+    # Blocks 0-1 render and fill the out ring; 2-3 buffer in the input
+    # ring (pump defers their harvest); block 4 hits the producer.
+    for i in range(4):
+        feed(i)
+    assert pool.available(s) == 2 * block
+    with pytest.raises(OverflowError):
+        pool.push(s, audio[:, 4 * block:5 * block])
+    # Reader catches up: pulls free the out ring, pump resumes, and the
+    # remaining input flows through with nothing dropped or reordered.
+    got.append(pool.pull(s, 2 * block))
+    pool.pump()
+    for i in range(4, 6):
+        feed(i)
+        got.append(pool.pull(s, pool.available(s)))
+    got.append(pool.pull(s, 6 * block - sum(g.shape[1] for g in got)))
+    got = np.concatenate(got, axis=1)
     want = fast.pull(f, 6 * block)
     np.testing.assert_allclose(got, want, atol=1e-6)
-    # Stash fully drained; stream detaches clean.
     assert pool.available(s) == 0
     pool.detach(s)
     assert not pool._pending_out
