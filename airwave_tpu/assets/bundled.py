@@ -65,13 +65,12 @@ SAMPLE_RATE = 48_000.0
 
 
 def _fractional_delay_kernel(delay_samples: float, taps: int = 65) -> np.ndarray:
-    """Blackman-windowed sinc fractional delay (same technique as the offline
-    converter, ref tools/ss2-to-hesuvi/convert.py:386-428)."""
-    center = (taps - 1) / 2.0
-    n = np.arange(taps)
-    kernel = np.sinc(n - center - delay_samples)
-    kernel *= np.blackman(taps)
-    return kernel / np.sum(kernel)
+    """The offline converter's Blackman-windowed sinc, shared so the
+    bundled synthesis can never drift from the pinned delay contract
+    (ref tools/ss2-to-hesuvi/convert.py:386-428)."""
+    from airwave_tpu.tools.convert import fractional_delay_kernel
+
+    return fractional_delay_kernel(delay_samples, taps)
 
 
 def synthesize_hrir(style: str = "neutral", length: int = 4096,

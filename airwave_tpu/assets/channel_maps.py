@@ -116,6 +116,11 @@ def split_blocks(speakers) -> HRIRChannelMap:
     return m
 
 
+# REFERENCE-EXACT (VirtualSpeaker.swift:224-250): this 7-track layout is
+# FL-l, FL-r, FC, BL-l, BL-r, SL-l, SL-r — it is NOT the left half of the
+# 14-channel order (which would put SL at 2-3 and BL at 4-5). Do not
+# "fix" it to match the 14-channel table; parity with the reference's
+# hesuvi7Channel map is the contract.
 _HESUVI7 = {
     FL: (0, 1), FR: (1, 0), FC: (2, 2), LFE: (2, 2),
     BL: (3, 4), BR: (4, 3), SL: (5, 6), SR: (6, 5),

@@ -136,8 +136,16 @@ class EqualizerManager:
         filename = self._unique_filename(basename)
         staged = os.path.join(self.directory, f".import-{uuid.uuid4().hex}.tmp")
         destination = os.path.join(self.directory, filename)
-        shutil.copyfile(source_path, staged)
-        os.replace(staged, destination)
+        try:
+            shutil.copyfile(source_path, staged)
+            os.replace(staged, destination)
+        except BaseException:
+            # Never leak a stage file into the watched managed directory.
+            try:
+                os.unlink(staged)
+            except OSError:
+                pass
+            raise
 
         preset = EqualizerPreset(
             id=uuid.uuid4().hex,

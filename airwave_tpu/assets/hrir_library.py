@@ -76,6 +76,7 @@ class HRIRManager:
         self._renderer_observers: List[Callable[[Optional[RendererState]], None]] = []
         self._coordinator = PresetActivationCoordinator(run_async)
         self._generation = 0
+        self._latest_key: Optional[ActivationKey] = None
         self.published_renderer: Optional[RendererState] = None
         self.active_preset_id: Optional[str] = None
         self.reload()
@@ -161,8 +162,16 @@ class HRIRManager:
         filename = self._unique_filename(basename)
         destination = os.path.join(self.directory, filename)
         staged = os.path.join(self.directory, f".import-{uuid.uuid4().hex}.tmp")
-        shutil.copyfile(source_path, staged)
-        os.replace(staged, destination)
+        try:
+            shutil.copyfile(source_path, staged)
+            os.replace(staged, destination)
+        except BaseException:
+            # Never leak a stage file into the watched managed directory.
+            try:
+                os.unlink(staged)
+            except OSError:
+                pass
+            raise
 
         preset = HRIRPreset(
             id=uuid.uuid4().hex,
@@ -231,6 +240,12 @@ class HRIRManager:
                             len(input_layout.channels))
         self._generation += 1
         generation = self._generation
+        # Staleness is judged per KEY, not per call: a duplicate request
+        # coalesced by the coordinator must still complete its caller
+        # (both resolved closures fire on the shared result), while an
+        # activation superseded by a DIFFERENT preset/rate, or a
+        # deactivation, drops silently (ref HRIRManager.swift:489).
+        self._latest_key = key
 
         def work(key, token, done):
             try:
@@ -252,8 +267,8 @@ class HRIRManager:
 
         def resolved(result) -> None:
             status, value = result
-            if generation != self._generation:
-                return  # stale activation dropped (swift :489)
+            if self._latest_key != key:
+                return  # superseded/deactivated: dropped (swift :489)
             if status == "ok":
                 self.active_preset_id = preset_id
                 self._publish(value)
@@ -266,6 +281,7 @@ class HRIRManager:
 
     def deactivate(self) -> None:
         self._generation += 1
+        self._latest_key = None
         self.active_preset_id = None
         self._publish(None)
 

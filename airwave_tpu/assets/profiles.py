@@ -57,13 +57,19 @@ class DeviceProfile:
             return None
         if not isinstance(uid, str) or not uid:
             return None
+        try:
+            last_seen = float(data.get("last_seen_at", 0.0))
+        except (TypeError, ValueError):
+            # Corrupt timestamps make the record unusable, not the store:
+            # skip it like any other malformed entry.
+            return None
         return DeviceProfile(
             device_uid=uid,
             name=str(data.get("name", "")),
             transport_type=str(data.get("transport_type", "")),
             hrir_preset_id=data.get("hrir_preset_id"),
             equalizer_preset_id=data.get("equalizer_preset_id"),
-            last_seen_at=float(data.get("last_seen_at", 0.0)),
+            last_seen_at=last_seen,
         )
 
 

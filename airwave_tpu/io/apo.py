@@ -69,13 +69,18 @@ _TYPE_BY_TOKEN = {
 
 
 def _finite_float(token: str) -> Optional[float]:
+    # Python's float() is wider than Swift's Double(_:): it accepts
+    # underscore digit separators ("1_000") and surrounding whitespace.
+    # Hold the strict-parse parity contract by allowing only plain
+    # decimal/scientific characters before conversion.
+    if not token or not all(c in "0123456789.+-eE" for c in token):
+        return None
     try:
         value = float(token)
     except ValueError:
         return None
     # Swift's Double("inf") parses but isFinite rejects; Python float("inf")
-    # parses too — reject the same way. Also reject hex/underscore forms that
-    # Swift's Double(_:) would not accept the same as a plain decimal.
+    # parses too — reject the same way.
     if not math.isfinite(value):
         return None
     return value

@@ -102,14 +102,21 @@ def load(source: Union[str, bytes, BinaryIO]) -> WAVData:
     if channels <= 0:
         raise WAVError(f"Invalid channel count: {channels}")
 
+    def _frames(dtype: str, width: int) -> np.ndarray:
+        # A truncated data chunk must surface as a typed WAVError (the
+        # import preflight's contract), not np.frombuffer's bare
+        # ValueError; tolerate the ragged tail like the 24-bit path does.
+        usable = (len(data_bytes) // width) * width
+        return np.frombuffer(data_bytes[:usable], dtype=dtype)
+
     if audio_format == _WAVE_FORMAT_IEEE_FLOAT and bits_per_sample == 32:
-        samples = np.frombuffer(data_bytes, dtype="<f4").astype(np.float32)
+        samples = _frames("<f4", 4).astype(np.float32)
     elif audio_format == _WAVE_FORMAT_IEEE_FLOAT and bits_per_sample == 64:
-        samples = np.frombuffer(data_bytes, dtype="<f8").astype(np.float32)
+        samples = _frames("<f8", 8).astype(np.float32)
     elif audio_format == _WAVE_FORMAT_PCM and bits_per_sample == 16:
-        samples = np.frombuffer(data_bytes, dtype="<i2").astype(np.float32) / 32768.0
+        samples = _frames("<i2", 2).astype(np.float32) / 32768.0
     elif audio_format == _WAVE_FORMAT_PCM and bits_per_sample == 32:
-        samples = np.frombuffer(data_bytes, dtype="<i4").astype(np.float32) / 2147483648.0
+        samples = _frames("<i4", 4).astype(np.float32) / 2147483648.0
     elif audio_format == _WAVE_FORMAT_PCM and bits_per_sample == 24:
         raw = np.frombuffer(data_bytes, dtype=np.uint8)
         usable = (len(raw) // 3) * 3

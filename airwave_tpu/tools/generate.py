@@ -93,9 +93,17 @@ def _synthesize_one(base, reference_metrics, min_phase, ambience,
     if tail_model == "velvet" and tone_strength > 0:
         # The time-domain diffuse addition tilts broad magnitude slightly;
         # run one more projection pass without touching timing.
-        bank = spatial.condition_to_reference(
+        projected = spatial.condition_to_reference(
             bank.astype(np.float64), reference_metrics, 1.0
-        ).astype(np.float32)
+        )
+        # Re-engage the synthesis peak limiter: the projection can push
+        # samples past the 0.98 ceiling synthesize_variant enforced, and
+        # the recorded _output parameters must describe the written bank.
+        peak = float(np.max(np.abs(projected)))
+        if peak > 0.98:
+            projected *= 0.98 / peak
+        parameters["_output"] = {"peak": peak, "peak_limited": peak > 0.98}
+        bank = projected.astype(np.float32)
     return conditioned, bank, parameters
 
 

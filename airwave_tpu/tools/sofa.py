@@ -125,10 +125,10 @@ def _require_units(var, allowed: Tuple[str, ...], name: str) -> None:
         )
 
 
-def _source_geometry(f):
+def _source_geometry(f, frame_axes):
     """Source directions as unit vectors in the listener frame, plus the
     derived azimuth (+ = listener-left) and elevation angles in degrees."""
-    position, forward, left, up = _listener_frame(f)
+    position, forward, left, up = frame_axes
     var = f["SourcePosition"]
     positions = _coord_matrix(var[()], "SourcePosition")
     kind = _attr(var, "Type").lower()
@@ -157,7 +157,7 @@ def _source_geometry(f):
     return directions, azimuths, elevations
 
 
-def _receivers(f) -> Tuple[int, int]:
+def _receivers(f, frame_axes) -> Tuple[int, int]:
     """Identify (left_ear_index, right_ear_index) from receiver geometry:
     the ear with positive lateral offset along the listener's left axis is
     the left ear."""
@@ -171,7 +171,7 @@ def _receivers(f) -> Tuple[int, int]:
             f"need exactly 2 receivers for a binaural set, found "
             f"{positions.shape[0]}"
         )
-    listener_position, _, left_axis, _ = _listener_frame(f)
+    listener_position, _, left_axis, _ = frame_axes
     leftness = (positions - listener_position) @ left_axis
     if not (leftness.max() > EPSILON and leftness.min() < -EPSILON):
         raise ConversionError(
@@ -229,13 +229,16 @@ def read_sofa_hrir(path: str) -> SofaHRIR:
                 f"sample rate {rates[0]} is not an integer; WAV output needs one"
             )
 
-        vectors, azimuths, elevations = _source_geometry(f)
+        # The listener frame is validated/built once and shared by the
+        # geometry and receiver passes.
+        frame_axes = _listener_frame(f)
+        vectors, azimuths, elevations = _source_geometry(f, frame_axes)
         if vectors.shape[0] != impulses.shape[0]:
             raise ConversionError(
                 f"{vectors.shape[0]} source positions vs "
                 f"{impulses.shape[0]} IR measurements"
             )
-        left, right = _receivers(f)
+        left, right = _receivers(f, frame_axes)
         delays = _expand_delays(
             f["Data.Delay"][()] if "Data.Delay" in f else 0.0,
             impulses.shape[0],

@@ -133,6 +133,11 @@ def direction_metrics(samples: np.ndarray, sample_rate: int,
         r = third_octave_magnitude_db(channel, sample_rate)
         responses[name] = [float(v) for v in (r - float(np.mean(r[audible])))]
 
+    if left_energy <= 0.0 or right_energy <= 0.0:
+        raise PrototypeError(
+            "direction pair has a silent ear channel; level metrics are "
+            "undefined"
+        )
     denom = left_energy * right_energy
     iacc = float(np.dot(left, right) / denom) if denom > 1e-15 else 0.0
     return {
@@ -772,7 +777,13 @@ def synthesize_variant(
             out[:, ri] = pair[:, 1]
             parameters[speaker] = fit
 
-    out *= front_stereo_energy(padded) / front_stereo_energy(out)
+    synthesized_energy = front_stereo_energy(out)
+    if synthesized_energy <= 0.0:
+        raise PrototypeError(
+            "synthesis produced silent front-stereo channels; cannot "
+            "calibrate loudness"
+        )
+    out *= front_stereo_energy(padded) / synthesized_energy
     peak = float(np.max(np.abs(out)))
     peak_limited = peak > 0.98
     if peak_limited:

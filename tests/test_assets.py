@@ -338,3 +338,34 @@ def test_directory_watcher_debounces(tmp_path):
     (tmp_path / "new3.txt").write_text("z")
     sched.advance(2.0)
     assert len(fired) == 1
+
+
+def test_hrir_coalesced_duplicate_activations_both_complete(tmp_path):
+    """Two concurrent activations of the SAME (preset, rate, layout) share
+    one renderer build AND both callers' completions fire — the staleness
+    guard drops only different-key supersessions and deactivations, not
+    coalesced duplicates."""
+    deferred = []
+    m = HRIRManager(str(tmp_path / "hrir"), clock=make_clock(),
+                    run_async=deferred.append)
+    preset = m.import_preset(make_hrir_file(tmp_path / "Set.wav"))
+    done = []
+    m.activate_preset(preset.id, 48_000.0,
+                      completion=lambda e: done.append(("first", e)))
+    m.activate_preset(preset.id, 48_000.0,
+                      completion=lambda e: done.append(("second", e)))
+    assert len(deferred) == 1  # coalesced into one renderer build
+    deferred[0]()
+    assert done == [("first", None), ("second", None)]
+    assert m.published_renderer is not None
+
+    # A different-rate supersession still drops the stale completion.
+    done.clear()
+    deferred.clear()
+    m.activate_preset(preset.id, 48_000.0,
+                      completion=lambda e: done.append(("old", e)))
+    m.activate_preset(preset.id, 44_100.0,
+                      completion=lambda e: done.append(("new", e)))
+    for fn in deferred:
+        fn()
+    assert ("old", None) not in done and ("new", None) in done
