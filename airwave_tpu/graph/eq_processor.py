@@ -43,7 +43,9 @@ class ParametricEqualizerProcessor:
         if not (np.isfinite(sample_rate) and sample_rate > 0):
             raise errors.EqInvalidSampleRate()
         if not (0 < max_frames_per_callback <= config.max_frames_per_callback):
-            raise errors.EqTooManyFilters(max_frames_per_callback)
+            raise errors.EqInvalidFrameCount(
+                max_frames_per_callback, config.max_frames_per_callback
+            )
         self.sample_rate = float(sample_rate)
         self.max_frames_per_callback = int(max_frames_per_callback)
         self.transition_length = config.transition_length(sample_rate)

@@ -25,6 +25,7 @@ same order as the reference's callback-boundary skew).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 from airwave_tpu.config import DEFAULT_CONFIG, AirwaveConfig
@@ -56,7 +57,7 @@ class EqualizerRuntime:
         state_dim: int = 128,
         config: AirwaveConfig = DEFAULT_CONFIG,
     ) -> None:
-        if not (sample_rate > 0 and sample_rate == sample_rate):
+        if not (math.isfinite(sample_rate) and sample_rate > 0):
             from airwave_tpu.utils.errors import EqInvalidSampleRate
 
             raise EqInvalidSampleRate()

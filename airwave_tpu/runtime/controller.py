@@ -78,7 +78,8 @@ class AudioRuntimeController:
         self._verification_timeout_token: Optional[int] = None
         self._probe_delay_token: Optional[int] = None
         self._device_loss_token: Optional[int] = None
-        self._cleanup_pipeline = None
+        self._cleanup_pipelines: list = []
+        self._cleanup_scheduled = False
         self._terminated = False
         self._signal_policy = CaptureSignalPolicy(
             config.capture_min_sustained_frames, config.capture_min_amplitude
@@ -219,7 +220,7 @@ class AudioRuntimeController:
 
     def start(self, output: OutputDeviceDescriptor) -> None:
         """Start capture: verification first if unverified (ref :363-377)."""
-        if self._terminated or self.generation < 0:
+        if self._terminated:
             return
         purpose = (
             TapPurpose.PROCESSING
@@ -229,6 +230,11 @@ class AudioRuntimeController:
         self._start_pipeline(output, purpose)
 
     def _start_pipeline(self, output, purpose) -> None:
+        # A new pipeline always supersedes the old one; paths that reach
+        # here without an explicit invalidation (retry_now -> _reconcile,
+        # a redundant granted-permission completion) must not leak a live
+        # chain by overwriting self.pipeline.
+        self._stop_pipeline()
         generation = self.generation
         pipeline = self.pipeline_factory()
         try:
@@ -295,9 +301,22 @@ class AudioRuntimeController:
         self._verification_timeout_token = None
         self._stop_probe()
         self.capture_verified = True
-        self._stop_pipeline()
-        if self.pipeline is None:  # teardown succeeded
-            self._start_pipeline(self.current_output, TapPurpose.PROCESSING)
+        # The verification pipeline's signal handler stays live until its
+        # chain is torn down (the policy reports verified forever once
+        # tripped): bump the generation so late callbacks are stale
+        # instead of re-running this promotion against the NEW pipeline.
+        self.generation += 1
+        if not self._stop_pipeline():
+            # Teardown failed: the chain is preserved in the cleanup-retry
+            # loop; surface a retryable failure rather than stacking a
+            # processing pipeline on the still-live verification tap.
+            self._fail(
+                HealthCategory.PIPELINE,
+                "Verification pipeline teardown failed.",
+                retryable=True,
+            )
+            return
+        self._start_pipeline(self.current_output, TapPurpose.PROCESSING)
 
     def _stop_probe(self) -> None:
         self._cancel(self._probe_delay_token)
@@ -375,6 +394,9 @@ class AudioRuntimeController:
             return
         if output is None:
             # 1 s grace period before treating as loss (ref :58, 286-301).
+            # Duplicate loss notifications must not orphan an earlier
+            # timer (a restored device would cancel only the newest).
+            self._cancel(self._device_loss_token)
             generation = self.generation
 
             def confirm_loss() -> None:
@@ -401,25 +423,38 @@ class AudioRuntimeController:
 
     # --- teardown / cleanup retries ------------------------------------------------------
 
-    def _stop_pipeline(self) -> None:
+    def _stop_pipeline(self) -> bool:
+        """Stop the current pipeline. Returns True when teardown succeeded
+        (or there was nothing to stop); on failure the chain is preserved
+        in the cleanup-retry loop."""
         if self.pipeline is None:
-            return
+            return True
         pipeline, self.pipeline = self.pipeline, None
         try:
             pipeline.stop()
+            return True
         except Exception:  # teardown failed: keep the chain, retry cleanup
-            self._cleanup_pipeline = pipeline
+            # Every un-torn-down chain is kept (a second failure must not
+            # orphan the first one's resources).
+            self._cleanup_pipelines.append(pipeline)
             self._schedule_cleanup_retry()
+            return False
 
     def _schedule_cleanup_retry(self) -> None:
+        if self._cleanup_scheduled:
+            return
+        self._cleanup_scheduled = True
+
         def cleanup() -> None:
-            pipeline = self._cleanup_pipeline
-            if pipeline is None:
-                return
-            try:
-                pipeline.stop()
-                self._cleanup_pipeline = None
-            except Exception:
+            self._cleanup_scheduled = False
+            remaining = []
+            for pipeline in self._cleanup_pipelines:
+                try:
+                    pipeline.stop()
+                except Exception:
+                    remaining.append(pipeline)
+            self._cleanup_pipelines = remaining
+            if remaining:
                 self._schedule_cleanup_retry()
 
         self.scheduler.schedule(1.0, cleanup)

@@ -75,6 +75,18 @@ class EqTooManyFilters(EqualizerPreparationError):
         return f"Equalizer supports at most 64 filters; received {self.count}."
 
 
+class EqInvalidFrameCount(EqualizerPreparationError):
+    def __init__(self, count: int, limit: int):
+        self.count = count
+        self.limit = limit
+
+    def __str__(self) -> str:
+        return (
+            f"Frames per callback must be in 1..{self.limit}; "
+            f"received {self.count}."
+        )
+
+
 class EqInvalidFilter(EqualizerPreparationError):
     def __init__(self, index: int, error: BiquadCoefficientError):
         self.index = index

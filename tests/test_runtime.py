@@ -342,3 +342,67 @@ def test_terminate_stops_everything():
     assert h.transport.all_released
     h.controller.did_wake()  # no resurrection after terminate
     assert h.state.status == Status.INACTIVE
+
+
+def test_promotion_survives_late_verification_signals():
+    """The verification chain's signal handler can fire after promotion
+    (the policy reports verified forever once tripped): late signals must
+    be stale, not restart the processing pipeline."""
+    h = Harness()
+    h.controller.launch()
+    h.drive_signal()
+    assert h.state.status == Status.PROCESSING
+    promoted = h.controller.pipeline
+    h.drive_signal()  # late signal through the (new) io callback
+    assert h.controller.pipeline is promoted  # no churn
+    assert h.state.status == Status.PROCESSING
+
+
+def test_retry_now_while_processing_does_not_leak_a_pipeline():
+    """retry_now -> reconcile -> start must stop the running pipeline
+    before starting its replacement; exactly one chain stays live."""
+    h = Harness()
+    h.controller.launch()
+    h.drive_signal()
+    assert h.state.status == Status.PROCESSING
+    h.controller.retry_now()
+    # Exactly one live io/tap/aggregate chain (the fake precondition
+    # would also trip on mis-ordered teardown).
+    assert len(h.transport.callbacks) == 1
+    assert h.controller.pipeline is not None
+
+
+def test_duplicate_device_loss_notifications_keep_one_grace_timer():
+    """A second loss notification replaces (not orphans) the grace timer:
+    a device restored within the window must not be torn down by a stale
+    timer later."""
+    h = Harness()
+    h.controller.launch()
+    h.drive_signal()
+    running = h.controller.pipeline
+    h.transport.set_default_output_for_test(None)
+    h.transport.set_default_output_for_test(None)  # duplicate notification
+    h.transport.set_default_output_for_test(OUTPUT)  # restored in time
+    h.scheduler.advance(5.0)  # past any grace window
+    assert h.controller.pipeline is running  # no spurious restart
+    assert h.state.status == Status.PROCESSING
+
+
+def test_failed_verification_teardown_defers_promotion():
+    """If the verification chain's teardown fails, promotion must NOT
+    stack a processing pipeline on the live tap: the chain goes to the
+    cleanup-retry loop and the retry ladder restarts capture."""
+    h = Harness()
+    h.controller.launch()
+    h.transport.teardown_failures_remaining["stop_io"] = 1
+    h.drive_signal()
+    assert h.state.status == Status.RECOVERING
+    assert h.controller.pipeline is None  # nothing stacked on the live tap
+    # Cleanup retry (1 s) releases the stuck chain; the retry ladder then
+    # brings capture back up as a processing pipeline (already verified).
+    h.scheduler.advance(1.0)
+    assert h.state.status == Status.PROCESSING
+    assert h.controller.pipeline.purpose == TapPurpose.PROCESSING
+    # Exactly one chain is live: the stuck verification chain was retried
+    # to completion, not orphaned.
+    assert len(h.transport.callbacks) == 1
