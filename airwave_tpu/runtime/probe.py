@@ -20,16 +20,21 @@ def probe_stimulus(sample_rate: float = 48_000.0, seconds: float = 0.5,
                    amplitude: float = 0.25) -> np.ndarray:
     """Deterministic log-sweep chirp [2, n] float32 (200 Hz -> 4 kHz)."""
     n = int(seconds * sample_rate)
+    if n <= 0 or seconds <= 0:
+        raise ValueError(
+            f"probe stimulus needs a positive duration, got {seconds} s"
+        )
     t = np.arange(n) / sample_rate
     f0, f1 = 200.0, 4_000.0
     k = (f1 / f0) ** (1.0 / seconds)
     phase = 2 * np.pi * f0 * (k ** t - 1.0) / np.log(k)
     sweep = (amplitude * np.sin(phase)).astype(np.float32)
     fade = min(n // 10, 480)
-    envelope = np.ones(n, np.float32)
-    envelope[:fade] = np.linspace(0, 1, fade, dtype=np.float32)
-    envelope[-fade:] = np.linspace(1, 0, fade, dtype=np.float32)
-    sweep *= envelope
+    if fade > 0:  # envelope[-0:] would span the whole array
+        envelope = np.ones(n, np.float32)
+        envelope[:fade] = np.linspace(0, 1, fade, dtype=np.float32)
+        envelope[-fade:] = np.linspace(1, 0, fade, dtype=np.float32)
+        sweep *= envelope
     return np.stack([sweep, sweep])
 
 

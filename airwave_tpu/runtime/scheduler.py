@@ -67,15 +67,22 @@ class ManualScheduler:
         self.now = 0.0
         self._queue: List[Tuple[float, int, Callable[[], None]]] = []
         self._cancelled: set = set()
+        self._live: set = set()
         self._next = itertools.count(1)
 
     def schedule(self, delay_seconds: float, action: Callable[[], None]) -> int:
         token = next(self._next)
         heapq.heappush(self._queue, (self.now + delay_seconds, token, action))
+        self._live.add(token)
         return token
 
     def cancel(self, token: int) -> None:
-        self._cancelled.add(token)
+        # Cancelling an already-fired token is a no-op (callers routinely
+        # cancel without knowing whether the timer ran); only live tokens
+        # enter the cancelled set, so it cannot grow without bound across
+        # long virtual-time soaks.
+        if token in self._live:
+            self._cancelled.add(token)
 
     @property
     def pending(self) -> List[Tuple[float, int]]:
@@ -89,6 +96,7 @@ class ManualScheduler:
         while self._queue and self._queue[0][0] <= deadline:
             fire_at, token, action = heapq.heappop(self._queue)
             self.now = max(self.now, fire_at)
+            self._live.discard(token)
             if token in self._cancelled:
                 self._cancelled.discard(token)
                 continue
@@ -98,6 +106,7 @@ class ManualScheduler:
     def fire_next(self) -> bool:
         while self._queue:
             fire_at, token, action = heapq.heappop(self._queue)
+            self._live.discard(token)
             if token in self._cancelled:
                 self._cancelled.discard(token)
                 continue

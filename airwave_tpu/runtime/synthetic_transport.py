@@ -64,6 +64,10 @@ class SyntheticTransport:
         self._running.discard(io.id)
 
     def destroy_io(self, io: IOHandle) -> None:
+        # Hosts may destroy without an explicit stop (the protocol puts no
+        # ordering precondition on direct drivers); never leave a running
+        # id whose callback is gone.
+        self._running.discard(io.id)
         self._callbacks.pop(io.id, None)
 
     def destroy_aggregate(self, aggregate: AggregateHandle) -> None:
@@ -124,9 +128,13 @@ class SyntheticTransport:
                 self._probe_cursor += take
             else:
                 self._probe_buffer = None
-        (callback,) = (
-            self._callbacks[io] for io in self._running
-        )
+        if len(self._running) != 1:
+            raise RuntimeError(
+                f"pump needs exactly one running io, have "
+                f"{len(self._running)} — wire one SyntheticTransport per "
+                f"pipeline"
+            )
+        (callback,) = (self._callbacks[io] for io in self._running)
         out = callback(x)
         self.last_output = np.asarray(out)
         return self.last_output

@@ -92,10 +92,17 @@ class UpdateStateModel:
         self.phase, self.version, self.message = UpdatePhase.CHECKING, None, None
 
     def found(self, version: str) -> None:
-        self.phase, self.version = UpdatePhase.AVAILABLE, version
+        # Clear cross-phase leftovers: a stale error message must not
+        # survive into the available/current presentations (and vice
+        # versa a stale version into the error state, see failed()).
+        self.phase, self.version, self.message = (
+            UpdatePhase.AVAILABLE, version, None,
+        )
 
     def found_no_update(self) -> None:
-        self.phase, self.version = UpdatePhase.CURRENT, None
+        self.phase, self.version, self.message = (
+            UpdatePhase.CURRENT, None, None,
+        )
 
     def finished(self, error_code: Optional[int] = None,
                  message: Optional[str] = None) -> None:
@@ -109,7 +116,9 @@ class UpdateStateModel:
             self.failed(message or f"update check failed ({error_code})")
 
     def failed(self, message: str) -> None:
-        self.phase, self.message = UpdatePhase.ERROR, message
+        self.phase, self.version, self.message = (
+            UpdatePhase.ERROR, None, message,
+        )
 
 
 # --- launch routing ----------------------------------------------------------------
@@ -128,11 +137,19 @@ class LaunchRoute(enum.Enum):
 
 def route_launch(reason: LaunchReason, onboarding_complete: bool,
                  onboarding_deferred: bool) -> LaunchRoute:
-    if reason == LaunchReason.LOGIN_ITEM:
-        return LaunchRoute.HEADLESS
-    if not onboarding_complete and not onboarding_deferred:
-        return LaunchRoute.SETUP
-    return LaunchRoute.SETTINGS
+    """Coarse reason -> route view of the ONE routing policy (see
+    window_action below, which owns the decision table)."""
+    intent = (
+        LaunchIntent.LOGIN_ITEM_LAUNCH
+        if reason == LaunchReason.LOGIN_ITEM
+        else LaunchIntent.USER_COLD_OPEN
+    )
+    action = window_action(intent, onboarding_complete, onboarding_deferred)
+    return {
+        WindowAction.NONE: LaunchRoute.HEADLESS,
+        WindowAction.SETUP: LaunchRoute.SETUP,
+        WindowAction.SETTINGS: LaunchRoute.SETTINGS,
+    }[action]
 
 
 # --- launch-event classification, queueing, and dedup -------------------------------

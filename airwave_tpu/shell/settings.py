@@ -35,6 +35,9 @@ _COMPLETION_KEY = "Airwave.OnboardingV2.Completed"
 _DEFERRED_KEY = "Airwave.OnboardingV2.Deferred"
 
 
+_MISSING = object()
+
+
 class KeyValueSettings:
     """JSON-file key-value store (UserDefaults analog)."""
 
@@ -52,6 +55,22 @@ class KeyValueSettings:
     def remove(self, key: str) -> None:
         if key in self._data:
             del self._data[key]
+            self._store.save(self._data)
+
+    def update(self, values: dict, remove: tuple = ()) -> None:
+        """Apply several changes in ONE atomic file write — multi-key
+        transitions (migrations, version resets) must not be observable
+        half-applied after a mid-sequence crash."""
+        changed = False
+        for key in remove:
+            if key in self._data:
+                del self._data[key]
+                changed = True
+        for key, value in values.items():
+            if self._data.get(key, _MISSING) != value:
+                self._data[key] = value
+                changed = True
+        if changed:
             self._store.save(self._data)
 
     def keys(self) -> List[str]:
@@ -80,9 +99,9 @@ def migrate_schema_v2(settings: KeyValueSettings,
     if settings.get(MARKER_KEY, False):
         return False
     launch_at_login.enable_for_first_run()
-    for key in LEGACY_KEYS:
-        settings.remove(key)
-    settings.set(MARKER_KEY, True)
+    # One atomic write: legacy keys go and the marker lands together, so a
+    # crash can never commit the marker with legacy state intact.
+    settings.update({MARKER_KEY: True}, remove=tuple(LEGACY_KEYS))
     return True
 
 
@@ -113,10 +132,16 @@ class OnboardingPersistence:
         # Runtime failures are live state; old builds persisted them.
         settings.remove(LEGACY_CAPTURE_FAILURE_KEY)
         if settings.get(_VERSION_KEY, 0) != ONBOARDING_VERSION:
-            settings.set(_VERSION_KEY, ONBOARDING_VERSION)
-            settings.set(_CHECKPOINT_KEY, OnboardingStep.WELCOME.value)
-            settings.set(_COMPLETION_KEY, False)
-            settings.set(_DEFERRED_KEY, False)
+            # One atomic write, reset state and version marker together —
+            # the marker must never land without the reset (a crash
+            # between them would leave stale prior-version completion
+            # standing forever).
+            settings.update({
+                _VERSION_KEY: ONBOARDING_VERSION,
+                _CHECKPOINT_KEY: OnboardingStep.WELCOME.value,
+                _COMPLETION_KEY: False,
+                _DEFERRED_KEY: False,
+            })
 
     @property
     def checkpoint(self) -> OnboardingStep:

@@ -17,13 +17,19 @@ import jax
 import numpy as np
 
 
+def _normalized(path: str) -> str:
+    # np.savez appends ".npz" to extensionless paths but np.load does not;
+    # normalize once so save/load agree on the SAME path for any caller.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path: str, tree: Any) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         json.dumps(_treedef_repr(tree)).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    np.savez(_normalized(path), **arrays)
 
 
 def load_pytree(path: str, like: Any) -> Any:
@@ -32,7 +38,7 @@ def load_pytree(path: str, like: Any) -> Any:
     The stored structure metadata and every leaf's shape and dtype must
     match `like` exactly — a checkpoint from a different carry structure
     (or precision policy) is an error, never a silent cast."""
-    with np.load(path) as data:
+    with np.load(_normalized(path)) as data:
         if "__treedef__" in data:
             saved_structure = json.loads(bytes(data["__treedef__"]).decode())
             if saved_structure != _treedef_repr(like):

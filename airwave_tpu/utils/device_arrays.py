@@ -30,8 +30,15 @@ def device_complex(array: np.ndarray) -> jax.Array:
     return _combine(re, im)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _zeros(shape, dtype) -> jax.Array:
+    return jnp.zeros(shape, dtype)
+
+
 def complex_zeros(shape, dtype=jnp.complex64) -> jax.Array:
-    """Create a complex zeros array ON DEVICE (no host transfer)."""
-    return jax.jit(
-        lambda: jnp.zeros(shape, dtype), static_argnums=()
-    )()
+    """Create a complex zeros array ON DEVICE (no host transfer).
+
+    One cached jit per (shape, dtype) — a fresh jit wrapper per call would
+    recompile every time (seconds per call on this environment's 1-core
+    compile path)."""
+    return _zeros(tuple(shape), np.dtype(dtype))
