@@ -114,11 +114,13 @@ def chain_step_multi_fn(
         conv_state, Ykm = upols.conv_step_paged_raw(
             conv_params, conv_state, x
         )
-        fir = upols.paged_project(conv_params, Ykm, post=eq_to.Hm.T)
-        drive = upols.paged_project(conv_params, Ykm, post=eq_to.G.T)
-        eq_state, y = eq_block.eq_apply_folded(
-            eq_to, eq_state, fir, drive, x.shape[-1]
-        )
+        # ONE projection pass for both folded matrices (columns
+        # concatenated), so Ykm is read once instead of twice.
+        T = x.shape[-1]
+        post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
+        both = upols.paged_project(conv_params, Ykm, post=post)
+        fir, drive = both[..., :T], both[..., T:]
+        eq_state, y = eq_block.eq_apply_folded(eq_to, eq_state, fir, drive)
         return ChainState(conv_state, eq_state), y.astype(x.dtype)
     conv_state, y = upols.conv_step_paged(conv_params, conv_state, x)
     if eq_enabled:

@@ -157,7 +157,7 @@ def eq_step(
 
 
 def eq_apply_folded(params: EqParams, state: EqState, fir: jax.Array,
-                    drive: jax.Array, block_size: int):
+                    drive: jax.Array):
     """M-block EQ from pre-folded responses (bake path, steady state only):
     fir [B, M, C, T], drive [B, M, C, N] -> (state', y [B, M, C, T]).
 
@@ -181,7 +181,10 @@ def eq_apply_folded(params: EqParams, state: EqState, fir: jax.Array,
     y = fir + jnp.einsum("bmcn,tn->bmct", sm, params.O,
                          preferred_element_type=fir.dtype,
                          precision=PRECISION)
-    counter = jnp.minimum(state.counter + M * block_size, COUNTER_IDLE)
+    # The block size IS fir's trailing axis (paged_project emits T
+    # columns); deriving it removes a parameter that could silently
+    # disagree with the tensor and skew the crossfade counter.
+    counter = jnp.minimum(state.counter + M * fir.shape[-1], COUNTER_IDLE)
     return EqState(s_from=state.s_from, s_to=s, counter=counter), y
 
 

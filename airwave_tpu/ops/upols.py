@@ -86,7 +86,15 @@ _PAGED_ACC_CHUNK = int(_os.environ.get("AIRWAVE_PAGED_ACC_CHUNK", "0"))
 # analysis output in the default order). Measured on-chip before switching
 # the default; identical math either way (the filter tensor is permuted to
 # match).
-_PAGED_LAYOUT = _os.environ.get("AIRWAVE_PAGED_LAYOUT", "kscmb")
+_PAGED_LAYOUT = _os.environ.get("AIRWAVE_PAGED_LAYOUT", "kscmb").lower()
+if _PAGED_LAYOUT not in ("kscmb", "kcsmb"):
+    # Must be loud: for stereo (S=2) the two layouts have IDENTICAL array
+    # shapes, so a typo'd value silently treated as the default would
+    # contract the (re,im) plane axis against the speaker axis of a
+    # mismatched carry — garbage audio with no error anywhere downstream.
+    raise ValueError(
+        f"AIRWAVE_PAGED_LAYOUT={_PAGED_LAYOUT!r}: expected kscmb or kcsmb"
+    )
 
 # AIRWAVE_MAC_PRECISION overrides the MAC contraction's precision alone.
 # Measured: HIGH here (DFTs kept at HIGHEST) gives 1.3e-5 chain rel RMS —
@@ -305,13 +313,18 @@ def _group_factor(kp: int, rows: int, cols: int, tile: int = 128) -> int:
     multiplies tile utilization by g^2, a net g-fold win while the grouped
     tile still fits one MXU tile. g is capped by that fit and must divide
     the padded bin count so the grouped reshape stays free."""
-    best, best_gain = 1, 1.0
+    def gain(g: int) -> float:
+        return g / (math.ceil(g * rows / tile) * math.ceil(g * cols / tile))
+
+    # Baseline is the TRUE g=1 gain (which is below 1.0 whenever R or O
+    # already exceeds one tile), not a hardcoded 1.0 — otherwise larger
+    # speaker banks would reject groupings that beat ungrouped.
+    best, best_gain = 1, gain(1)
     g = 1
     while kp % (g * 2) == 0 and g < tile:
         g *= 2
-        gain = g / (math.ceil(g * rows / tile) * math.ceil(g * cols / tile))
-        if gain > best_gain:
-            best, best_gain = g, gain
+        if gain(g) > best_gain:
+            best, best_gain = g, gain(g)
     return best
 
 

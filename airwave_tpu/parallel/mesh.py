@@ -63,6 +63,16 @@ def shard_chain_state(state: ChainState, mesh: Mesh,
     )
 
 
+def _param_shardings(mesh: Mesh):
+    """(conv params, eq params) shardings: everything replicated — the ONE
+    place the stream-DP parameter policy lives."""
+    repl = NamedSharding(mesh, P())
+    return (
+        upols.ConvParams(Hflip2=repl, wf=repl, wi=repl),
+        eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl),
+    )
+
+
 def chain_state_shardings(mesh: Mesh) -> ChainState:
     """Sharding pytree for a stream-sharded ChainState (batch axis sharded,
     everything else chip-local/replicated). Public so multi-process hosts
@@ -78,6 +88,18 @@ def chain_state_shardings(mesh: Mesh) -> ChainState:
     )
 
 
+def paged_chain_state_shardings(mesh: Mesh, n_pages: int) -> ChainState:
+    """chain_state_shardings for the M-block lookahead carry (pages are
+    batch-minor like the FDL). Public for the same multi-process
+    allocation use as the non-paged form."""
+    batched = NamedSharding(mesh, P("streams"))
+    page = NamedSharding(mesh, P(None, None, None, None, "streams"))
+    return ChainState(
+        conv=upols.PagedConvState(pages=(page,) * n_pages, overlap=batched),
+        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
+    )
+
+
 def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
                         spatial_enabled: bool = True, eq_enabled: bool = True,
                         eq_crossfading: bool = True):
@@ -86,11 +108,8 @@ def stream_sharded_step(mesh: Mesh, transition_length: int = 960,
     With in/out shardings declared, XLA compiles an SPMD program with no
     collectives in steady state (per-stream carries are chip-local).
     """
-    repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P("streams"))
-
-    conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
-    eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
+    conv_shardings, eq_shardings = _param_shardings(mesh)
     state_shardings = chain_state_shardings(mesh)
 
     fn = functools.partial(
@@ -116,18 +135,9 @@ def stream_sharded_bake(mesh: Mesh, transition_length: int = 960,
     returns (state', y_blocks [N, B, 2, T])."""
     import jax.numpy as jnp
 
-    repl = NamedSharding(mesh, P())
-    batched = NamedSharding(mesh, P("streams"))
     blocks_sharded = NamedSharding(mesh, P(None, "streams"))
-
-    conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
-    eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
-    fdl_sharding = NamedSharding(mesh, P(None, None, None, None, "streams"))
-    state_shardings = ChainState(
-        conv=upols.ConvState(fdl=fdl_sharding, overlap=batched,
-                             write_pos=repl),
-        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
-    )
+    conv_shardings, eq_shardings = _param_shardings(mesh)
+    state_shardings = chain_state_shardings(mesh)
 
     def run(conv_params, eq_from, eq_to, state, x_blocks):
         def body(s, xb):
@@ -162,17 +172,9 @@ def stream_sharded_bake_multi(mesh: Mesh, n_pages: int,
     free — see upols.conv_step_paged)."""
     from airwave_tpu.models.binaural import chain_step_multi_fn
 
-    repl = NamedSharding(mesh, P())
-    batched = NamedSharding(mesh, P("streams"))
     steps_sharded = NamedSharding(mesh, P(None, "streams"))
-    page = NamedSharding(mesh, P(None, None, None, None, "streams"))
-
-    conv_shardings = upols.ConvParams(Hflip2=repl, wf=repl, wi=repl)
-    eq_shardings = eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl)
-    state_shardings = ChainState(
-        conv=upols.PagedConvState(pages=(page,) * n_pages, overlap=batched),
-        eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
-    )
+    conv_shardings, eq_shardings = _param_shardings(mesh)
+    state_shardings = paged_chain_state_shardings(mesh, n_pages)
 
     def run(conv_params, eq_from, eq_to, state, x_steps):
         def body(s, xs):

@@ -130,11 +130,15 @@ def test_stream_sharded_bake_matches_bake(devices):
 
 def test_stream_sharded_bake_multi_matches_bake(devices):
     """The M-block lookahead (headline-throughput) bake on the 8-device
-    mesh: streams sharded, paged carry chip-local, output block-identical
-    to the single-device bake at f32 tolerance, zero collectives."""
+    mesh WITH the folded EQ enabled (the exact headline path: the EQ's
+    matrices fold into the synthesis weights): streams sharded, paged
+    carry chip-local, output block-identical to the single-device bake at
+    f32 tolerance, zero collectives."""
     import jax.numpy as jnp
     from airwave_tpu.models import bake as bake_mod
     from airwave_tpu.models.binaural import ChainState as CS
+    from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
+    from airwave_tpu.ops import biquad_design as bd
 
     m = pmesh.make_mesh(devices, ("streams",))
     B, S, T, M, NSTEPS = 16, 2, 64, 4, 3
@@ -142,12 +146,18 @@ def test_stream_sharded_bake_multi_matches_bake(devices):
     hrir = (rng.standard_normal((S, 2, 200)) * 0.3).astype(np.float32)
     x = (rng.standard_normal((B, S, NSTEPS * M * T)) * 0.4).astype(np.float32)
 
-    want, _ = bake_mod.bake(hrir, x, 48_000.0, block_size=T,
+    preamp, coeffs = bd.design_cascade(
+        EqualizerDefinition(-2.0, (
+            EqualizerFilter(1, 1, True, FilterType.PEAKING, 900.0, 3.0, 1.1),
+        )),
+        48_000.0,
+    )
+    want, _ = bake_mod.bake(hrir, x, 48_000.0, coeffs, preamp, block_size=T,
                             pad_to_pow2=False, blocks_per_step=M)
 
     conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
                                          lookahead=M)
-    eq_params = eq_block.unity_eq_params(T, 16)
+    eq_params = eq_block.make_eq_params(coeffs, preamp, T, 16)
     state = CS(
         conv=upols.make_conv_state_paged(
             B, S, conv_params.partition_count, T, M
@@ -156,7 +166,7 @@ def test_stream_sharded_bake_multi_matches_bake(devices):
     )
     n_pages = len(state.conv.pages)
     shardings = pmesh.stream_sharded_bake_multi(
-        m, n_pages, transition_length=960, eq_enabled=False
+        m, n_pages, transition_length=960, eq_enabled=True
     )
     steps = jnp.asarray(
         np.moveaxis(x.reshape(B, S, NSTEPS, M, T), 2, 0)
