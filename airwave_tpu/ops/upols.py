@@ -79,20 +79,16 @@ _PAGED_MAC_GROUPING = _os.environ.get(
 # OOM beats speed.
 _PAGED_ACC_CHUNK = int(_os.environ.get("AIRWAVE_PAGED_ACC_CHUNK", "0"))
 
-# Paged-MAC implementation: "dot" (default, XLA k-batched dots + one sum
-# fusion) or "pallas" (kernels/mac_paged — same per-bin MXU dots with the
-# page accumulation held in VMEM, writing Ykm to HBM once; built to
-# attack config-5's ~1.27 ms/block of summed-term traffic). STATUS: the
-# pallas variant is numerically parity-tested (interpret) and compiles
-# for v5e (temp memory 12 -> 2.1 GB at config-5), but its first on-chip
-# execution attempt hit a TPU FailedPrecondition and the shared tunnel
-# wedged before a clean A/B could land — treat as EXPERIMENTAL until a
-# sync-proof on-chip number is recorded in BENCH_NOTES.
-_PAGED_MAC_IMPL = _os.environ.get("AIRWAVE_PAGED_MAC_IMPL", "dot").lower()
-if _PAGED_MAC_IMPL not in ("dot", "pallas"):
-    raise ValueError(
-        f"AIRWAVE_PAGED_MAC_IMPL={_PAGED_MAC_IMPL!r}: expected dot or pallas"
-    )
+# NOTE on a removed variant: a Pallas kernel accumulating the per-page
+# dots in VMEM (one Ykm write instead of n_pages terms + a sum fusion —
+# targeting config-5's ~1.27 ms/block of summed-term traffic) was built,
+# parity-tested in interpret mode, and compiled for v5e with temp memory
+# down from 12 GB to 2.1 GB; on REAL hardware its execution faulted
+# (FailedPrecondition, then a session wedge) on two isolated attempts
+# while the XLA path ran fine in between. Removed rather than shipped as
+# a flag-trap; see BENCH_NOTES.md round-2 addendum and git history
+# (kernels/mac_paged.py) for the design if a future toolchain wants to
+# retry it.
 
 # Paged delay-line logical layout. "kcsmb" carries pages as [Kp, C, S, M, B]
 # — the analysis dot's NATURAL output order when the frames operand is
@@ -445,24 +441,6 @@ def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int) -> jax.Array:
     E = params.num_ears
     R = S * C * M
     O = M * E * 2
-    if _PAGED_MAC_IMPL == "pallas":
-        from airwave_tpu.kernels import mac_paged as _mp
-
-        B = pages[0].shape[-1]
-        gmats = [
-            jnp.stack(
-                [hz[:, :, :, (m + a * M) : (m + a * M) + M]
-                 for m in range(M)],
-                axis=4,
-            ).reshape(Kp, R, O)
-            for a in range(len(pages))
-        ]
-        Ykm = _mp.mac_paged(
-            [p.reshape(Kp, R, B) for p in pages], gmats,
-            interpret=jax.default_backend() != "tpu",
-        )  # [Kp, B, O]
-        return Ykm.reshape(Kp, B, 1, M, E, 2)
-
     g = _group_factor(Kp, R, O) if _PAGED_MAC_GROUPING else 1
     eye = jnp.eye(g, dtype=hz.dtype) if g > 1 else None
     chunk = _PAGED_ACC_CHUNK
