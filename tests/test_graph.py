@@ -392,3 +392,30 @@ def test_eq_retarget_skew_host_vs_block_granular():
     np.testing.assert_allclose(h[tail_start:], d[tail_start:], atol=1e-4)
     # And the total divergence window is bounded by ramp + one block.
     assert skew.max() - skew.min() <= length + block
+
+
+def test_adapter_every_callback_size_1_to_4096_finite():
+    """Reference parity (RealtimeAudioProcessorTests
+    testAllRequiredCallbackSizesWriteFiniteOutput): EVERY callback size
+    1..4096 returns finite output of exactly the requested length, and no
+    sample is lost or reordered across the whole sweep."""
+    adapter = FrameAdapter(identity_render, batch=1, in_channels=2,
+                           block_size=512, max_frames_per_callback=4096)
+    rng = np.random.default_rng(3)
+    fed = []
+    outs = []
+    for size in range(1, 4097):
+        x = rng.standard_normal((1, 2, size)).astype(np.float32)
+        # Keep a nonzero floor so output zeros are unambiguous underflow.
+        x[np.abs(x) < 1e-3] = 1e-3
+        fed.append(x)
+        y = adapter.process(x)
+        assert y.shape == (1, 2, size), size
+        assert np.all(np.isfinite(y)), size
+        outs.append(y)
+    sent = np.concatenate(fed, axis=-1)[0, 0]
+    got = np.concatenate(outs, axis=-1)[0, 0]
+    nonzero = got[got != 0]
+    np.testing.assert_array_equal(nonzero, sent[: len(nonzero)])
+    # Cumulative underflow is bounded by one block (the latency contract).
+    assert len(nonzero) >= sent.shape[0] - 512
