@@ -87,14 +87,23 @@ class EqualizerManager:
         presets: Dict[str, EqualizerPreset] = {}
         for pid, meta in (data.get("presets") or {}).items():
             filename = meta.get("filename", "")
-            if filename and os.path.isfile(os.path.join(self.directory, filename)):
-                presets[pid] = EqualizerPreset(
-                    id=pid,
-                    display_name=meta.get("display_name", filename),
-                    filename=filename,
-                    imported_at=float(meta.get("imported_at", 0.0)),
-                    is_bundled=bool(meta.get("is_bundled", False)),
-                )
+            # Traversal-resistant (ref EqualizerLibraryTests): a corrupt or
+            # hostile manifest row must not reach outside the managed dir.
+            if not filename or os.path.basename(filename) != filename:
+                continue
+            if not os.path.isfile(os.path.join(self.directory, filename)):
+                continue
+            try:
+                imported_at = float(meta.get("imported_at", 0.0))
+            except (TypeError, ValueError):
+                imported_at = 0.0
+            presets[pid] = EqualizerPreset(
+                id=pid,
+                display_name=str(meta.get("display_name", filename)),
+                filename=filename,
+                imported_at=imported_at,
+                is_bundled=bool(meta.get("is_bundled", False)),
+            )
         self._presets = presets
         self._notify()
 

@@ -114,10 +114,17 @@ class HRIRManager:
         presets: Dict[str, HRIRPreset] = {}
         for pid, meta in (data.get("presets") or {}).items():
             filename = meta.get("filename", "")
-            if filename and os.path.isfile(os.path.join(self.directory, filename)):
+            # Traversal-resistant + corruption-tolerant row parsing (a bad
+            # metadata row skips, it never crashes the library or escapes
+            # the managed directory).
+            if not filename or os.path.basename(filename) != filename:
+                continue
+            if not os.path.isfile(os.path.join(self.directory, filename)):
+                continue
+            try:
                 presets[pid] = HRIRPreset(
                     id=pid,
-                    display_name=meta.get("display_name", filename),
+                    display_name=str(meta.get("display_name", filename)),
                     filename=filename,
                     channel_count=int(meta.get("channel_count", 0)),
                     sample_rate=float(meta.get("sample_rate", 0.0)),
@@ -125,6 +132,8 @@ class HRIRManager:
                     imported_at=float(meta.get("imported_at", 0.0)),
                     is_bundled=bool(meta.get("is_bundled", False)),
                 )
+            except (TypeError, ValueError):
+                continue
         self._presets = presets
         self._notify()
 

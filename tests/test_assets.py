@@ -369,3 +369,51 @@ def test_hrir_coalesced_duplicate_activations_both_complete(tmp_path):
     for fn in deferred:
         fn()
     assert ("old", None) not in done and ("new", None) in done
+
+
+def test_manifest_corruption_and_traversal_rows_are_skipped(tmp_path):
+    """A corrupt or hostile manifest row (path-traversal filename, garbage
+    field types, missing managed file) skips that row — it never crashes
+    library construction or resolves outside the managed directory (ref
+    EqualizerLibraryTests traversal/corrupt-manifest cases)."""
+    import json
+    import os
+
+    m = EqualizerManager(str(tmp_path / "eq"), clock=make_clock())
+    good = m.import_preset(write_preset(tmp_path / "good.txt"))
+
+    # Hand-corrupt the manifest: traversal row + garbage types + missing file.
+    outside = tmp_path / "outside.txt"
+    outside.write_text("Preamp: -1 dB\n")
+    manifest_path = os.path.join(m.directory, "manifest.json")
+    with open(manifest_path) as fh:
+        data = json.load(fh)
+    data["presets"]["evil"] = {
+        "display_name": "evil",
+        "filename": os.path.join("..", "outside.txt"),
+        "imported_at": 1.0,
+    }
+    data["presets"]["garbage"] = {
+        "display_name": "g",
+        "filename": good.filename,
+        "imported_at": "not-a-number",
+    }
+    data["presets"]["gone"] = {
+        "display_name": "gone", "filename": "missing.txt",
+        "imported_at": 2.0,
+    }
+    with open(manifest_path, "w") as fh:
+        json.dump(data, fh)
+
+    m.reload()
+    ids = m.preset_ids()
+    assert "evil" not in ids and "gone" not in ids
+    assert good.id in ids
+    assert "garbage" in ids  # corrupt field tolerated, row kept
+    assert m.preset("garbage").imported_at == 0.0
+
+    # Fully corrupt manifest JSON: empty library, no crash.
+    with open(manifest_path, "w") as fh:
+        fh.write("{ not json")
+    m.reload()
+    assert m.presets() == []
