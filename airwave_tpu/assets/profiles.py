@@ -135,16 +135,19 @@ class DeviceProfileManager:
     def update_available_devices(
         self, devices: List[OutputDeviceDescriptor]
     ) -> None:
-        """Record the current inventory; remembered metadata is refreshed."""
+        """Record the current inventory. Observation NEVER materializes a
+        profile (ref DeviceProfileManagerTests: an available-but-unsaved
+        target stays selectable without persistence, and a forgotten
+        device re-observed stays transient) — profiles come into being on
+        the first effect selection. Remembered devices that reappear get
+        their metadata refreshed."""
         self._available = [d for d in devices if d.is_supported_profile_output]
         now = self._clock()
         changed = False
         for device in self._available:
             profile = self._profiles.get(device.uid)
             if profile is None:
-                profile = DeviceProfile(device_uid=device.uid)
-                self._profiles[device.uid] = profile
-                changed = True
+                continue  # unsaved target: transient, zero writes
             if profile.name != device.name or (
                 profile.transport_type != device.transport_type
             ):
@@ -152,8 +155,8 @@ class DeviceProfileManager:
             profile.name = device.name
             profile.transport_type = device.transport_type
             profile.last_seen_at = now
-        self._save()
         if changed:
+            self._save()
             self._emit(ProfileChangeKind.METADATA, "")
 
     # --- reads -----------------------------------------------------------------------
@@ -195,16 +198,34 @@ class DeviceProfileManager:
         return profile
 
     def set_hrir_preset_id(self, device_uid: str, preset_id: Optional[str]) -> None:
-        self._ensure(device_uid).hrir_preset_id = preset_id
+        if preset_id is None and device_uid not in self._profiles:
+            return  # nil selection for an unsaved target: zero-write no-op
+        profile = self._ensure(device_uid)
+        self._refresh_from_inventory(profile)
+        profile.hrir_preset_id = preset_id
         self._save()
         self._emit(ProfileChangeKind.HRIR, device_uid)
 
     def set_equalizer_preset_id(
         self, device_uid: str, preset_id: Optional[str]
     ) -> None:
-        self._ensure(device_uid).equalizer_preset_id = preset_id
+        if preset_id is None and device_uid not in self._profiles:
+            return  # nil selection for an unsaved target: zero-write no-op
+        profile = self._ensure(device_uid)
+        self._refresh_from_inventory(profile)
+        profile.equalizer_preset_id = preset_id
         self._save()
         self._emit(ProfileChangeKind.EQUALIZER, device_uid)
+
+    def _refresh_from_inventory(self, profile: DeviceProfile) -> None:
+        """A profile materializing (or being written) while its device is
+        available picks up the live metadata."""
+        for device in self._available:
+            if device.uid == profile.device_uid:
+                profile.name = device.name
+                profile.transport_type = device.transport_type
+                profile.last_seen_at = self._clock()
+                return
 
     def reset_profile(self, device_uid: str) -> None:
         """Clear effect assignments but keep the remembered device."""

@@ -77,14 +77,31 @@ def test_profiles_targets_merged_view_and_change_revisions(tmp_path):
     assert [(r.device_uid, r.is_available) for r in rows] == [
         ("live-dev", True), ("remembered-dev", False),
     ]
+    # Observation alone does NOT materialize a profile (ref: an available
+    # unsaved target is selectable without persistence).
+    assert rows[0].profile is None
+    assert m.profile("live-dev") is None
+    # Nil selection for the unsaved target: zero-write no-op.
+    before = len(changes)
+    m.set_hrir_preset_id("live-dev", None)
+    assert m.profile("live-dev") is None and len(changes) == before
     revisions = [c.revision for c in changes]
     assert revisions == sorted(revisions) and len(set(revisions)) == len(revisions)
     assert changes[0].kind == ProfileChangeKind.HRIR
 
+    # First real selection materializes the profile with live metadata.
+    m.set_hrir_preset_id("live-dev", "h2")
+    assert m.profile("live-dev").name == "Speakers"
     m.forget_device("remembered-dev")
     assert m.profile("remembered-dev") is None
     m.reset_profile("live-dev")
     assert m.profile("live-dev").hrir_preset_id is None
+    # A forgotten device re-observed stays transient.
+    m.forget_device("live-dev")
+    m.update_available_devices([
+        OutputDeviceDescriptor(uid="live-dev", name="Speakers"),
+    ])
+    assert m.profile("live-dev") is None
 
 
 def test_profiles_clear_dangling(tmp_path):

@@ -71,10 +71,19 @@ def test_discovery_pumps_inventory_into_profiles(tmp_path):
     w = build_world(tmp_path)
     discovery = OutputDeviceDiscoveryCoordinator(w["transport"], w["profiles"])
     discovery.launch()
-    assert w["profiles"].profile("dev-1").name == "Speakers"
+    # Observation surfaces devices as available targets but does NOT
+    # materialize profiles (ref: unsaved targets stay transient).
+    assert [t.device_uid for t in w["profiles"].targets()
+            if t.is_available] == ["dev-1"]
+    assert w["profiles"].profile("dev-1") is None
     w["transport"].set_devices_for_test([
         OUTPUT, OutputDeviceDescriptor(uid="dev-2", name="Headset"),
     ])
+    assert sorted(
+        t.device_uid for t in w["profiles"].targets() if t.is_available
+    ) == ["dev-1", "dev-2"]
+    # First selection materializes the profile with the live metadata.
+    w["profiles"].set_hrir_preset_id("dev-2", "some-preset")
     assert w["profiles"].profile("dev-2").name == "Headset"
 
 
