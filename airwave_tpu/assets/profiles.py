@@ -140,8 +140,16 @@ class DeviceProfileManager:
         target stays selectable without persistence, and a forgotten
         device re-observed stays transient) — profiles come into being on
         the first effect selection. Remembered devices that reappear get
-        their metadata refreshed."""
-        self._available = [d for d in devices if d.is_supported_profile_output]
+        their metadata refreshed. Unsupported and duplicate-UID entries
+        are filtered at this boundary (ref
+        OutputDeviceDiscoveryCoordinatorTests)."""
+        seen: set = set()
+        self._available = []
+        for device in devices:
+            if not device.is_supported_profile_output or device.uid in seen:
+                continue
+            seen.add(device.uid)
+            self._available.append(device)
         now = self._clock()
         changed = False
         for device in self._available:

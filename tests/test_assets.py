@@ -434,3 +434,19 @@ def test_manifest_corruption_and_traversal_rows_are_skipped(tmp_path):
         fh.write("{ not json")
     m.reload()
     assert m.presets() == []
+
+
+def test_inventory_filters_duplicate_uids(tmp_path):
+    """The manager boundary filters duplicate UIDs (ref
+    OutputDeviceDiscoveryCoordinatorTests) — one target row per device."""
+    store = JSONStore(str(tmp_path / "profiles.json"))
+    m = DeviceProfileManager(store, clock=make_clock())
+    m.update_available_devices([
+        OutputDeviceDescriptor(uid="dup", name="First"),
+        OutputDeviceDescriptor(uid="dup", name="Second"),
+        OutputDeviceDescriptor(uid="other", name="Other"),
+    ])
+    rows = [t for t in m.targets() if t.is_available]
+    assert [(t.device_uid, t.name) for t in rows] == [
+        ("dup", "First"), ("other", "Other"),
+    ]
