@@ -82,6 +82,13 @@ def test_update_state_model_no_update_error_is_benign():
     model.finished(error_code=42, message="network down")
     assert model.phase == pres.UpdatePhase.ERROR
     assert model.message == "network down"
+    # Cross-phase leftovers clear: no stale version in the error state,
+    # no stale error text after a later clean check.
+    assert model.version is None
+    model.began_checking()
+    model.found_no_update()
+    assert model.phase == pres.UpdatePhase.CURRENT
+    assert model.message is None and model.version is None
 
 
 def test_launch_routing_policy():
