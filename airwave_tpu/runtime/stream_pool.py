@@ -119,6 +119,7 @@ class StreamPool:
         self._pending_out: Dict[int, deque] = {}
         self.rounds = 0
         self.blocks_rendered = 0
+        self.render_errors = 0
 
     # --- stream lifecycle -----------------------------------------------------------
 
@@ -230,14 +231,34 @@ class StreamPool:
                 self.eq_runtime.is_transitioning
                 or self.eq_runtime.pending_target is not None
             )
-            state, y = _pool_step(
-                self.renderer.conv_params, p_from, p_to,
-                PoolState(self._state.conv, eq_state),
-                jnp.asarray(x), jnp.asarray(active),
-                transition_length=self.eq_runtime.transition_length,
-                eq_enabled=self._eq_enabled,
-                eq_crossfading=crossfading,
-            )
+            try:
+                state, y = _pool_step(
+                    self.renderer.conv_params, p_from, p_to,
+                    PoolState(self._state.conv, eq_state),
+                    jnp.asarray(x), jnp.asarray(active),
+                    transition_length=self.eq_runtime.transition_length,
+                    eq_enabled=self._eq_enabled,
+                    eq_crossfading=crossfading,
+                )
+            except Exception:
+                # The step donates the carry, so after a device failure
+                # the old buffers may already be consumed — rebuild fresh
+                # per-stream state (the reference's recovery is likewise a
+                # fresh pipeline; ConvolutionEngine history resets). The
+                # blocks harvested for THIS round are lost to the failure
+                # and surface as underflow zeros at pull time; the pool
+                # itself stays usable for the next round.
+                self._state = PoolState(
+                    conv=upols.make_conv_state(
+                        self.max_streams, self.renderer.num_speakers,
+                        self.renderer.partition_count, self.block_size,
+                    ),
+                    eq=eq_block.make_eq_state(
+                        self.max_streams, 2, self.config.eq_state_dim
+                    ),
+                )
+                self.render_errors += 1
+                raise
             self._state = state
             self.eq_runtime.after_block(self.block_size)
 

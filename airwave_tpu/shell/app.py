@@ -32,12 +32,24 @@ def _default_data_dir() -> str:
 
 
 def _load_equalizer(path: Optional[str]):
+    """Parse an EqualizerAPO preset for the render/serve CLIs.
+
+    EQ failures are NON-FATAL on the processing chain (the reference
+    graph's contract) — a preset that fails to parse warns with its
+    line-numbered issues and the render continues spatial-only, same as
+    a preset that parses but fails coefficient design."""
     if path is None:
         return None
     from airwave_tpu.io import apo
+    from airwave_tpu.utils.errors import EqualizerParseError
 
     with open(path, "rb") as f:
-        return apo.parse(f.read(), os.path.basename(path))
+        data = f.read()
+    try:
+        return apo.parse(data, os.path.basename(path))
+    except EqualizerParseError as err:
+        print(f"warning: equalizer disabled: {err}", file=sys.stderr)
+        return None
 
 
 def cmd_render(args) -> int:
@@ -73,7 +85,7 @@ def cmd_render(args) -> int:
         spatial = SpatialEffect(batch=batch, sample_rate=rate,
                                 block_size=args.block_size)
         spatial.set_renderer(renderer)
-        graph = AudioEffectGraph(spatial)
+        graph = AudioEffectGraph(spatial, batch=batch)
         result = graph.prepare(rate, definition)
         if result.equalizer_warning is not None:
             print(f"warning: {result.equalizer_warning}", file=sys.stderr)
@@ -101,8 +113,6 @@ def cmd_render(args) -> int:
         from airwave_tpu.ops import biquad_design as bd
 
         hrir_td = build_hrir_time_domain(hrir, layout, rate)
-        import time as _time
-
         preamp, coeffs = 1.0, None
         if definition is not None:
             # EQ preparation failures stay NON-FATAL warnings here too
@@ -113,10 +123,10 @@ def cmd_render(args) -> int:
             except Exception as exc:
                 print(f"warning: equalizer disabled: {exc}", file=sys.stderr)
                 eq_active = False
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         y, _ = bake_fn(hrir_td, x, rate, coeffs, preamp,
                        block_size=block, blocks_per_step=8)
-        elapsed = _time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
         profile_report = {
             "mode": "throughput",
             "seconds": elapsed,
@@ -244,12 +254,17 @@ def cmd_demo(args) -> int:
                    None)
     if neutral is not None:
         profiles.set_hrir_preset_id(output.uid, neutral.id)
+    eq_applied = None
     if args.eq_preset:
         match = next((p for p in eq.presets()
                       if args.eq_preset.lower() in p.display_name.lower()),
                      None)
         if match is not None:
             profiles.set_equalizer_preset_id(output.uid, match.id)
+            eq_applied = match.display_name
+        else:
+            print(f"warning: no bundled EQ preset matches "
+                  f"{args.eq_preset!r}; running without EQ", file=sys.stderr)
 
     coordinator.launch()
     block = 512
@@ -270,6 +285,7 @@ def cmd_demo(args) -> int:
         "status_trail": trail[-12:],
         "frames_pumped": transport.frames_pumped,
         "spatial_ready": spatial.is_ready,
+        "equalizer_preset": eq_applied,
         "output_peak": round(peak, 4),
     }, indent=2))
     return 0
@@ -313,6 +329,12 @@ def cmd_status(args) -> int:
     import jax
 
     from airwave_tpu.native import native_available
+
+    if args.cpu:
+        # In-process pin: on this class of environment a force-registered
+        # remote TPU platform ignores JAX_PLATFORMS, and the quickest
+        # diagnostic command must not hang on a flapping tunnel.
+        jax.config.update("jax_platforms", "cpu")
 
     print(json.dumps({
         "package": "airwave_tpu",
@@ -373,6 +395,7 @@ def build_parser() -> argparse.ArgumentParser:
     serve.set_defaults(fn=cmd_serve)
 
     status = sub.add_parser("status")
+    status.add_argument("--cpu", action="store_true")
     status.set_defaults(fn=cmd_status)
     return parser
 

@@ -23,7 +23,10 @@ sub-block residue. Violations close the connection with a clean EOF frame
 instead of killing the serving thread.
 Rendered audio follows the pool's underflow contract: the server returns
 whatever is rendered so far; remaining tail is flushed after the client EOF
-(zero-padded to the block boundary).
+(zero-padded to the block boundary). The server's EOF frame is a
+completion guarantee — if rendering stalls past the client timeout the
+connection closes WITHOUT it, so clients can distinguish a truncated
+stream from a successful one (`truncated_closes` counts these).
 """
 
 from __future__ import annotations
@@ -97,6 +100,8 @@ class RenderServer:
         self.connections_served = 0
         self.protocol_errors = 0
         self.pump_errors = 0
+        self.rejected_full = 0
+        self.truncated_closes = 0
 
     def start(self) -> None:
         self._pump_thread = threading.Thread(target=self._pump_loop,
@@ -201,6 +206,7 @@ class RenderServer:
         stream: Optional[int] = None
         block = self.pool.block_size
         clean = False
+        suppress_eof = False
         try:
             conn.settimeout(self.client_timeout)
             header_bytes = b""
@@ -213,13 +219,26 @@ class RenderServer:
                     self.protocol_errors += 1
                     return
             header = json.loads(header_bytes.decode())
-            channels = int(header.get("channels", 2))
-            if channels not in (1, self.pool.renderer.num_speakers):
+            if not isinstance(header, dict):
                 self.protocol_errors += 1
                 return  # finally sends the clean EOF frame
+            try:
+                channels = int(header.get("channels", 2))
+            except (TypeError, ValueError):
+                self.protocol_errors += 1
+                return
+            if channels not in (1, self.pool.renderer.num_speakers):
+                self.protocol_errors += 1
+                return
 
             with self._lock:
-                stream = self.pool.attach()
+                try:
+                    stream = self.pool.attach()
+                except RuntimeError:
+                    # Pool at max_streams: refuse THIS client cleanly
+                    # instead of killing its serving thread.
+                    self.rejected_full += 1
+                    return
                 self.connections_served += 1
             received = 0
             returned = 0
@@ -266,6 +285,14 @@ class RenderServer:
                     if available >= remaining or time.monotonic() >= deadline:
                         break
                     generation = self._await_pump_round(generation, deadline)
+                if available < remaining:
+                    # Incomplete render (device stalled past the timeout):
+                    # close WITHOUT the EOF frame so the client can tell
+                    # truncation from success — an EOF frame means every
+                    # pushed frame came back rendered.
+                    self.truncated_closes += 1
+                    suppress_eof = True
+                    return
                 with self._lock:
                     out = self.pool.pull(stream, remaining)
                 _send_frame(conn, out)
@@ -275,7 +302,7 @@ class RenderServer:
                 AssertionError):
             pass
         finally:
-            if not clean:
+            if not clean and not suppress_eof:
                 try:
                     conn.sendall(_LEN.pack(0))
                 except OSError:

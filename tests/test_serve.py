@@ -262,3 +262,42 @@ def test_pump_thread_survives_render_exceptions(server):
         assert y.shape == (2, 4 * BLOCK) and np.abs(y).max() > 1e-4
     finally:
         srv.pool.pump = real_pump
+
+
+def test_full_pool_rejects_connection_cleanly():
+    """A connection beyond max_streams is refused with a clean close (and
+    counted) instead of killing its serving thread."""
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(1, 48_000.0, renderer, block_size=BLOCK)
+    srv = RenderServer(pool, port=0)
+    srv.start()
+    try:
+        import json as _json
+        import socket
+        import time
+
+        # Hold the single slot with a half-open client.
+        holder = socket.create_connection(srv.address, timeout=10)
+        holder.sendall(_json.dumps({"channels": 2}).encode() + b"\n")
+        holder.sendall(np.float32(1).tobytes()[:0])  # nothing yet
+        deadline = time.monotonic() + 5
+        while not pool._attached and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert pool._attached
+
+        # Second client: refused cleanly, server stays healthy.
+        x = np.ones((2, BLOCK), np.float32) * 0.2
+        y = render_via_server(srv.address, x)
+        assert y.shape == (2, 0)
+        assert srv.rejected_full == 1
+        holder.close()
+        deadline = time.monotonic() + 5
+        while pool._attached and time.monotonic() < deadline:
+            time.sleep(0.01)
+        y = render_via_server(srv.address, x)
+        assert y.shape == (2, BLOCK)
+    finally:
+        srv.stop()

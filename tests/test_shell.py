@@ -369,3 +369,59 @@ def test_render_cli_throughput_eq_failure_is_nonfatal(tmp_path, capsys):
     assert "warning" in captured.err
     audio = wav.load(report["rendered"][0]).audio
     assert np.isfinite(audio).all() and np.abs(audio).max() > 1e-4
+
+
+def test_render_cli_multiple_inputs_with_eq(tmp_path, capsys):
+    """Multi-input renders share one batched device step; with --eq the
+    graph must be built at the input batch size (regression: batch=1 EQ
+    against a batch=2 render crashed on the first block)."""
+    from airwave_tpu.assets.bundled import synthesize_hrir
+    from airwave_tpu.io import wav
+
+    hrir_path = str(tmp_path / "h.wav")
+    wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
+    rng = np.random.default_rng(6)
+    paths = []
+    for name in ("a", "b"):
+        p = str(tmp_path / f"{name}.wav")
+        wav.save(p, (rng.standard_normal((2, 700)) * 0.2).astype(np.float32),
+                 48_000)
+        paths.append(p)
+    eq_path = tmp_path / "p.txt"
+    eq_path.write_text("Preamp: -3 dB\nFilter 1: ON PK Fc 120 Hz Gain 2 dB Q 1\n")
+
+    rc = app_main([
+        "render", "--cpu", "--input", paths[0], "--input", paths[1],
+        "--hrir", hrir_path, "--eq", str(eq_path),
+        "--output-dir", str(tmp_path / "out"), "--block-size", "128",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert len(report["rendered"]) == 2 and report["equalizer"] is True
+    for out_path in report["rendered"]:
+        audio = wav.load(out_path).audio
+        assert np.isfinite(audio).all() and np.abs(audio).max() > 1e-4
+
+
+def test_render_cli_unparseable_eq_is_nonfatal(tmp_path, capsys):
+    """A preset that fails to PARSE (not just design) warns and renders
+    spatial-only — same non-fatal contract as design failures."""
+    from airwave_tpu.assets.bundled import synthesize_hrir
+    from airwave_tpu.io import wav
+
+    hrir_path = str(tmp_path / "h.wav")
+    wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
+    in_path = str(tmp_path / "in.wav")
+    wav.save(in_path, np.ones((2, 512), np.float32) * 0.2, 48_000)
+    eq_path = tmp_path / "broken.txt"
+    eq_path.write_text("this is not an EqualizerAPO file\n")
+
+    rc = app_main([
+        "render", "--cpu", "--input", in_path, "--hrir", hrir_path,
+        "--eq", str(eq_path), "--output-dir", str(tmp_path / "out"),
+        "--block-size", "128",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "warning" in captured.err
+    assert json.loads(captured.out)["equalizer"] is False
