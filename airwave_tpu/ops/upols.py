@@ -249,12 +249,23 @@ def make_conv_state(batch: int, num_speakers: int, partition_count: int,
     )
 
 
-def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
+def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
+              active_mask: jax.Array | None = None):
     """One overlap-save block: x [B, S, T] float32 -> (state', y [B, E, T]).
 
     y[b, e] = sum_s sum_p conv(x_s, H[s, e, p]) — per-speaker HRIR convolution
     with the ear downmix fused in (the reference's processAndAccumulate loop,
     RealtimeAudioProcessor.swift:145-163).
+
+    `active_mask` [B] bool (optional, for the serving pool's shared-cursor
+    ring): an inactive lane's slot content and overlap are preserved exactly
+    (the current slot is read back — [Kp,S,1,2,B], 1/P2 of the line — and
+    `where`d into the write), while the shared cursor still advances. The
+    lane's stored spectra are then rotated relative to the new cursor; the
+    pool repairs that with conv_roll_lanes before the lane next steps. An
+    inactive lane's OUTPUT row is garbage (stale overlap + foreign x) and
+    must not be delivered. With active_mask=None this is byte-identical to
+    the bake/live path (no extra HLO).
     """
     B, S, T = x.shape
     P2 = state.fdl.shape[2]
@@ -264,9 +275,16 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
     X_km = _to_slot(X_planes, state.fdl.shape[0])  # [Kp, S, 1, 2, B]
 
     zero = jnp.zeros((), jnp.int32)
+    w = state.write_pos.astype(jnp.int32)
+    if active_mask is not None:
+        m = active_mask.astype(bool)
+        current = jax.lax.dynamic_slice(
+            state.fdl, (zero, zero, w, zero, zero),
+            X_km.shape,
+        )
+        X_km = jnp.where(m[None, None, None, None, :], X_km, current)
     fdl = jax.lax.dynamic_update_slice(
-        state.fdl, X_km,
-        (zero, zero, state.write_pos.astype(jnp.int32), zero, zero),
+        state.fdl, X_km, (zero, zero, w, zero, zero),
     )
 
     # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
@@ -276,12 +294,46 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array):
 
     y = _mac_irfft(fdl, h_rev, params.wi).astype(x.dtype)
 
+    overlap = x
+    if active_mask is not None:
+        overlap = jnp.where(m[:, None, None], x, state.overlap)
     new_state = ConvState(
         fdl=fdl,
-        overlap=x,
+        overlap=overlap,
         write_pos=(state.write_pos + 1) % P2,
     )
     return new_state, y
+
+
+def conv_roll_lanes(state: ConvState, lane_idx: jax.Array,
+                    shift: jax.Array) -> ConvState:
+    """Re-align paused lanes to the shared ring cursor.
+
+    A lane that sat out `d` shared-cursor advances (its slot preserved by
+    conv_step's active_mask) holds spectra rotated by d relative to the
+    cursor; rolling the lane's slot axis FORWARD by d mod P2 restores exact
+    alignment — for ANY pause length, with no data loss (a full cursor lap
+    is the identity). The pool batches all rejoining lanes into one call
+    (bucketed k for compile stability; duplicate pad indices are benign
+    because their rolled values are identical).
+
+    lane_idx: [k] int32 lanes to fix; shift: [k] int32 (mod P2 applied
+    here). Touches k * line/B of HBM — cheap and rare vs. the full-line
+    rewrite the rolled shift-register step paid every block.
+    """
+    P2 = state.fdl.shape[2]
+    sh = shift.astype(jnp.int32) % P2
+    lanes = jnp.moveaxis(state.fdl[..., lane_idx], -1, 0)  # [k,Kp,S,P2,C]
+    # new slot p takes old slot (p - shift) mod P2
+    src = (jnp.arange(P2, dtype=jnp.int32)[None, :] - sh[:, None]) % P2
+    rolled = jnp.take_along_axis(
+        lanes, src[:, None, None, :, None], axis=3
+    )
+    fdl = state.fdl.at[..., lane_idx].set(
+        jnp.moveaxis(rolled, 0, -1), mode="drop"
+    )
+    return ConvState(fdl=fdl, overlap=state.overlap,
+                     write_pos=state.write_pos)
 
 
 class PagedConvState(NamedTuple):

@@ -19,6 +19,7 @@ an idle stream has no samples to blend).
 from __future__ import annotations
 
 import functools
+import os
 from collections import deque
 from typing import Dict, NamedTuple, Optional
 
@@ -33,26 +34,52 @@ from airwave_tpu.io.apo import EqualizerDefinition
 from airwave_tpu.native import RaggedAssembler
 from airwave_tpu.ops import eq_block, upols
 
+# Device-step lowering. "ring" (default): all lanes share one FDL write
+# cursor; a round's slot write is ONE in-place dynamic_update_slice (1/P2
+# of the line), inactive lanes' slot/overlap preserved by a cheap masked
+# read-back, and lanes that sat rounds out are re-aligned by a bucketed
+# per-lane roll before they next step (upols.conv_roll_lanes). "rolled"
+# keeps round 2's masked shift-register step (a full delay-line rewrite
+# per block, measured ~2.2x slower at B=8192) for re-measurement.
+_POOL_STEP = os.environ.get("AIRWAVE_POOL_STEP", "ring").lower()
+if _POOL_STEP not in ("ring", "rolled"):
+    raise ValueError(
+        f"AIRWAVE_POOL_STEP={_POOL_STEP!r}: expected ring or rolled"
+    )
+
 
 class PoolState(NamedTuple):
     conv: upols.ConvState
     eq: eq_block.EqState
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("transition_length", "eq_enabled", "eq_crossfading"),
-    donate_argnums=(3,),
-)
-def _pool_step(conv_params, eq_from, eq_to, state, x, active,
-               transition_length, eq_enabled, eq_crossfading):
-    # NOTE: the bake path's EQ-into-synthesis fold was measured on this
-    # step too and REJECTED (fused 10.5 vs plain 8.5 ms/block at B=8192 —
-    # the dual projections re-constrain layouts; BENCH_NOTES.md round-2
-    # addendum). The fold is multi-block-only.
+def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
+                   transition_length, eq_enabled, eq_crossfading,
+                   variant=_POOL_STEP):
+    """One pool round: scatter the harvested rows into the dense batch on
+    device, step the masked chain, gather the harvested rows back.
+
+    blocks [kb, S, T] / idx [kb] int32 are the harvest bucket (pad rows
+    carry idx == max_streams and are dropped by the scatter); only the
+    harvested output rows travel back to the host, so per-round transfer
+    scales with the harvest, not the pool size.
+
+    NOTE: the bake path's EQ-into-synthesis fold was measured on this
+    step too and REJECTED (fused 10.5 vs plain 8.5 ms/block at B=8192 —
+    the dual projections re-constrain layouts; BENCH_NOTES.md round-2
+    addendum). The fold is multi-block-only.
+    """
     conv_state, eq_state = state
-    mask = active.astype(bool)
-    conv_state, y = upols.conv_step_rolled(conv_params, conv_state, x, mask)
+    B, S, T = conv_state.overlap.shape
+    x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(blocks, mode="drop")
+    active = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
+    mask = active
+    if variant == "rolled":
+        conv_state, y = upols.conv_step_rolled(
+            conv_params, conv_state, x, mask
+        )
+    else:
+        conv_state, y = upols.conv_step(conv_params, conv_state, x, mask)
     if eq_enabled:
         new_eq, y = eq_block.eq_step(
             eq_from, eq_to, eq_state, y, transition_length, eq_crossfading
@@ -63,7 +90,21 @@ def _pool_step(conv_params, eq_from, eq_to, state, x, active,
             s_to=jnp.where(mask[:, None, None], new_eq.s_to, eq_state.s_to),
             counter=jnp.where(mask, new_eq.counter, eq_state.counter),
         )
-    return PoolState(conv_state, eq_state), y
+    y_rows = jnp.take(y, jnp.minimum(idx, B - 1), axis=0)
+    return PoolState(conv_state, eq_state), y_rows
+
+
+_pool_step = functools.partial(
+    jax.jit,
+    static_argnames=("transition_length", "eq_enabled", "eq_crossfading",
+                     "variant"),
+    donate_argnums=(3,),
+)(pool_step_body)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _roll_lanes(conv_state, lane_idx, shift):
+    return upols.conv_roll_lanes(conv_state, lane_idx, shift)
 
 
 class StreamPool:
@@ -108,6 +149,11 @@ class StreamPool:
         )
         self._attached: Dict[int, bool] = {}
         self._free = list(range(max_streams - 1, -1, -1))
+        # Shared-cursor ring bookkeeping: debt[b] counts cursor advances a
+        # lane sat out since it last stepped; a harvested lane with
+        # debt % P2 != 0 is rolled back into alignment first (see
+        # upols.conv_roll_lanes). Host-side only — never device state.
+        self._debt = np.zeros(max_streams, np.int64)
         # Safety net for unlocked concurrent pull/pump races: rendered
         # blocks whose output ring filled between the harvest-time space
         # check and delivery stash here IN ORDER and re-flush on pull. In
@@ -131,6 +177,9 @@ class StreamPool:
         self.assembler.reset_stream(stream)
         self._out.reset_stream(stream)
         self._reset_state_rows(stream)
+        # A zeroed lane is rotation-invariant: valid at any shared-cursor
+        # position, so a fresh stream joins with no alignment debt.
+        self._debt[stream] = 0
         return stream
 
     def detach(self, stream: int) -> None:
@@ -176,6 +225,7 @@ class StreamPool:
             self._state = PoolState(
                 conv=upols.conv_reset(self._state.conv), eq=self._state.eq
             )
+            self._debt[:] = 0
             return
         if old.num_speakers != renderer.num_speakers:
             raise ValueError(
@@ -188,6 +238,7 @@ class StreamPool:
             ),
             eq=self._state.eq,
         )
+        self._debt[:] = 0
 
     # --- data plane -------------------------------------------------------------------
 
@@ -201,72 +252,135 @@ class StreamPool:
             chunk = np.repeat(chunk, speakers, axis=0)
         self.assembler.push(stream, chunk)
 
-    def pump(self, max_rounds: int = 64) -> int:
-        """Render while any stream has a full block. Returns rounds run."""
-        rounds = 0
-        while rounds < max_rounds and self.assembler.ready_count() > 0:
-            # Only harvest streams whose output ring can take the rendered
-            # block — a slow reader's stream stays un-harvested (and its
-            # producer eventually sees input-ring backpressure) instead of
-            # overflowing after the carry has advanced.
-            allow = self._out.out_free_all() >= self.block_size
-            indices, blocks = self.assembler.harvest_allowed(
-                self.max_streams, allow
-            )
-            if len(indices) == 0:
-                break
-            x = np.zeros(
-                (self.max_streams, self.renderer.num_speakers,
-                 self.block_size),
-                np.float32,
-            )
-            active = np.zeros(self.max_streams, np.float32)
-            x[indices] = blocks
-            active[indices] = 1.0
+    def _bucket(self, k: int) -> int:
+        b = 1
+        while b < k:
+            b <<= 1
+        return min(b, self.max_streams)
 
-            eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(
-                self._state.eq
-            )
-            crossfading = (
-                self.eq_runtime.is_transitioning
-                or self.eq_runtime.pending_target is not None
-            )
-            try:
-                state, y = _pool_step(
+    def pump(self, max_rounds: int = 64) -> int:
+        """Render while any stream has a full block. Returns rounds run.
+
+        Per round, only the harvested rows cross the host<->device
+        boundary (blocks + indices up, rendered rows down — the dense
+        batch is scattered/gathered on device), and delivery of round r's
+        output is deferred until round r+1 has been dispatched so the
+        readback overlaps the next round's compute (the DeviceFeeder
+        double-buffering pattern, inlined). The output-ring gating
+        accounts for the one in-flight undelivered block, so backpressure
+        semantics are identical to unpipelined delivery.
+        """
+        rounds = 0
+        pending = None  # (indices, device y_rows) awaiting delivery
+        inflight = np.zeros(self.max_streams, bool)
+        p2 = int(self._state.conv.fdl.shape[2])
+        try:
+            while rounds < max_rounds and self.assembler.ready_count() > 0:
+                # Only harvest streams whose output ring can take the
+                # rendered block — a slow reader's stream stays
+                # un-harvested (and its producer eventually sees
+                # input-ring backpressure) instead of overflowing after
+                # the carry has advanced. An undelivered in-flight block
+                # counts against the free space.
+                free = self._out.out_free_all()
+                allow = (
+                    free - inflight * self.block_size
+                ) >= self.block_size
+                indices, blocks = self.assembler.harvest_allowed(
+                    self.max_streams, allow
+                )
+                if len(indices) == 0:
+                    break
+
+                rejoin = indices[self._debt[indices] % p2 != 0]
+                if rejoin.size and _POOL_STEP == "ring":
+                    kb = self._bucket(len(rejoin))
+                    lane = np.full(kb, self.max_streams, np.int32)
+                    shift = np.zeros(kb, np.int32)
+                    lane[: len(rejoin)] = rejoin
+                    shift[: len(rejoin)] = self._debt[rejoin] % p2
+                    self._state = PoolState(
+                        conv=_roll_lanes(self._state.conv,
+                                         jnp.asarray(lane),
+                                         jnp.asarray(shift)),
+                        eq=self._state.eq,
+                    )
+
+                k = len(indices)
+                kb = self._bucket(k)
+                idx_up = np.full(kb, self.max_streams, np.int32)
+                idx_up[:k] = indices
+                if kb != k:
+                    pad = np.zeros(
+                        (kb - k,) + blocks.shape[1:], blocks.dtype
+                    )
+                    blocks = np.concatenate([blocks, pad], axis=0)
+
+                eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(
+                    self._state.eq
+                )
+                crossfading = (
+                    self.eq_runtime.is_transitioning
+                    or self.eq_runtime.pending_target is not None
+                )
+                state, y_rows = _pool_step(
                     self.renderer.conv_params, p_from, p_to,
                     PoolState(self._state.conv, eq_state),
-                    jnp.asarray(x), jnp.asarray(active),
+                    jnp.asarray(blocks), jnp.asarray(idx_up),
                     transition_length=self.eq_runtime.transition_length,
                     eq_enabled=self._eq_enabled,
                     eq_crossfading=crossfading,
                 )
-            except Exception:
-                # The step donates the carry, so after a device failure
-                # the old buffers may already be consumed — rebuild fresh
-                # per-stream state (the reference's recovery is likewise a
-                # fresh pipeline; ConvolutionEngine history resets). The
-                # blocks harvested for THIS round are lost to the failure
-                # and surface as underflow zeros at pull time; the pool
-                # itself stays usable for the next round.
-                self._state = PoolState(
-                    conv=upols.make_conv_state(
-                        self.max_streams, self.renderer.num_speakers,
-                        self.renderer.partition_count, self.block_size,
-                    ),
-                    eq=eq_block.make_eq_state(
-                        self.max_streams, 2, self.config.eq_state_dim
-                    ),
-                )
-                self.render_errors += 1
-                raise
-            self._state = state
-            self.eq_runtime.after_block(self.block_size)
+                self._state = state
+                self.eq_runtime.after_block(self.block_size)
+                self._debt[self._debt_targets(indices)] += 1
+                self._debt[indices] = 0
 
-            self._deliver(indices, np.asarray(y)[indices])
-            self.rounds += 1
-            self.blocks_rendered += len(indices)
-            rounds += 1
+                if pending is not None:
+                    prev_idx, prev_rows = pending
+                    self._deliver(
+                        prev_idx, np.asarray(prev_rows)[: len(prev_idx)]
+                    )
+                    inflight[prev_idx] = False
+                pending = (indices, y_rows)
+                inflight[indices] = True
+                self.rounds += 1
+                self.blocks_rendered += k
+                rounds += 1
+            if pending is not None:
+                prev_idx, prev_rows = pending
+                pending = None
+                self._deliver(prev_idx, np.asarray(prev_rows)[: len(prev_idx)])
+        except Exception:
+            # The step donates the carry, so after a device failure the
+            # old buffers may already be consumed — rebuild fresh
+            # per-stream state (the reference's recovery is likewise a
+            # fresh pipeline; ConvolutionEngine history resets). Blocks
+            # harvested for in-flight rounds are lost to the failure and
+            # surface as underflow zeros at pull time; the pool itself
+            # stays usable for the next round.
+            self._state = PoolState(
+                conv=upols.make_conv_state(
+                    self.max_streams, self.renderer.num_speakers,
+                    self.renderer.partition_count, self.block_size,
+                ),
+                eq=eq_block.make_eq_state(
+                    self.max_streams, 2, self.config.eq_state_dim
+                ),
+            )
+            self._debt[:] = 0
+            self.render_errors += 1
+            raise
         return rounds
+
+    def _debt_targets(self, harvested: np.ndarray) -> np.ndarray:
+        """Attached lanes that sat this round out (their alignment debt
+        grows by one cursor advance)."""
+        mask = np.zeros(self.max_streams, bool)
+        for s in self._attached:
+            mask[s] = True
+        mask[harvested] = False
+        return mask
 
     def _deliver(self, indices: np.ndarray, blocks: np.ndarray) -> None:
         """Queue rendered blocks. Harvest gating guarantees space at

@@ -41,7 +41,7 @@ HOT_MODULES = {
     "airwave_tpu/models/binaural.py": {"chain_step_fn", "chain_step_multi_fn"},
     "airwave_tpu/kernels/upols_pallas.py": {"conv_step_packed", "_mac_kernel",
                                             "_fdl_mac_call", "_rotate_h"},
-    "airwave_tpu/runtime/stream_pool.py": {"_pool_step"},
+    "airwave_tpu/runtime/stream_pool.py": {"pool_step_body"},
 }
 
 FORBIDDEN_CALLS = {

@@ -134,6 +134,114 @@ def test_conv_step_rolled_mask_freezes_inactive_streams():
     assert not np.array_equal(np.asarray(state.fdl)[..., 0], frozen_fdl)
 
 
+def test_conv_step_masked_ring_with_debt_roll_matches_rolled():
+    """The pool's shared-cursor ring lowering: inactive lanes preserved by
+    the masked slot write, rejoining lanes re-aligned by conv_roll_lanes.
+    Must match the shift-register step's per-stream math to f32 rounding
+    under random pause patterns, including pauses longer than a full
+    cursor lap (a lap is the identity — no data ever lost)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    T, B, S = 64, 5, 2
+    hrir = rng.standard_normal((S, 2, 400)).astype(np.float32) * 0.3
+    params = upols.make_conv_params(hrir, T)
+    p2 = params.partition_count
+    s_ring = upols.make_conv_state(B, S, p2, T)
+    s_roll = upols.make_conv_state(B, S, p2, T)
+    debt = np.zeros(B, np.int64)
+    paused_long = False
+    for step in range(3 * p2 + 8):
+        active = rng.random(B) < 0.55
+        if step < 2:
+            active[:] = True
+        # Hold lane 0 inactive for over a full lap once, to cover wrap.
+        if p2 + 2 <= step <= 2 * p2 + 4:
+            active[0] = False
+            paused_long = True
+        x = jnp.asarray(
+            rng.standard_normal((B, S, T)).astype(np.float32)
+            * active[:, None, None]
+        )
+        m = jnp.asarray(active)
+        rejoin = np.where(active & (debt % p2 != 0))[0]
+        if len(rejoin):
+            s_ring = upols.conv_roll_lanes(
+                s_ring, jnp.asarray(rejoin, np.int32),
+                jnp.asarray(debt[rejoin], np.int32),
+            )
+        s_ring, y_ring = upols.conv_step(params, s_ring, x, m)
+        s_roll, y_roll = upols.conv_step_rolled(params, s_roll, x, m)
+        debt[active] = 0
+        debt[~active] += 1
+        ya = np.asarray(y_ring)[active]
+        yb = np.asarray(y_roll)[active]
+        if ya.size:
+            rel = np.sqrt(np.mean((ya - yb) ** 2)) / max(
+                np.sqrt(np.mean(yb**2)), 1e-9
+            )
+            assert rel < 1e-6, (step, rel)
+    assert paused_long
+
+
+def test_stream_pool_ragged_multistream_pauses_match_oracle():
+    """Multi-stream pool where streams starve at different rounds (the
+    debt/roll path): every stream's output must still match its own
+    oracle chain exactly — pauses are invisible to the per-stream math."""
+    block = 64
+    renderer, audio = make_renderer(block=block)
+    pool = StreamPool(4, 48_000.0, renderer, eq_definition=None,
+                      block_size=block)
+    streams = [pool.attach() for _ in range(3)]
+    rng = np.random.default_rng(21)
+    n_blocks = 12
+    sigs = [
+        (rng.standard_normal((2, n_blocks * block)) * 0.3).astype(np.float32)
+        for _ in streams
+    ]
+    # Schedule: stream 0 feeds every round, stream 1 every 2nd, stream 2
+    # in bursts of 3 with long gaps (debt exceeding a cursor lap).
+    fed = [0, 0, 0]
+    for rnd in range(40):
+        feeds = [True, rnd % 2 == 0, rnd % 24 < 3]
+        for i, s in enumerate(streams):
+            if feeds[i] and fed[i] < n_blocks:
+                pool.push(s, sigs[i][:, fed[i] * block:(fed[i] + 1) * block])
+                fed[i] += 1
+        pool.pump()
+        for i, s in enumerate(streams):  # drain to keep out rings free
+            n = pool.available(s)
+            if n:
+                sigs[i].dtype  # no-op, keep loop shape obvious
+    outs = [[] for _ in streams]
+    for rnd in range(80):
+        if all(f >= n_blocks for f in fed):
+            break
+        for i, s in enumerate(streams):
+            if fed[i] < n_blocks:
+                pool.push(s, sigs[i][:, fed[i] * block:(fed[i] + 1) * block])
+                fed[i] += 1
+        pool.pump()
+    for i, s in enumerate(streams):
+        outs[i] = pool.pull(s, n_blocks * block)
+
+    m = cm.hesuvi_14_channel(cm.STEREO.channels)
+    for i in range(len(streams)):
+        ref = np.zeros((2, n_blocks * block))
+        for spk_idx, speaker in enumerate((cm.FL, cm.FR)):
+            li, ri = m.indices(speaker)
+            for ear, ch in ((0, li), (1, ri)):
+                o = UPOLSOracle(audio[ch], block)
+                ref[ear] += np.concatenate(
+                    [o.process(sigs[i][spk_idx, j * block:(j + 1) * block])
+                     for j in range(n_blocks)]
+                )
+        err = np.sqrt(np.mean((outs[i] - ref) ** 2)) / np.sqrt(
+            np.mean(ref**2)
+        )
+        assert err < 1e-5, (i, err)
+
+
 def test_stream_pool_end_to_end_matches_oracle():
     block = 64
     renderer, audio = make_renderer(block=block)
