@@ -258,6 +258,57 @@ class StreamPool:
             b <<= 1
         return min(b, self.max_streams)
 
+    def prewarm(self, up_to: Optional[int] = None) -> None:
+        """Compile every device-step shape serving can hit, up front.
+
+        Serving stalls on a mid-flight jit compile are fatal to latency
+        (a cold kb=256 pool-step compile measured 454 s over this
+        environment's tunnel): a newly-seen harvest-bucket size, the
+        crossfade variant on the first EQ retarget, or the first debt
+        roll would each trigger one. This runs each bucket of the step
+        (both crossfade variants when EQ is on) and the lane-roll with
+        all-dropped indices — mathematically a no-op on every attached
+        lane (the shared cursor advances, recorded as alignment debt) —
+        so the compiles land before traffic does. Idempotent; with the
+        persistent jit cache, repeat calls are cheap.
+        """
+        limit = self.max_streams if up_to is None else min(
+            int(up_to), self.max_streams
+        )
+        buckets, k = [], 1
+        while True:
+            buckets.append(min(k, limit))
+            if k >= limit:
+                break
+            k <<= 1
+        buckets = sorted(set(buckets))
+        speakers = self.renderer.num_speakers
+        variants = (False, True) if self._eq_enabled else (False,)
+        for kb in buckets:
+            blocks = jnp.zeros((kb, speakers, self.block_size), jnp.float32)
+            idx = jnp.full((kb,), self.max_streams, jnp.int32)
+            for crossfading in variants:
+                eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(
+                    self._state.eq
+                )
+                state, _y = _pool_step(
+                    self.renderer.conv_params, p_from, p_to,
+                    PoolState(self._state.conv, eq_state), blocks, idx,
+                    transition_length=self.eq_runtime.transition_length,
+                    eq_enabled=self._eq_enabled,
+                    eq_crossfading=crossfading,
+                )
+                self._state = state
+                self._debt[self._debt_targets(
+                    np.empty(0, np.int64))] += 1
+            if _POOL_STEP == "ring":
+                lane = jnp.full((kb,), self.max_streams, jnp.int32)
+                self._state = PoolState(
+                    conv=_roll_lanes(self._state.conv, lane,
+                                     jnp.zeros((kb,), jnp.int32)),
+                    eq=self._state.eq,
+                )
+
     def pump(self, max_rounds: int = 64) -> int:
         """Render while any stream has a full block. Returns rounds run.
 

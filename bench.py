@@ -376,6 +376,70 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
     }
 
 
+def measure_serve(clients: int, blocks_each: int, calls: int):
+    """Loopback RenderServer throughput: N synthetic TCP clients stream
+    concurrently through one shared pool (the production serving stack:
+    sockets -> native rings -> batched device rounds -> sockets). The
+    analog of the reference's committed realtime perf harnesses
+    (/root/reference/AirwaveTests/RealtimeAudioProcessorTests.swift:128-166),
+    scaled to the pool architecture."""
+    _enable_compile_cache()
+    import threading
+
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.io import wav
+    from airwave_tpu.runtime.stream_pool import StreamPool
+    from airwave_tpu.shell.serve import RenderServer, render_via_server
+
+    data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+    renderer = prepare_renderer(data, cm.STEREO, SAMPLE_RATE, BLOCK)
+    pool = StreamPool(max(clients, 2), SAMPLE_RATE, renderer,
+                      eq_definition=None, block_size=BLOCK, ring_blocks=8)
+    # Compile every harvest-bucket/roll shape before opening the doors —
+    # a cold bucket compile mid-flight stalls past client timeouts.
+    pool.prewarm()
+    server = RenderServer(pool, port=0, client_timeout=120.0)
+    server.start()
+    try:
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal((2, blocks_each * BLOCK)) * 0.25
+                 ).astype(np.float32)
+        render_via_server(server.address, audio)  # warmup: compile + route
+
+        def one(outs, j):
+            outs[j] = render_via_server(server.address, audio)
+
+        # Untimed full-fleet round: compiles every harvest-bucket shape the
+        # fleet can produce, so the timed rounds measure serving, not jit.
+        outs = [None] * clients
+        threads = [threading.Thread(target=one, args=(outs, j))
+                   for j in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        best = float("inf")
+        for _ in range(calls):
+            outs = [None] * clients
+            threads = [threading.Thread(target=one, args=(outs, j))
+                       for j in range(clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            assert all(o is not None and o.size and
+                       np.all(np.isfinite(o)) for o in outs)
+            best = min(best, dt)
+        audio_seconds = clients * blocks_each * BLOCK / SAMPLE_RATE
+        return audio_seconds / best, best / blocks_each
+    finally:
+        server.stop()
+
+
 def measure(batch: int, blocks_per_call: int, calls: int,
             use_pallas: bool = False, batch_tile: int = 256,
             hrir_seconds: float = None, fdl_dtype: str = "float32",
@@ -468,6 +532,9 @@ def main():
     parser.add_argument("--pool-host", action="store_true",
                         help="end-to-end host serving loop through the real "
                              "StreamPool (rings + transfers + pulls)")
+    parser.add_argument("--serve", action="store_true",
+                        help="loopback RenderServer throughput with "
+                             "--batch synthetic TCP clients")
     parser.add_argument("--deadline", type=float, default=480.0)
     args = parser.parse_args()
     if args.pallas:
@@ -493,8 +560,33 @@ def main():
                       if args.pool else
                       "serving-pool host-loop realtime-multiple"
                       if args.pool_host else
+                      "render-server loopback realtime-multiple"
+                      if args.serve else
                       "realtime-multiple per chip "
                       "(48kHz stereo HRIR+EQ chain)"))
+
+    if args.serve:
+        clients = args.batch or (2 if args.smoke else 32)
+        blocks_each = args.blocks or (4 if args.smoke else 48)
+        try:
+            multiple, per_block = measure_serve(clients, blocks_each,
+                                                args.calls)
+        except Exception as err:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "render-server loopback realtime-multiple",
+                "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": f"serve bench failed: {err}",
+            }))
+            return
+        print(json.dumps({
+            "metric": "render-server loopback realtime-multiple",
+            "value": round(multiple, 1),
+            "unit": "x_realtime",
+            "vs_baseline": round(multiple / 5000.0, 3),
+            "clients": clients,
+            "ms_per_block_step": round(per_block * 1e3, 3),
+        }))
+        return
 
     if args.pool or args.pool_host:
         if args.smoke:

@@ -242,6 +242,33 @@ def test_stream_pool_ragged_multistream_pauses_match_oracle():
         assert err < 1e-5, (i, err)
 
 
+def test_stream_pool_prewarm_is_a_semantic_noop():
+    """prewarm() compiles every bucket shape; it must not disturb any
+    attached stream's audio — even called mid-life between two blocks of
+    a live stream (its lane rides the cursor advances as alignment debt)."""
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    warm = StreamPool(4, 48_000.0, renderer, block_size=block)
+    plain = StreamPool(4, 48_000.0, renderer, block_size=block)
+    rng = np.random.default_rng(11)
+    sig = (rng.standard_normal((2, 4 * block)) * 0.3).astype(np.float32)
+    s_w, s_p = warm.attach(), plain.attach()
+    warm.prewarm()
+    for i in range(4):
+        warm.push(s_w, sig[:, i * block:(i + 1) * block])
+        plain.push(s_p, sig[:, i * block:(i + 1) * block])
+        warm.pump()
+        plain.pump()
+        if i == 1:
+            warm.prewarm(up_to=2)  # mid-life, with a live stream attached
+    a = warm.pull(s_w, 4 * block)
+    b = plain.pull(s_p, 4 * block)
+    rel = np.sqrt(np.mean((a - b) ** 2)) / max(
+        np.sqrt(np.mean(b**2)), 1e-9
+    )
+    assert rel < 1e-6, rel
+
+
 def test_stream_pool_end_to_end_matches_oracle():
     block = 64
     renderer, audio = make_renderer(block=block)
