@@ -92,6 +92,7 @@ def chain_step_multi_fn(
     transition_length: int,
     eq_enabled: bool,
     eq_crossfading: bool = False,
+    acc_chunk: int | None = None,
 ):
     """Throughput (bake) variant: x [B, S, M, T] -> (state', y [B, M, 2, T]).
 
@@ -112,7 +113,7 @@ def chain_step_multi_fn(
     conv_state, eq_state = state
     if eq_enabled and not eq_crossfading:
         conv_state, Ykm = upols.conv_step_paged_raw(
-            conv_params, conv_state, x
+            conv_params, conv_state, x, acc_chunk
         )
         # ONE projection pass for both folded matrices (columns
         # concatenated), so Ykm is read once instead of twice.
@@ -122,7 +123,8 @@ def chain_step_multi_fn(
         fir, drive = both[..., :T], both[..., T:]
         eq_state, y = eq_block.eq_apply_folded(eq_to, eq_state, fir, drive)
         return ChainState(conv_state, eq_state), y.astype(x.dtype)
-    conv_state, y = upols.conv_step_paged(conv_params, conv_state, x)
+    conv_state, y = upols.conv_step_paged(conv_params, conv_state, x,
+                                          acc_chunk)
     if eq_enabled:
         # Unrolled (M is small and static): lets XLA fuse across blocks
         # instead of paying lax.scan's per-iteration stacking.

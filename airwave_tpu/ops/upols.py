@@ -391,7 +391,8 @@ def _group_factor(kp: int, rows: int, cols: int, tile: int = 128) -> int:
     return best
 
 
-def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array):
+def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array,
+                    acc_chunk: int | None = None):
     """M-block lookahead step on the paged delay line:
     x [B, S, M, T] -> (state', y [B, M, E, T]).
 
@@ -410,13 +411,13 @@ def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array):
     Run inside lax.scan with unroll = len(state.pages) so the page rotation
     stays pure renaming (an un-unrolled scan would copy every page at each
     iteration boundary)."""
-    new_state, Ykm = conv_step_paged_raw(params, state, x)
+    new_state, Ykm = conv_step_paged_raw(params, state, x, acc_chunk)
     y = paged_project(params, Ykm).astype(x.dtype)
     return new_state, y
 
 
 def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
-                        x: jax.Array):
+                        x: jax.Array, acc_chunk: int | None = None):
     """Analysis + MAC of the M-block lookahead step, stopping before the
     synthesis transform: x [B, S, M, T] -> (state', Ykm).
 
@@ -471,11 +472,12 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
     else:
         hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
 
-    Ykm = _paged_mac(params, pages, hz, M)
+    Ykm = _paged_mac(params, pages, hz, M, acc_chunk)
     return PagedConvState(pages=pages, overlap=x[:, :, -1, :]), Ykm
 
 
-def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int) -> jax.Array:
+def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int,
+               acc_chunk: int | None = None) -> jax.Array:
     """Multiply-accumulate every page against its rotated filter window.
 
     Default lowering: one k-batched dot per page (the per-bin contraction
@@ -495,7 +497,9 @@ def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int) -> jax.Array:
     O = M * E * 2
     g = _group_factor(Kp, R, O) if _PAGED_MAC_GROUPING else 1
     eye = jnp.eye(g, dtype=hz.dtype) if g > 1 else None
-    chunk = _PAGED_ACC_CHUNK
+    # acc_chunk parameter (the memory planner's knob) overrides the env
+    # flag; None defers to AIRWAVE_PAGED_ACC_CHUNK (default 0 = off).
+    chunk = _PAGED_ACC_CHUNK if acc_chunk is None else int(acc_chunk)
     Ykm = None
     for a, page in enumerate(pages):
         if chunk and a and a % chunk == 0:

@@ -1,0 +1,123 @@
+"""HBM planning for the paged (M-block lookahead) bake chain.
+
+Long-IR configs can exceed HBM: the paged delay line alone is
+P2/M pages x [Kp, S, 2, M, B] floats (config-5 at B=16384 is ~14 GB on a
+16 GB chip), and the unchunked paged MAC additionally keeps every page's
+Ykm term alive at once (~7 GB of temporaries at 13 pages — see
+ops/upols._PAGED_ACC_CHUNK). Rather than dying on a shape that slightly
+overflows, callers consult `plan_paged_bake` for an ordered ladder of
+(lookahead, acc_chunk) attempts: the preferred full-speed configuration
+first, then accumulation chunking (measured ~2% slower, bounds live Ykm
+terms), then smaller lookaheads (less lookahead batching, ~linearly less
+live-page/temp pressure). The reference's analog concern is its pow2
+partition bucketing for shape stability (ConvolutionEngine.swift:96);
+here the shapes are exact and the *memory* is what gets planned.
+
+Estimates are deliberately coarse (within ~2x): they order the ladder and
+provide a pre-flight skip for hopeless configurations; the authoritative
+signal is the runtime OOM the caller catches between attempts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional
+
+F32 = 4
+
+
+class PagedBakeEstimate(NamedTuple):
+    fdl_bytes: int        # all delay-line pages
+    live_term_bytes: int  # Ykm accumulation terms alive at once
+    working_bytes: int    # frames + analysis output + projection slack
+    total_bytes: int
+
+
+class PlanAttempt(NamedTuple):
+    lookahead: int
+    acc_chunk: int   # 0 = unchunked
+    reason: str
+
+
+def _padded_bins(block: int) -> int:
+    k = block + 1
+    return k + (-k) % 8
+
+
+def paged_partitions(hrir_taps: int, block: int, lookahead: int) -> int:
+    """Partition count of the paged line (exact mode): real partitions plus
+    M-1 zero tail slots, rounded up to whole pages (ops/upols
+    make_conv_params lookahead handling)."""
+    real = max(1, math.ceil(hrir_taps / block))
+    need = real + lookahead - 1
+    return need + (-need) % lookahead
+
+
+def estimate_paged_bake(batch: int, speakers: int, hrir_taps: int,
+                        block: int, lookahead: int,
+                        acc_chunk: int = 0, ears: int = 2
+                        ) -> PagedBakeEstimate:
+    kp = _padded_bins(block)
+    p2 = paged_partitions(hrir_taps, block, lookahead)
+    n_pages = p2 // lookahead
+    page = kp * speakers * 2 * lookahead * batch * F32
+    fdl = n_pages * page
+    term = kp * batch * lookahead * ears * 2 * F32
+    live = (n_pages if acc_chunk <= 0 else min(acc_chunk + 1, n_pages))
+    live_terms = live * term
+    # frames + new-page DFT output + folded projection output, ~2 pages.
+    working = 2 * page + 2 * batch * speakers * lookahead * block * F32
+    return PagedBakeEstimate(fdl, live_terms, working,
+                             fdl + live_terms + working)
+
+
+def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
+                    lookahead: int, hbm_bytes: Optional[float] = None,
+                    headroom: float = 0.92) -> List[PlanAttempt]:
+    """Ordered (lookahead, acc_chunk) attempts for a paged bake.
+
+    With `hbm_bytes` given, attempts whose estimate exceeds
+    `headroom * hbm_bytes` are skipped when a cheaper attempt is predicted
+    to fit — except the final fallback, which is always kept so the
+    runtime OOM stays the authoritative judge.
+    """
+    candidates = [
+        PlanAttempt(lookahead, 0, "full speed"),
+        PlanAttempt(lookahead, 2,
+                    "acc chunking bounds live Ykm terms (~2% slower)"),
+    ]
+    m = lookahead
+    while m > 2:
+        m //= 2
+        candidates.append(PlanAttempt(m, 2, f"reduced lookahead M={m}"))
+    if lookahead > 2:
+        # Tightest squeeze: pairwise lookahead with fully serialized
+        # accumulation (live Ykm terms bounded to 2).
+        candidates.append(PlanAttempt(2, 1, "minimum-memory M=2, chunk=1"))
+
+    if hbm_bytes is None:
+        return candidates
+    budget = headroom * float(hbm_bytes)
+    fits = [
+        c for c in candidates
+        if estimate_paged_bake(batch, speakers, hrir_taps, block,
+                               c.lookahead, c.acc_chunk).total_bytes <= budget
+    ]
+    kept = fits if fits else []
+    # Always keep the final fallback: estimates are coarse by design.
+    if not kept or kept[-1] != candidates[-1]:
+        kept = kept + [candidates[-1]]
+    return kept
+
+
+def device_hbm_bytes(default: float = 16e9) -> float:
+    """Best-effort HBM capacity of the default device."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            return float(stats.get("bytes_limit", default))
+    except Exception:
+        pass
+    return default

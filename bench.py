@@ -131,7 +131,8 @@ def _finish_build(batch: int, hrir, conv_params, lookahead: int = 1):
 
 
 def make_runner(blocks_per_call: int, use_pallas: bool = False,
-                batch_tile: int = 256, blocks_per_step: int = 1):
+                batch_tile: int = 256, blocks_per_step: int = 1,
+                acc_chunk: int = 0):
     """One jit: scan `blocks_per_call` chained render blocks; return final
     state + a [8, 128] checksum that depends on every block's output.
 
@@ -186,7 +187,7 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
                 s, y = chain_step_multi_fn(
                     conv_params, eq_params, eq_params, s, xm,
                     transition_length=960, eq_enabled=True,
-                    eq_crossfading=False,
+                    eq_crossfading=False, acc_chunk=acc_chunk,
                 )
                 acc = acc + jnp.sum(y.reshape(-1, 8, 128), axis=0)
                 return (s, acc), None
@@ -443,17 +444,11 @@ def measure_serve(clients: int, blocks_each: int, calls: int):
 def measure(batch: int, blocks_per_call: int, calls: int,
             use_pallas: bool = False, batch_tile: int = 256,
             hrir_seconds: float = None, fdl_dtype: str = "float32",
-            blocks_per_step: int = 1, speakers: int = 2):
-    import jax
-
+            blocks_per_step: int = 1, speakers: int = 2,
+            acc_chunk: int = 0):
     # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
     # compile and fit inside short healthy windows.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache()
 
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
                                              lookahead=blocks_per_step,
@@ -484,7 +479,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
             eq_block.make_eq_state(batch),
         )
     runner = make_runner(blocks_per_call, use_pallas, batch_tile,
-                         blocks_per_step)
+                         blocks_per_step, acc_chunk)
 
     # Warmup: compile + one real execution, checksum fetched (true sync).
     state, acc = runner(conv_params, eq_params, state, x)
@@ -634,30 +629,64 @@ def main():
         print(json.dumps(out))
         return
 
+    # Memory plan: an ordered (lookahead, acc_chunk) ladder. A shape whose
+    # paged delay line / MAC temporaries overflow HBM retries with
+    # accumulation chunking, then smaller lookaheads, instead of dying
+    # (airwave_tpu/utils/memory_planner.py).
+    from airwave_tpu.utils.memory_planner import (device_hbm_bytes,
+                                                  plan_paged_bake)
+
+    hrir_taps = (int(args.hrir_seconds * SAMPLE_RATE)
+                 if args.hrir_seconds else 4320)
+    if args.blocks_per_step > 1 and not args.smoke:
+        plan = plan_paged_bake(batch, args.speakers, hrir_taps, BLOCK,
+                               args.blocks_per_step,
+                               hbm_bytes=device_hbm_bytes())
+    else:
+        plan = [(args.blocks_per_step, 0, "as requested")]
+
+    def _is_oom(err) -> bool:
+        text = str(err)
+        return ("RESOURCE_EXHAUSTED" in text or "Out of memory" in text
+                or "exceeds the memory capacity" in text
+                or "Attempting to reserve" in text)
+
     # The tunneled device can fail individual requests transiently; rebuild
     # and retry (compiles hit the persistent cache, so retries are cheap).
     last_error = None
-    for _attempt in range(4):
-        try:
-            multiple, per_block = measure(batch, blocks, args.calls,
-                                          use_pallas=args.pallas,
-                                          batch_tile=args.batch_tile,
-                                          hrir_seconds=args.hrir_seconds,
-                                          fdl_dtype=args.fdl_dtype,
-                                          blocks_per_step=args.blocks_per_step,
-                                          speakers=args.speakers)
+    result = None
+    for m, chunk, reason in plan:
+        step_blocks = max(blocks - blocks % m, m)
+        for _attempt in range(3):
+            try:
+                multiple, per_block = measure(
+                    batch, step_blocks, args.calls,
+                    use_pallas=args.pallas,
+                    batch_tile=args.batch_tile,
+                    hrir_seconds=args.hrir_seconds,
+                    fdl_dtype=args.fdl_dtype,
+                    blocks_per_step=m,
+                    speakers=args.speakers,
+                    acc_chunk=chunk,
+                )
+                result = (multiple, per_block, m, chunk)
+                break
+            except Exception as err:  # noqa: BLE001
+                last_error = err
+                if _is_oom(err):
+                    break  # next plan attempt, not a transient retry
+                time.sleep(5.0)
+        if result is not None:
             break
-        except Exception as err:  # noqa: BLE001
-            last_error = err
-            time.sleep(5.0)
-    else:
+    if result is None:
         print(json.dumps({
             "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
             "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
             "error": f"device error after retries: {last_error}",
         }))
         return
-    print(json.dumps({
+    multiple, per_block, used_m, used_chunk = result
+    out = {
         "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
         "value": round(multiple, 1),
         "unit": "x_realtime",
@@ -665,7 +694,11 @@ def main():
         "batch_streams": batch,
         "speakers": args.speakers,
         "ms_per_block_step": round(per_block * 1e3, 3),
-    }))
+    }
+    if (used_m, used_chunk) != (args.blocks_per_step, 0):
+        out["memory_plan"] = {"blocks_per_step": used_m,
+                              "acc_chunk": used_chunk}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

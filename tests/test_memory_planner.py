@@ -1,0 +1,123 @@
+"""Memory planner + paged-MAC variant parity (incl. the env-flag lowerings)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from airwave_tpu.ops import upols
+from airwave_tpu.utils import memory_planner as mp
+
+
+def test_paged_partitions_matches_conv_params_shapes():
+    rng = np.random.default_rng(0)
+    for taps, block, m in ((4320, 512, 8), (48_000, 512, 8), (700, 64, 4),
+                           (100, 64, 2)):
+        hrir = rng.standard_normal((2, 2, taps)).astype(np.float32) * 0.1
+        params = upols.make_conv_params(hrir, block, pad_to_pow2=False,
+                                        lookahead=m)
+        assert params.partition_count == mp.paged_partitions(taps, block, m)
+
+
+def test_estimates_scale_and_chunking_bounds_live_terms():
+    base = mp.estimate_paged_bake(8192, 2, 48_000, 512, 8)
+    bigger_batch = mp.estimate_paged_bake(16_384, 2, 48_000, 512, 8)
+    assert bigger_batch.total_bytes > 1.9 * base.total_bytes
+    chunked = mp.estimate_paged_bake(8192, 2, 48_000, 512, 8, acc_chunk=2)
+    assert chunked.live_term_bytes < base.live_term_bytes
+    assert chunked.fdl_bytes == base.fdl_bytes
+    # Config-5 at B=16384 is known to exceed a 16 GB chip unchunked.
+    c5 = mp.estimate_paged_bake(16_384, 2, 48_000, 512, 8)
+    assert c5.total_bytes > 16e9
+
+
+def test_plan_ladder_ordering_and_pruning():
+    # Generous HBM: full-speed first, ladder intact behind it.
+    plan = mp.plan_paged_bake(8192, 2, 4320, 512, 8, hbm_bytes=1e12)
+    assert plan[0] == mp.PlanAttempt(8, 0, "full speed")
+    # Tight HBM: hopeless attempts pruned, final fallback always kept.
+    plan = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8, hbm_bytes=16e9)
+    assert plan, "ladder must never be empty"
+    assert plan[-1].lookahead == 2 and plan[-1].acc_chunk == 1
+    assert all(a.lookahead <= 8 for a in plan)
+    # No HBM estimate: the full ladder comes back for runtime-OOM walking.
+    full = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8)
+    assert full[0].acc_chunk == 0 and full[-1].acc_chunk == 1
+
+
+def test_acc_chunk_parameter_matches_unchunked():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    T, B, S, M = 64, 3, 2, 4
+    hrir = rng.standard_normal((S, 2, 700)).astype(np.float32) * 0.2
+    params = upols.make_conv_params(hrir, T, pad_to_pow2=False, lookahead=M)
+    s0 = upols.make_conv_state_paged(B, S, params.partition_count, T, M)
+    s1 = upols.make_conv_state_paged(B, S, params.partition_count, T, M)
+    for _ in range(4):
+        x = jnp.asarray(rng.standard_normal((B, S, M, T)).astype(np.float32))
+        s0, y0 = upols.conv_step_paged(params, s0, x, acc_chunk=0)
+        s1, y1 = upols.conv_step_paged(params, s1, x, acc_chunk=2)
+        a, b = np.asarray(y0), np.asarray(y1)
+        rel = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(b**2))
+        assert rel < 1e-6, rel
+
+
+_FLAG_PROBE = r"""
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from airwave_tpu.ops import upols
+rng = np.random.default_rng(5)
+T, B, S, M = 64, 3, 2, 4
+hrir = rng.standard_normal((S, 2, 700)).astype(np.float32) * 0.2
+params = upols.make_conv_params(hrir, T, pad_to_pow2=False, lookahead=M)
+state = upols.make_conv_state_paged(B, S, params.partition_count, T, M)
+outs = []
+for _ in range(4):
+    x = jnp.asarray(rng.standard_normal((B, S, M, T)).astype(np.float32))
+    state, y = upols.conv_step_paged(params, state, x)
+    outs.append(np.asarray(y))
+np.save(OUT_PATH, np.stack(outs))
+"""
+
+
+@pytest.mark.parametrize("env", [
+    {},
+    {"AIRWAVE_PAGED_LAYOUT": "kcsmb"},
+    {"AIRWAVE_PAGED_MAC_GROUPING": "1"},
+    {"AIRWAVE_PAGED_ACC_CHUNK": "2"},
+])
+def test_env_flag_paged_variants_match_default(tmp_path, env):
+    """The opt-in paged-MAC lowerings (kept for re-measurement) are
+    module-level env flags, so their parity needs subprocess runs — this
+    pins them against bit-rot (ADVICE round 2)."""
+    out = tmp_path / ("out-" + ("-".join(env) or "default") + ".npy")
+    code = f"OUT_PATH = {str(out)!r}\n" + _FLAG_PROBE
+    run_env = dict(os.environ)
+    run_env.pop("AIRWAVE_PAGED_LAYOUT", None)
+    run_env.pop("AIRWAVE_PAGED_MAC_GROUPING", None)
+    run_env.pop("AIRWAVE_PAGED_ACC_CHUNK", None)
+    run_env.update(env)
+    run_env["JAX_PLATFORMS"] = "cpu"
+    subprocess.run([sys.executable, "-c", code], env=run_env, check=True,
+                   cwd="/root/repo", timeout=300)
+    got = np.load(out)
+    baseline_path = tmp_path / "baseline.npy"
+    if not baseline_path.exists():
+        if env:  # compute the baseline once per test run
+            base_code = f"OUT_PATH = {str(baseline_path)!r}\n" + _FLAG_PROBE
+            base_env = dict(run_env)
+            for k in env:
+                base_env.pop(k, None)
+            subprocess.run([sys.executable, "-c", base_code], env=base_env,
+                           check=True, cwd="/root/repo", timeout=300)
+        else:
+            np.save(baseline_path, got)
+    base = np.load(baseline_path)
+    # Summation-order ulps land on near-zero samples; the contract metric
+    # is relative RMS (same as the chain accuracy gate).
+    rel = np.sqrt(np.mean((got - base) ** 2)) / np.sqrt(np.mean(base**2))
+    assert rel < 1e-6, rel
