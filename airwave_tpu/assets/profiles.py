@@ -84,6 +84,10 @@ class ProfileTarget:
 
 
 class DeviceProfileManager:
+    # Pure last_seen_at refreshes are persisted at most this often per
+    # profile (metadata/effect changes always save immediately).
+    SEEN_PERSIST_INTERVAL = 60.0
+
     def __init__(self, store: JSONStore, clock: Callable[[], float] = time.time):
         self._store = store
         self._clock = clock
@@ -152,6 +156,7 @@ class DeviceProfileManager:
             self._available.append(device)
         now = self._clock()
         changed = False
+        needs_save = False
         for device in self._available:
             profile = self._profiles.get(device.uid)
             if profile is None:
@@ -160,11 +165,18 @@ class DeviceProfileManager:
                 profile.transport_type != device.transport_type
             ):
                 changed = True
+            # Pure last_seen_at refreshes persist too (debounced): the
+            # load-time duplicate dedup keys on the PERSISTED timestamp,
+            # so letting it go stale until an unrelated write could keep
+            # the wrong record of a duplicated UID.
+            if now - profile.last_seen_at >= self.SEEN_PERSIST_INTERVAL:
+                needs_save = True
             profile.name = device.name
             profile.transport_type = device.transport_type
             profile.last_seen_at = now
-        if changed:
+        if changed or needs_save:
             self._save()
+        if changed:
             self._emit(ProfileChangeKind.METADATA, "")
 
     # --- reads -----------------------------------------------------------------------

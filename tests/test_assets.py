@@ -104,6 +104,38 @@ def test_profiles_targets_merged_view_and_change_revisions(tmp_path):
     assert m.profile("live-dev") is None
 
 
+def test_profiles_persist_last_seen_refreshes_debounced(tmp_path):
+    """Pure last_seen_at refreshes reach disk (debounced): the load-time
+    duplicate dedup keys on the persisted timestamp, so it must track
+    reality instead of waiting for an unrelated metadata write."""
+    t = [1000.0]
+    store = JSONStore(str(tmp_path / "profiles.json"))
+    m = DeviceProfileManager(store, clock=lambda: t[0])
+    m.set_hrir_preset_id("dev", "h1")
+    dev = OutputDeviceDescriptor(uid="dev", name="Speakers")
+    m.update_available_devices([dev])
+
+    def on_disk():
+        fresh = DeviceProfileManager(JSONStore(store.path),
+                                     clock=lambda: t[0])
+        return fresh.profile("dev").last_seen_at
+
+    first = on_disk()
+    # Within the debounce window: refreshed in memory, not on disk.
+    t[0] += 10.0
+    m.update_available_devices([dev])
+    assert m.profile("dev").last_seen_at == t[0]
+    assert on_disk() == first
+    # Past the window: the pure timestamp refresh is persisted, and it is
+    # a save only — no observer change is emitted for it.
+    changes = []
+    m.observe(changes.append)
+    t[0] += DeviceProfileManager.SEEN_PERSIST_INTERVAL
+    m.update_available_devices([dev])
+    assert on_disk() == t[0]
+    assert changes == []
+
+
 def test_profiles_clear_dangling(tmp_path):
     m = DeviceProfileManager(JSONStore(str(tmp_path / "p.json")),
                              clock=make_clock())
