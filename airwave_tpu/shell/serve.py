@@ -111,6 +111,14 @@ class RenderServer:
                                                daemon=True)
         self._accept_thread.start()
 
+    def set_equalizer(self, definition) -> None:
+        """Live pool-wide EQ retarget, serialized against the pump thread
+        (the reference's no-restart live-EQ fast path,
+        AudioRuntimeController.swift:154-158). Streams mid-render crossfade
+        per the pool's ramp semantics."""
+        with self._lock:
+            self.pool.set_equalizer(definition)
+
     def stop(self) -> None:
         self._stopping = True
         try:
