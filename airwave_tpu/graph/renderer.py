@@ -31,13 +31,22 @@ class RendererPreparationError(AirwaveError):
 
 @dataclasses.dataclass(frozen=True)
 class RendererState:
-    """Immutable published renderer (ref HRIRManager.swift:123-131)."""
+    """Immutable published renderer (ref HRIRManager.swift:123-131).
+
+    `speakers` holds the RESOLVED virtual speakers in input-channel order;
+    a layout channel with no HRIR mapping is skipped at preparation (the
+    reference's `continue` in HRIRManager.swift:370-372 — e.g. the 7.1.4
+    height channels against the height-less hesuvi14 map), so
+    `input_indices` records which of the layout's `input_channels` feed
+    the render. For fully-mapped layouts the two views coincide."""
 
     conv_params: upols.ConvParams
-    speakers: tuple          # virtual speakers, input-channel order
+    speakers: tuple          # resolved virtual speakers, input-channel order
     sample_rate: float
     block_size: int
     generation: int = 0
+    input_channels: int = 0      # layout channel count (0 = num_speakers)
+    input_indices: tuple = ()    # layout-channel index per resolved speaker
 
     @property
     def num_speakers(self) -> int:
@@ -47,6 +56,18 @@ class RendererState:
     def partition_count(self) -> int:
         return self.conv_params.partition_count
 
+    @property
+    def layout_channels(self) -> int:
+        return self.input_channels or self.num_speakers
+
+    def select_input(self, chunk):
+        """Map a [layout_channels, n] chunk onto the resolved speakers
+        ([num_speakers, n]); already-resolved chunks pass through."""
+        if (chunk.shape[0] == self.layout_channels
+                and chunk.shape[0] != self.num_speakers):
+            return chunk[list(self.input_indices)]
+        return chunk
+
 
 def build_hrir_time_domain(
     wav: WAVData,
@@ -54,19 +75,27 @@ def build_hrir_time_domain(
     output_sample_rate: float,
     channel_map: Optional[cm.HRIRChannelMap] = None,
     resampler=resample.resample_linear,
-) -> np.ndarray:
-    """Resolve + resample HRIRs into [S, 2, L] float32 (speaker, ear, taps)."""
+    with_speakers: bool = False,
+):
+    """Resolve + resample HRIRs into [S, 2, L] float32 (speaker, ear, taps).
+
+    A layout channel the map cannot resolve is SKIPPED, matching the
+    reference's activation loop (HRIRManager.swift:370-372) — this is how
+    a 7.1.4 input renders through the height-less hesuvi14 map: the four
+    top channels drop out and the eight mapped speakers render.
+    Preparation fails only when NO speaker resolves (ref :420
+    `guard !newRenderers.isEmpty`). With with_speakers=True returns
+    (bank, resolved_speakers, layout_indices)."""
     if channel_map is None:
         channel_map = cm.select_channel_map(wav.channel_count, input_layout.channels)
 
     rows = []
     speakers = []
-    for speaker in input_layout.channels:
+    layout_indices = []
+    for pos, speaker in enumerate(input_layout.channels):
         indices = channel_map.indices(speaker)
         if indices is None:
-            raise RendererPreparationError(
-                f"No HRIR mapping found for speaker: {cm.display_name(speaker)}"
-            )
+            continue  # unmapped (e.g. height channel): skipped, not fatal
         left_idx, right_idx = indices
         if not (0 <= left_idx < wav.channel_count and 0 <= right_idx < wav.channel_count):
             raise RendererPreparationError(
@@ -77,7 +106,16 @@ def build_hrir_time_domain(
         right = resampler(wav.audio[right_idx], wav.sample_rate, output_sample_rate)
         rows.append(np.stack([left, right]))
         speakers.append(speaker)
-    return np.stack(rows).astype(np.float32)
+        layout_indices.append(pos)
+    if not rows:
+        raise RendererPreparationError(
+            f"No HRIR mapping found for any speaker of layout "
+            f"{input_layout.name!r}"
+        )
+    bank = np.stack(rows).astype(np.float32)
+    if with_speakers:
+        return bank, tuple(speakers), tuple(layout_indices)
+    return bank
 
 
 def prepare_renderer(
@@ -97,16 +135,19 @@ def prepare_renderer(
     pow2-16). "pow2" restores the reference's bucket-for-compile-reuse
     policy (ConvolutionEngine.swift:96) for workloads that hot-swap presets
     of many different lengths faster than the persistent jit cache warms."""
-    hrir_td = build_hrir_time_domain(
-        wav, input_layout, output_sample_rate, channel_map, resampler
+    hrir_td, speakers, layout_indices = build_hrir_time_domain(
+        wav, input_layout, output_sample_rate, channel_map, resampler,
+        with_speakers=True,
     )
     params = upols.make_conv_params(
         hrir_td, block_size, pad_to_pow2=(partition_bucketing == "pow2")
     )
     return RendererState(
         conv_params=params,
-        speakers=tuple(input_layout.channels),
+        speakers=speakers,
         sample_rate=float(output_sample_rate),
         block_size=block_size,
         generation=generation,
+        input_channels=len(input_layout.channels),
+        input_indices=layout_indices,
     )

@@ -243,13 +243,17 @@ class StreamPool:
     # --- data plane -------------------------------------------------------------------
 
     def push(self, stream: int, chunk: np.ndarray) -> None:
-        """chunk: [speakers, n] (or [1, n] mono, duplicated)."""
+        """chunk: [speakers, n], [layout_channels, n] (unmapped layout
+        channels — e.g. 7.1.4 heights through a height-less HRIR map —
+        are dropped, reference semantics), or [1, n] mono, duplicated."""
         chunk = np.asarray(chunk, np.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
         speakers = self.renderer.num_speakers
         if chunk.shape[0] == 1 and speakers > 1:
             chunk = np.repeat(chunk, speakers, axis=0)
+        else:
+            chunk = self.renderer.select_input(chunk)
         self.assembler.push(stream, chunk)
 
     def _bucket(self, k: int) -> int:

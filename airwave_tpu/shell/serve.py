@@ -235,7 +235,8 @@ class RenderServer:
             except (TypeError, ValueError):
                 self.protocol_errors += 1
                 return
-            if channels not in (1, self.pool.renderer.num_speakers):
+            if channels not in (1, self.pool.renderer.num_speakers,
+                                self.pool.renderer.layout_channels):
                 self.protocol_errors += 1
                 return
 

@@ -242,6 +242,100 @@ def test_stream_pool_ragged_multistream_pauses_match_oracle():
         assert err < 1e-5, (i, err)
 
 
+def test_atmos_714_renderer_skips_heights_and_selects_input():
+    """7.1.4 layout through the height-less hesuvi14 map: the four top
+    channels are skipped at preparation (ref HRIRManager.swift:370-372 —
+    unmapped speakers `continue`; fail only when none resolve), and
+    select_input maps a 12-channel chunk onto the 8 resolved speakers."""
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.ATMOS_7_1_4,
+                                48_000.0, 64)
+    assert renderer.num_speakers == 8
+    assert renderer.layout_channels == 12
+    assert cm.TFL not in renderer.speakers
+    assert renderer.speakers[:4] == (cm.FL, cm.FR, cm.FC, cm.LFE)
+    chunk = rng.standard_normal((12, 40)).astype(np.float32)
+    picked = renderer.select_input(chunk)
+    assert picked.shape == (8, 40)
+    np.testing.assert_array_equal(picked, chunk[list(renderer.input_indices)])
+    # A fully-unmappable layout still fails preparation.
+    heights_only = cm.InputLayout((cm.TFL, cm.TFR, cm.TBL, cm.TBR), "tops")
+    from airwave_tpu.graph.renderer import RendererPreparationError
+    with pytest.raises(RendererPreparationError):
+        prepare_renderer(WAVData(48_000.0, audio), heights_only,
+                         48_000.0, 64,
+                         channel_map=cm.hesuvi_14_channel(
+                             heights_only.channels))
+
+
+def test_atmos_714_pool_end_to_end_drops_heights():
+    """Config-6 serving path: a 12-channel 7.1.4 stream renders through
+    the pool identically to pushing the mapped 8-speaker subset — the
+    height channels carry (dropped) content and must not affect output."""
+    block = 64
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.ATMOS_7_1_4,
+                                48_000.0, block)
+    pool_full = StreamPool(2, 48_000.0, renderer, block_size=block)
+    pool_sub = StreamPool(2, 48_000.0, renderer, block_size=block)
+    s_f = pool_full.attach()
+    s_s = pool_sub.attach()
+    n = 4 * block
+    sig12 = (rng.standard_normal((12, n)) * 0.3).astype(np.float32)
+    pool_full.push(s_f, sig12)
+    pool_sub.push(s_s, sig12[list(renderer.input_indices)])
+    pool_full.pump()
+    pool_sub.pump()
+    a = pool_full.pull(s_f, n)
+    b = pool_sub.pull(s_s, n)
+    np.testing.assert_array_equal(a, b)
+    assert np.any(a != 0) and np.all(np.isfinite(a))
+
+
+def test_atmos_714_speaker_sharded_step_on_mesh():
+    """Config-6 on the virtual mesh: the 7.1.4 renderer's 8 resolved
+    speakers shard over a 2-D (streams x speakers) mesh and psum to the
+    same stereo downmix as the single-device chain."""
+    import jax
+    from airwave_tpu.parallel import mesh as pmesh
+    from airwave_tpu.models.binaural import ChainState, chain_step
+    from airwave_tpu.ops import eq_block
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    block = 32
+    rng = np.random.default_rng(17)
+    audio = (rng.standard_normal((14, 120)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.ATMOS_7_1_4,
+                                48_000.0, block)
+    assert renderer.num_speakers == 8
+    import jax.numpy as jnp
+
+    B = 8
+    eq_params = eq_block.unity_eq_params(block)
+    state = ChainState(
+        conv=upols.make_conv_state(B, 8, renderer.partition_count, block),
+        eq=eq_block.make_eq_state(B),
+    )
+    x12 = rng.standard_normal((B, 12, block)).astype(np.float32) * 0.3
+    x = jnp.asarray(x12[:, list(renderer.input_indices)])
+    _, ref_y = chain_step(
+        renderer.conv_params, eq_params, eq_params, state, x,
+        transition_length=960, spatial_enabled=True, eq_enabled=True,
+    )
+    m = pmesh.make_mesh(devices[:8], ("streams", "speakers"), shape=(2, 4))
+    state2 = ChainState(
+        conv=upols.make_conv_state(B, 8, renderer.partition_count, block),
+        eq=eq_block.make_eq_state(B),
+    )
+    step = pmesh.stream_speaker_sharded_step(m, transition_length=960)
+    _, y = step(renderer.conv_params, eq_params, eq_params, state2, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
+
+
 def test_stream_pool_prewarm_is_a_semantic_noop():
     """prewarm() compiles every bucket shape; it must not disturb any
     attached stream's audio — even called mid-life between two blocks of
