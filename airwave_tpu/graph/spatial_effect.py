@@ -69,7 +69,10 @@ class SpatialEffect:
 
     def process(self, x: np.ndarray) -> np.ndarray:
         """x [B, C, n] -> [B, 2, n]; mono input duplicated across speakers
-        when the renderer expects stereo (ref RealtimeAudioProcessor.swift:95-107)."""
+        when the renderer expects stereo (ref RealtimeAudioProcessor.swift:95-107).
+        Full layout-channel input (e.g. 12-ch 7.1.4 against a height-less
+        map that resolved 8 speakers) selects the mapped rows — unmapped
+        channels drop, the reference's activation semantics."""
         assert self.adapter is not None, "spatial effect not ready"
         speakers = self.adapter.in_channels
         C = x.shape[1]
@@ -80,7 +83,11 @@ class SpatialEffect:
                 )
             x = np.repeat(x, speakers, axis=1)
         elif C > speakers:
-            raise ValueError(
-                f"input has {C} channels; renderer expects {speakers}"
-            )
+            renderer = self.engine.renderer
+            if renderer is not None and C == renderer.layout_channels:
+                x = x[:, list(renderer.input_indices)]
+            else:
+                raise ValueError(
+                    f"input has {C} channels; renderer expects {speakers}"
+                )
         return self.adapter.process(x)

@@ -112,7 +112,13 @@ def cmd_render(args) -> int:
         from airwave_tpu.models.bake import bake as bake_fn
         from airwave_tpu.ops import biquad_design as bd
 
-        hrir_td = build_hrir_time_domain(hrir, layout, rate)
+        hrir_td, _speakers, mapped = build_hrir_time_domain(
+            hrir, layout, rate, with_speakers=True
+        )
+        if x.shape[1] != hrir_td.shape[0]:
+            # Unmapped layout channels (e.g. 7.1.4 heights vs a height-less
+            # map) drop here, same as the live graph path.
+            x = x[:, list(mapped)]
         preamp, coeffs = 1.0, None
         if definition is not None:
             # EQ preparation failures stay NON-FATAL warnings here too

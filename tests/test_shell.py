@@ -151,6 +151,42 @@ def test_render_cli_end_to_end(tmp_path, capsys):
     assert np.all(np.isfinite(rendered.audio))
 
 
+def test_render_cli_714_input_drops_heights(tmp_path, capsys):
+    """Config-6 through the CLI: a 12-channel 7.1.4 input renders via the
+    height-less hesuvi14 map (tops dropped, reference activation
+    semantics) on BOTH the graph path and the --throughput bake path, and
+    the two agree past the EQ-less start."""
+    from airwave_tpu.assets.bundled import synthesize_hrir
+    from airwave_tpu.io import wav
+
+    hrir_path = str(tmp_path / "h.wav")
+    wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
+    rng = np.random.default_rng(4)
+    in_path = str(tmp_path / "in12.wav")
+    wav.save(in_path,
+             (rng.standard_normal((12, 1024)) * 0.2).astype(np.float32),
+             48_000)
+    outs = {}
+    for mode, extra in (("graph", []), ("throughput", ["--throughput"])):
+        rc = app_main([
+            "render", "--cpu", "--input", in_path, "--hrir", hrir_path,
+            "--output-dir", str(tmp_path / f"out-{mode}"),
+            "--block-size", "128", *extra,
+        ])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["layout"] == "7.1.4 Atmos"
+        rendered = wav.load(report["rendered"][0])
+        assert rendered.channel_count == 2
+        assert np.any(rendered.audio != 0)
+        assert np.all(np.isfinite(rendered.audio))
+        outs[mode] = rendered.audio
+    rel = np.sqrt(np.mean((outs["graph"] - outs["throughput"]) ** 2)) / (
+        np.sqrt(np.mean(outs["throughput"] ** 2))
+    )
+    assert rel < 1e-5, rel
+
+
 def test_demo_cli_reaches_processing(tmp_path, capsys):
     rc = app_main([
         "--data-dir", str(tmp_path / "data"),
