@@ -72,8 +72,20 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
     conv_state, eq_state = state
     B, S, T = conv_state.overlap.shape
     x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(blocks, mode="drop")
-    active = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
-    mask = active
+    if variant == "ring_all":
+        # Every ATTACHED lane is in this harvest (pump checks), so only
+        # free lanes are "inactive" — their slot/overlap/EQ garbage is
+        # harmless (attach resets the lane) and the masking machinery
+        # (slot read-back + wheres) is skipped entirely.
+        conv_state, y = upols.conv_step(conv_params, conv_state, x)
+        if eq_enabled:
+            eq_state, y = eq_block.eq_step(
+                eq_from, eq_to, eq_state, y, transition_length,
+                eq_crossfading,
+            )
+        y_rows = jnp.take(y, jnp.minimum(idx, B - 1), axis=0)
+        return PoolState(conv_state, eq_state), y_rows
+    mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
     if variant == "rolled":
         conv_state, y = upols.conv_step_rolled(
             conv_params, conv_state, x, mask
@@ -148,6 +160,7 @@ class StreamPool:
                                       config.eq_state_dim),
         )
         self._attached: Dict[int, bool] = {}
+        self._attached_mask = np.zeros(max_streams, bool)
         self._free = list(range(max_streams - 1, -1, -1))
         # Shared-cursor ring bookkeeping: debt[b] counts cursor advances a
         # lane sat out since it last stepped; a harvested lane with
@@ -174,6 +187,7 @@ class StreamPool:
             raise RuntimeError("pool is full")
         stream = self._free.pop()
         self._attached[stream] = True
+        self._attached_mask[stream] = True
         self.assembler.reset_stream(stream)
         self._out.reset_stream(stream)
         self._reset_state_rows(stream)
@@ -184,6 +198,7 @@ class StreamPool:
 
     def detach(self, stream: int) -> None:
         if self._attached.pop(stream, None):
+            self._attached_mask[stream] = False
             self._free.append(stream)
             self._pending_out.pop(stream, None)
             self.assembler.reset_stream(stream)
@@ -263,18 +278,18 @@ class StreamPool:
         return min(b, self.max_streams)
 
     def prewarm(self, up_to: Optional[int] = None) -> None:
-        """Compile every device-step shape serving can hit, up front.
+        """AOT-compile every device-step shape serving can hit, up front.
 
         Serving stalls on a mid-flight jit compile are fatal to latency
         (a cold kb=256 pool-step compile measured 454 s over this
         environment's tunnel): a newly-seen harvest-bucket size, the
-        crossfade variant on the first EQ retarget, or the first debt
-        roll would each trigger one. This runs each bucket of the step
-        (both crossfade variants when EQ is on) and the lane-roll with
-        all-dropped indices — mathematically a no-op on every attached
-        lane (the shared cursor advances, recorded as alignment debt) —
-        so the compiles land before traffic does. Idempotent; with the
-        persistent jit cache, repeat calls are cheap.
+        all-attached fast variant, the crossfade variant on the first EQ
+        retarget, or the first debt roll would each trigger one. Compiles
+        go through jit's `.lower().compile()` on abstract shapes — no
+        execution, no state change of any kind — and land in the same
+        (persistent) jit cache the pump hits. Idempotent; repeat calls
+        after the cache is warm are cheap. Re-run after `set_renderer`
+        swaps to a different partition/speaker shape.
         """
         limit = self.max_streams if up_to is None else min(
             int(up_to), self.max_streams
@@ -287,31 +302,38 @@ class StreamPool:
             k <<= 1
         buckets = sorted(set(buckets))
         speakers = self.renderer.num_speakers
-        variants = (False, True) if self._eq_enabled else (False,)
+        eq_p = self.eq_runtime.active.params
+        crossfades = (False, True) if self._eq_enabled else (False,)
+        step_variants = (
+            ("ring", "ring_all") if _POOL_STEP == "ring" else (_POOL_STEP,)
+        )
+
+        def throwaway():  # donated per call; the pool's own state untouched
+            return PoolState(
+                conv=upols.make_conv_state(
+                    self.max_streams, speakers,
+                    self.renderer.partition_count, self.block_size,
+                ),
+                eq=eq_block.make_eq_state(self.max_streams, 2,
+                                          self.config.eq_state_dim),
+            )
+
         for kb in buckets:
             blocks = jnp.zeros((kb, speakers, self.block_size), jnp.float32)
             idx = jnp.full((kb,), self.max_streams, jnp.int32)
-            for crossfading in variants:
-                eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(
-                    self._state.eq
-                )
-                state, _y = _pool_step(
-                    self.renderer.conv_params, p_from, p_to,
-                    PoolState(self._state.conv, eq_state), blocks, idx,
-                    transition_length=self.eq_runtime.transition_length,
-                    eq_enabled=self._eq_enabled,
-                    eq_crossfading=crossfading,
-                )
-                self._state = state
-                self._debt[self._debt_targets(
-                    np.empty(0, np.int64))] += 1
+            for crossfading in crossfades:
+                for variant in step_variants:
+                    _pool_step(
+                        self.renderer.conv_params, eq_p, eq_p, throwaway(),
+                        blocks, idx,
+                        transition_length=self.eq_runtime.transition_length,
+                        eq_enabled=self._eq_enabled,
+                        eq_crossfading=crossfading,
+                        variant=variant,
+                    )
             if _POOL_STEP == "ring":
-                lane = jnp.full((kb,), self.max_streams, jnp.int32)
-                self._state = PoolState(
-                    conv=_roll_lanes(self._state.conv, lane,
-                                     jnp.zeros((kb,), jnp.int32)),
-                    eq=self._state.eq,
-                )
+                _roll_lanes(throwaway().conv, idx,
+                            jnp.zeros((kb,), jnp.int32))
 
     def pump(self, max_rounds: int = 64) -> int:
         """Render while any stream has a full block. Returns rounds run.
@@ -378,6 +400,12 @@ class StreamPool:
                     self.eq_runtime.is_transitioning
                     or self.eq_runtime.pending_target is not None
                 )
+                variant = _POOL_STEP
+                if variant == "ring" and k == len(self._attached):
+                    # Common serving case: every attached lane stepped —
+                    # the masking machinery is unnecessary (free lanes'
+                    # garbage is reset at attach).
+                    variant = "ring_all"
                 state, y_rows = _pool_step(
                     self.renderer.conv_params, p_from, p_to,
                     PoolState(self._state.conv, eq_state),
@@ -385,6 +413,7 @@ class StreamPool:
                     transition_length=self.eq_runtime.transition_length,
                     eq_enabled=self._eq_enabled,
                     eq_crossfading=crossfading,
+                    variant=variant,
                 )
                 self._state = state
                 self.eq_runtime.after_block(self.block_size)
@@ -431,9 +460,7 @@ class StreamPool:
     def _debt_targets(self, harvested: np.ndarray) -> np.ndarray:
         """Attached lanes that sat this round out (their alignment debt
         grows by one cursor advance)."""
-        mask = np.zeros(self.max_streams, bool)
-        for s in self._attached:
-            mask[s] = True
+        mask = self._attached_mask.copy()
         mask[harvested] = False
         return mask
 

@@ -278,10 +278,12 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
     def run(conv_params, eq_params, state, x, idx):
         def body(carry, _):
             s, acc = carry
+            # All lanes active == the all-attached-harvested steady state,
+            # where pump selects the unmasked ring_all variant.
             s, y_rows = pool_step_body(
                 conv_params, eq_params, eq_params, s, x, idx,
                 transition_length=960, eq_enabled=True,
-                eq_crossfading=False,
+                eq_crossfading=False, variant="ring_all",
             )
             acc = acc + jnp.sum(y_rows.reshape(-1, 8, 128), axis=0)
             return (s, acc), None

@@ -336,6 +336,31 @@ def test_atmos_714_speaker_sharded_step_on_mesh():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
 
 
+def test_pool_ring_all_fast_variant_matches_masked():
+    """When every attached stream is harvested, pump takes the unmasked
+    ring_all variant. Its audio must match a pool forced onto the masked
+    path (by keeping one extra idle stream attached) for the same
+    signal."""
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    fast = StreamPool(4, 48_000.0, renderer, block_size=block)
+    masked = StreamPool(4, 48_000.0, renderer, block_size=block)
+    s_f = fast.attach()
+    s_m = masked.attach()
+    masked.attach()  # idle lane: every round has an unharvested attached
+    rng = np.random.default_rng(15)
+    sig = (rng.standard_normal((2, 6 * block)) * 0.3).astype(np.float32)
+    for i in range(6):
+        fast.push(s_f, sig[:, i * block:(i + 1) * block])
+        masked.push(s_m, sig[:, i * block:(i + 1) * block])
+        fast.pump()
+        masked.pump()
+    a = fast.pull(s_f, 6 * block)
+    b = masked.pull(s_m, 6 * block)
+    rel = np.sqrt(np.mean((a - b) ** 2)) / max(np.sqrt(np.mean(b**2)), 1e-9)
+    assert rel < 1e-6, rel
+
+
 def test_stream_pool_prewarm_is_a_semantic_noop():
     """prewarm() compiles every bucket shape; it must not disturb any
     attached stream's audio — even called mid-life between two blocks of
