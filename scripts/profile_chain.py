@@ -67,6 +67,9 @@ def main() -> int:
     ap.add_argument("--hrir-seconds", type=float, default=None)
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--calls", type=int, default=2, help="traced calls")
+    ap.add_argument("--pool", action="store_true",
+                    help="profile the serving pool's ring step instead of "
+                         "the bake chain")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
@@ -76,11 +79,50 @@ def main() -> int:
 
     import bench
 
-    conv_params, eq_params, state, x = bench.build(
-        args.batch, hrir_seconds=args.hrir_seconds,
-        lookahead=args.blocks_per_step, speakers=args.speakers,
-    )
-    run = bench.make_runner(args.blocks, blocks_per_step=args.blocks_per_step)
+    if args.pool:
+        import functools
+
+        import jax.numpy as jnp
+
+        from airwave_tpu.ops import eq_block, upols
+        from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
+
+        conv_params, eq_params, _s, x = bench.build(args.batch,
+                                                    hrir_seconds=args.hrir_seconds,
+                                                    speakers=args.speakers)
+        hrir_speakers = conv_params.num_speakers
+        state = PoolState(
+            conv=upols.make_conv_state(args.batch, hrir_speakers,
+                                       conv_params.partition_count, 512),
+            eq=eq_block.make_eq_state(args.batch),
+        )
+        idx = jnp.arange(args.batch, dtype=jnp.int32)
+        blocks = args.blocks
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def run(conv_params, eq_params, state, x):
+            def body(carry, _):
+                s, acc = carry
+                s, y_rows = pool_step_body(
+                    conv_params, eq_params, eq_params, s, x, idx,
+                    transition_length=960, eq_enabled=True,
+                    eq_crossfading=False, variant="ring_all",
+                )
+                acc = acc + jnp.sum(y_rows.reshape(-1, 8, 128), axis=0)
+                return (s, acc), None
+            acc0 = jnp.zeros((8, 128), jnp.float32)
+            (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
+                                       length=blocks)
+            return s, acc
+
+        args.blocks_per_step = 1
+    else:
+        conv_params, eq_params, state, x = bench.build(
+            args.batch, hrir_seconds=args.hrir_seconds,
+            lookahead=args.blocks_per_step, speakers=args.speakers,
+        )
+        run = bench.make_runner(args.blocks,
+                                blocks_per_step=args.blocks_per_step)
 
     # Compile + warm (outside the trace).
     state, acc = run(conv_params, eq_params, state, x)
