@@ -310,7 +310,8 @@ def cmd_serve(args) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     hrir = wav_io.load(args.hrir)
-    layout = cm.STEREO if args.layout == "stereo" else cm.SURROUND_7_1
+    layout = {"stereo": cm.STEREO, "7.1": cm.SURROUND_7_1,
+              "7.1.4": cm.ATMOS_7_1_4}[args.layout]
     renderer = prepare_renderer(hrir, layout, args.sample_rate)
     pool = StreamPool(
         max_streams=args.max_streams,
@@ -318,6 +319,7 @@ def cmd_serve(args) -> int:
         renderer=renderer,
         eq_definition=_load_equalizer(args.eq),
     )
+    pool.prewarm()  # compile every bucket shape before accepting traffic
     server = RenderServer(pool, host=args.host, port=args.port)
     server.start()
     print(json.dumps({"listening": list(server.address),
@@ -395,7 +397,8 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=7711)
     serve.add_argument("--sample-rate", type=float, default=48_000.0)
-    serve.add_argument("--layout", choices=["stereo", "7.1"], default="stereo")
+    serve.add_argument("--layout", choices=["stereo", "7.1", "7.1.4"],
+                       default="stereo")
     serve.add_argument("--max-streams", type=int, default=64)
     serve.add_argument("--cpu", action="store_true")
     serve.set_defaults(fn=cmd_serve)
