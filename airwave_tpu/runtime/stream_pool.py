@@ -129,12 +129,33 @@ class StreamPool:
         block_size: int = 512,
         ring_blocks: int = 16,
         config: AirwaveConfig = DEFAULT_CONFIG,
+        mesh=None,
     ) -> None:
+        """`mesh`: an optional 1-D `jax.sharding.Mesh` whose single axis is
+        named "streams". The pool's lane state (FDL, overlap, EQ state)
+        shards over it, so one pool serves a whole slice: every jitted
+        round runs SPMD with chip-local lane math (the scatter/gather of
+        the harvested rows is the only cross-chip traffic, proportional to
+        the harvest). max_streams must divide evenly by the mesh size.
+        Host rings stay process-local — multi-HOST serving wants one pool
+        per host process (DCN carries client payloads, never lane state).
+        """
         self.max_streams = int(max_streams)
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
         self.renderer = renderer
         self.config = config
+        self.mesh = mesh
+        if mesh is not None:
+            if tuple(mesh.axis_names) != ("streams",):
+                raise ValueError(
+                    "pool mesh must be 1-D with axis name 'streams'"
+                )
+            if self.max_streams % mesh.size:
+                raise ValueError(
+                    f"max_streams ({self.max_streams}) must divide by the "
+                    f"mesh size ({mesh.size})"
+                )
         speakers = renderer.num_speakers
 
         self.assembler = RaggedAssembler(
@@ -151,14 +172,14 @@ class StreamPool:
         if eq_definition is not None:
             self.eq_runtime.set_target(eq_definition)
 
-        self._state = PoolState(
+        self._state = self._place(PoolState(
             conv=upols.make_conv_state(
                 self.max_streams, speakers, renderer.partition_count,
                 block_size,
             ),
             eq=eq_block.make_eq_state(self.max_streams, 2,
                                       config.eq_state_dim),
-        )
+        ))
         self._attached: Dict[int, bool] = {}
         self._attached_mask = np.zeros(max_streams, bool)
         self._free = list(range(max_streams - 1, -1, -1))
@@ -179,6 +200,33 @@ class StreamPool:
         self.rounds = 0
         self.blocks_rendered = 0
         self.render_errors = 0
+
+    def _place(self, state: PoolState) -> PoolState:
+        """Shard lane state over the pool mesh (no-op without one)."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        def ns(spec):
+            return NamedSharding(self.mesh, spec)
+
+        conv = state.conv
+        eq = state.eq
+        return PoolState(
+            conv=upols.ConvState(
+                fdl=jax.device_put(
+                    conv.fdl, ns(P(None, None, None, None, "streams"))
+                ),
+                overlap=jax.device_put(conv.overlap, ns(P("streams"))),
+                write_pos=jax.device_put(conv.write_pos, ns(P())),
+            ),
+            eq=eq_block.EqState(
+                s_from=jax.device_put(eq.s_from, ns(P("streams"))),
+                s_to=jax.device_put(eq.s_to, ns(P("streams"))),
+                counter=jax.device_put(eq.counter, ns(P("streams"))),
+            ),
+        )
 
     # --- stream lifecycle -----------------------------------------------------------
 
@@ -247,10 +295,13 @@ class StreamPool:
                 "renderer speaker count must match the pool's input layout"
             )
         self._state = PoolState(
-            conv=upols.make_conv_state(
-                self.max_streams, renderer.num_speakers,
-                renderer.partition_count, self.block_size,
-            ),
+            conv=self._place(PoolState(
+                conv=upols.make_conv_state(
+                    self.max_streams, renderer.num_speakers,
+                    renderer.partition_count, self.block_size,
+                ),
+                eq=self._state.eq,
+            )).conv,
             eq=self._state.eq,
         )
         self._debt[:] = 0
@@ -309,14 +360,14 @@ class StreamPool:
         )
 
         def throwaway():  # donated per call; the pool's own state untouched
-            return PoolState(
+            return self._place(PoolState(
                 conv=upols.make_conv_state(
                     self.max_streams, speakers,
                     self.renderer.partition_count, self.block_size,
                 ),
                 eq=eq_block.make_eq_state(self.max_streams, 2,
                                           self.config.eq_state_dim),
-            )
+            ))
 
         for kb in buckets:
             blocks = jnp.zeros((kb, speakers, self.block_size), jnp.float32)
@@ -443,7 +494,7 @@ class StreamPool:
             # harvested for in-flight rounds are lost to the failure and
             # surface as underflow zeros at pull time; the pool itself
             # stays usable for the next round.
-            self._state = PoolState(
+            self._state = self._place(PoolState(
                 conv=upols.make_conv_state(
                     self.max_streams, self.renderer.num_speakers,
                     self.renderer.partition_count, self.block_size,
@@ -451,7 +502,7 @@ class StreamPool:
                 eq=eq_block.make_eq_state(
                     self.max_streams, 2, self.config.eq_state_dim
                 ),
-            )
+            ))
             self._debt[:] = 0
             self.render_errors += 1
             raise

@@ -336,6 +336,50 @@ def test_atmos_714_speaker_sharded_step_on_mesh():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
 
 
+def test_stream_pool_sharded_over_mesh_matches_unsharded():
+    """Multi-chip serving: a pool whose lane state shards over a 1-D
+    "streams" mesh must render byte-compatible audio with the unsharded
+    pool under the same ragged schedule (pauses included — the debt roll
+    crosses shards too)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = Mesh(np.array(devices[:8]), ("streams",))
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    sharded = StreamPool(8, 48_000.0, renderer, block_size=block, mesh=mesh)
+    plain = StreamPool(8, 48_000.0, renderer, block_size=block)
+    with pytest.raises(ValueError):
+        StreamPool(9, 48_000.0, renderer, block_size=block, mesh=mesh)
+    streams = [(sharded.attach(), plain.attach()) for _ in range(3)]
+    rng = np.random.default_rng(31)
+    n = 6
+    sigs = [(rng.standard_normal((2, n * block)) * 0.3).astype(np.float32)
+            for _ in streams]
+    fed = [0] * len(streams)
+    for rnd in range(3 * n):
+        feeds = [True, rnd % 2 == 0, rnd % 3 == 0]  # ragged pauses
+        for i, (s_s, s_p) in enumerate(streams):
+            if feeds[i] and fed[i] < n:
+                chunk = sigs[i][:, fed[i] * block:(fed[i] + 1) * block]
+                sharded.push(s_s, chunk)
+                plain.push(s_p, chunk)
+                fed[i] += 1
+        sharded.pump()
+        plain.pump()
+    for i, (s_s, s_p) in enumerate(streams):
+        a = sharded.pull(s_s, n * block)
+        b = plain.pull(s_p, n * block)
+        rel = np.sqrt(np.mean((a - b) ** 2)) / max(
+            np.sqrt(np.mean(b**2)), 1e-9
+        )
+        assert rel < 1e-6, (i, rel)
+        assert np.any(a != 0)
+
+
 def test_pool_ring_all_fast_variant_matches_masked():
     """When every attached stream is harvested, pump takes the unmasked
     ring_all variant. Its audio must match a pool forced onto the masked
