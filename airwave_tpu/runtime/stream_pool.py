@@ -306,6 +306,45 @@ class StreamPool:
         )
         self._debt[:] = 0
 
+    # --- checkpoint / resume ----------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Host-side checkpoint of every slot's DSP carry.
+
+        Captures the device carry AND the ring bookkeeping that interprets
+        it (per-lane alignment debt, attached set) — with the shared-cursor
+        ring design the carry alone is not self-describing. Ring CONTENTS
+        (undrained input/output audio) are transient by design and not
+        captured, matching the reference's reset-on-reconfigure stance for
+        in-flight audio. Feed to `restore` on a pool with identical
+        max_streams/renderer shape for bit-identical resume."""
+        return {
+            "state": jax.tree_util.tree_map(np.asarray, self._state),
+            "debt": self._debt.copy(),
+            "attached": sorted(self._attached),
+        }
+
+    def restore(self, snap: dict) -> None:
+        ref = self._state
+        state = jax.tree_util.tree_map(jnp.asarray, snap["state"])
+        got = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), state)
+        want = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), ref)
+        if got != want:
+            raise ValueError(
+                f"snapshot shape/dtype mismatch: {got} vs pool {want}"
+            )
+        self._state = self._place(state)
+        self._debt[:] = snap["debt"]
+        self._attached = {int(s): True for s in snap["attached"]}
+        self._attached_mask[:] = False
+        self._attached_mask[list(self._attached)] = True
+        self._free = [s for s in range(self.max_streams - 1, -1, -1)
+                      if s not in self._attached]
+        self._pending_out.clear()
+        for s in range(self.max_streams):
+            self.assembler.reset_stream(s)
+            self._out.reset_stream(s)
+
     # --- data plane -------------------------------------------------------------------
 
     def push(self, stream: int, chunk: np.ndarray) -> None:

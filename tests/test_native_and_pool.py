@@ -336,6 +336,44 @@ def test_atmos_714_speaker_sharded_step_on_mesh():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
 
 
+def test_stream_pool_snapshot_restore_bit_identical_resume():
+    """Checkpoint mid-life (including a paused lane with alignment debt)
+    and resume in a fresh pool: subsequent audio must be bit-identical."""
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    a = StreamPool(4, 48_000.0, renderer, block_size=block)
+    rng = np.random.default_rng(41)
+    s0, s1 = a.attach(), a.attach()
+    sig0 = (rng.standard_normal((2, 8 * block)) * 0.3).astype(np.float32)
+    sig1 = (rng.standard_normal((2, 8 * block)) * 0.3).astype(np.float32)
+    # s0 steps 4 rounds; s1 only 2 (debt accrues on s1).
+    for i in range(4):
+        a.push(s0, sig0[:, i * block:(i + 1) * block])
+        if i < 2:
+            a.push(s1, sig1[:, i * block:(i + 1) * block])
+        a.pump()
+    a.pull(s0, 4 * block)
+    a.pull(s1, 2 * block)
+    snap = a.snapshot()
+    assert snap["debt"][s1] > 0  # the paused lane carries real debt
+
+    b = StreamPool(4, 48_000.0, renderer, block_size=block)
+    b.restore(snap)
+    for pool in (a, b):
+        for i in range(4, 8):
+            pool.push(s0, sig0[:, i * block:(i + 1) * block])
+        for i in range(2, 8):
+            pool.push(s1, sig1[:, i * block:(i + 1) * block])
+        pool.pump()
+    np.testing.assert_array_equal(a.pull(s0, 4 * block),
+                                  b.pull(s0, 4 * block))
+    np.testing.assert_array_equal(a.pull(s1, 6 * block),
+                                  b.pull(s1, 6 * block))
+    # Restored bookkeeping: the free list excludes restored streams.
+    s2 = b.attach()
+    assert s2 not in (s0, s1)
+
+
 def test_stream_pool_sharded_over_mesh_matches_unsharded():
     """Multi-chip serving: a pool whose lane state shards over a 1-D
     "streams" mesh must render byte-compatible audio with the unsharded
