@@ -92,6 +92,9 @@ class DeviceProfileManager:
         self._store = store
         self._clock = clock
         self._profiles: Dict[str, DeviceProfile] = {}
+        # Per-UID timestamp of the last last_seen_at value that reached
+        # disk (the SEEN_PERSIST_INTERVAL debounce keys on this).
+        self._seen_persisted: Dict[str, float] = {}
         self._available: List[OutputDeviceDescriptor] = []
         self._revision = 0
         self._observers: List[Callable[[ProfileChange], None]] = []
@@ -118,6 +121,11 @@ class DeviceProfileManager:
             SCHEMA_VERSION,
             [p.to_json() for p in self._profiles.values()],
         )
+        # Every save persists the current last_seen_at values wholesale;
+        # record that so the refresh debounce measures from disk reality.
+        self._seen_persisted = {
+            uid: p.last_seen_at for uid, p in self._profiles.items()
+        }
 
     # --- change channel -----------------------------------------------------------
 
@@ -168,14 +176,18 @@ class DeviceProfileManager:
             # Pure last_seen_at refreshes persist too (debounced): the
             # load-time duplicate dedup keys on the PERSISTED timestamp,
             # so letting it go stale until an unrelated write could keep
-            # the wrong record of a duplicated UID.
-            if now - profile.last_seen_at >= self.SEEN_PERSIST_INTERVAL:
+            # the wrong record of a duplicated UID. The debounce compares
+            # against the last PERSISTED value (not the in-memory one,
+            # which this loop refreshes every call — comparing against it
+            # would never persist under frequent device polls).
+            persisted = self._seen_persisted.get(profile.device_uid, 0.0)
+            if now - persisted >= self.SEEN_PERSIST_INTERVAL:
                 needs_save = True
             profile.name = device.name
             profile.transport_type = device.transport_type
             profile.last_seen_at = now
         if changed or needs_save:
-            self._save()
+            self._save()  # also refreshes the _seen_persisted record
         if changed:
             self._emit(ProfileChangeKind.METADATA, "")
 

@@ -119,6 +119,48 @@ class EqualizerRuntime:
     def is_transitioning(self) -> bool:
         return self.transition_from is not None
 
+    # --- checkpoint / resume --------------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Capture the render-side crossfade machine: which cascade is
+        active, which (if any) it is ramping from, the queued newest-wins
+        target, and the ramp clock. Control-plane transients (an
+        unobserved publication, retirement slots) are deliberately NOT
+        captured — like in-flight audio, they re-establish on the next
+        control action. Definitions are stored, not params: `prepare` is
+        deterministic, so restore rebuilds bit-identical cascades."""
+        def pack(p: Optional[PreparedEq]):
+            return None if p is None else ("prepared", p.definition)
+
+        return {
+            "active": pack(self.active),
+            "transition_from": pack(self.transition_from),
+            "pending": pack(self.pending_target),
+            "samples_into_transition": self._samples_into_transition,
+            "reset_requested": self._reset_requested,
+        }
+
+    def restore(self, snap: dict) -> None:
+        def mk(item) -> Optional[PreparedEq]:
+            if item is None:
+                return None
+            _, definition = item
+            return self.unity if definition is None else self.prepare(
+                definition
+            )
+
+        self.active = mk(snap["active"]) or self.unity
+        self.transition_from = mk(snap["transition_from"])
+        self.pending_target = mk(snap["pending"])
+        self._samples_into_transition = int(snap["samples_into_transition"])
+        self._reset_requested = bool(snap["reset_requested"])
+        # Fresh control plane: nothing published/observed/retired yet.
+        self.observed_target = None
+        self._published = None
+        self._audio_thread_target = None
+        self._retired = None
+        self._pending_retirement = None
+
     # --- render-side protocol (called by the engine per block) ---------------
 
     def begin_block(self, eq_state: eq_block.EqState):

@@ -311,9 +311,12 @@ class StreamPool:
     def snapshot(self) -> dict:
         """Host-side checkpoint of every slot's DSP carry.
 
-        Captures the device carry AND the ring bookkeeping that interprets
-        it (per-lane alignment debt, attached set) — with the shared-cursor
-        ring design the carry alone is not self-describing. Ring CONTENTS
+        Captures the device carry AND the host state that interprets it
+        (per-lane alignment debt, attached set, the EQ crossfade machine's
+        active/from/pending targets and ramp clock) — with the
+        shared-cursor ring design the carry alone is not self-describing,
+        and mid-ramp EQ counters are meaningless without the cascades they
+        blend. Ring CONTENTS
         (undrained input/output audio) are transient by design and not
         captured, matching the reference's reset-on-reconfigure stance for
         in-flight audio. Feed to `restore` on a pool with identical
@@ -322,9 +325,13 @@ class StreamPool:
             "state": jax.tree_util.tree_map(np.asarray, self._state),
             "debt": self._debt.copy(),
             "attached": sorted(self._attached),
+            "eq_runtime": self.eq_runtime.snapshot(),
+            "eq_enabled": self._eq_enabled,
         }
 
     def restore(self, snap: dict) -> None:
+        # Validate EVERYTHING before mutating anything, so a bad snapshot
+        # cannot leave the pool half-restored.
         ref = self._state
         state = jax.tree_util.tree_map(jnp.asarray, snap["state"])
         got = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), state)
@@ -333,17 +340,34 @@ class StreamPool:
             raise ValueError(
                 f"snapshot shape/dtype mismatch: {got} vs pool {want}"
             )
+        debt = np.asarray(snap["debt"], np.int64)
+        if debt.shape != (self.max_streams,):
+            raise ValueError(
+                f"snapshot debt length {debt.shape} vs pool "
+                f"({self.max_streams},)"
+            )
+        attached = [int(s) for s in snap["attached"]]
+        if any(not (0 <= s < self.max_streams) for s in attached):
+            raise ValueError(
+                f"snapshot attached streams out of range for "
+                f"max_streams={self.max_streams}: {attached}"
+            )
+
         self._state = self._place(state)
-        self._debt[:] = snap["debt"]
-        self._attached = {int(s): True for s in snap["attached"]}
+        self._debt[:] = debt
+        self._attached = {s: True for s in attached}
         self._attached_mask[:] = False
-        self._attached_mask[list(self._attached)] = True
+        self._attached_mask[attached] = True
         self._free = [s for s in range(self.max_streams - 1, -1, -1)
                       if s not in self._attached]
         self._pending_out.clear()
         for s in range(self.max_streams):
             self.assembler.reset_stream(s)
             self._out.reset_stream(s)
+        if "eq_runtime" in snap:
+            self.eq_runtime.restore(snap["eq_runtime"])
+            self._eq_enabled = bool(snap.get("eq_enabled",
+                                             self._eq_enabled))
 
     # --- data plane -------------------------------------------------------------------
 
@@ -368,18 +392,22 @@ class StreamPool:
         return min(b, self.max_streams)
 
     def prewarm(self, up_to: Optional[int] = None) -> None:
-        """AOT-compile every device-step shape serving can hit, up front.
+        """Compile-and-warm every device-step shape serving can hit.
 
         Serving stalls on a mid-flight jit compile are fatal to latency
         (a cold kb=256 pool-step compile measured 454 s over this
         environment's tunnel): a newly-seen harvest-bucket size, the
         all-attached fast variant, the crossfade variant on the first EQ
-        retarget, or the first debt roll would each trigger one. Compiles
-        go through jit's `.lower().compile()` on abstract shapes — no
-        execution, no state change of any kind — and land in the same
-        (persistent) jit cache the pump hits. Idempotent; repeat calls
-        after the cache is warm are cheap. Re-run after `set_renderer`
-        swaps to a different partition/speaker shape.
+        retarget, or the first debt roll would each trigger one. Each
+        variant EXECUTES once on a freshly-allocated throwaway state
+        (donated, then freed) — `.lower().compile()` was considered but
+        does not populate jit's dispatch cache, so the pump would compile
+        again anyway; real execution warms exactly what serving hits. The
+        pool's own state, cursor, and debt are untouched. Idempotent;
+        repeat calls are cheap once warm. Re-run after `set_renderer`
+        swaps to a different partition/speaker shape. Run prewarm before
+        traffic, not during: on tunneled devices the executions are the
+        slow/wedge-prone part and belong in startup.
         """
         limit = self.max_streams if up_to is None else min(
             int(up_to), self.max_streams

@@ -37,6 +37,13 @@ class PlanAttempt(NamedTuple):
     lookahead: int
     acc_chunk: int   # 0 = unchunked
     reason: str
+    # Cap on the surrounding scan's unroll factor (0 = the page count,
+    # the speed default). The unrolled body keeps one folded-projection
+    # output alive per unrolled step (~B*M*E*(T+N) floats each — a
+    # measured 2.7 GB at config-5 B=16384 M=2), so memory-tight shapes
+    # trade a per-group page-rotation copy (~fdl/unroll extra traffic)
+    # for bounded live outputs.
+    max_unroll: int = 0
 
 
 def _padded_bins(block: int) -> int:
@@ -94,6 +101,11 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
         # Tightest squeeze: pairwise lookahead with fully serialized
         # accumulation (live Ykm terms bounded to 2).
         candidates.append(PlanAttempt(2, 1, "minimum-memory M=2, chunk=1"))
+        # Last resort: additionally cap the scan unroll so only a few
+        # per-step projection outputs stay live (costs a page-rotation
+        # copy per unrolled group).
+        candidates.append(PlanAttempt(
+            2, 1, "minimum-memory M=2, chunk=1, unroll<=4", 4))
 
     if hbm_bytes is None:
         return candidates

@@ -132,7 +132,7 @@ def _finish_build(batch: int, hrir, conv_params, lookahead: int = 1):
 
 def make_runner(blocks_per_call: int, use_pallas: bool = False,
                 batch_tile: int = 256, blocks_per_step: int = 1,
-                acc_chunk: int = 0):
+                acc_chunk: int = 0, max_unroll: int = 0):
     """One jit: scan `blocks_per_call` chained render blocks; return final
     state + a [8, 128] checksum that depends on every block's output.
 
@@ -195,6 +195,8 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
             acc0 = jnp.zeros((8, 128), jnp.float32)
             steps = blocks_per_call // M
             unroll = max(1, min(pages, steps))
+            if max_unroll:
+                unroll = min(unroll, max_unroll)
             while steps % unroll:
                 unroll -= 1
             (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
@@ -222,29 +224,52 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
     return run
 
 
+
+def _reference_hrir_wav():
+    """The bundled reference HRIR when present; otherwise a deterministic
+    synthesized 14-channel bank (CI runners have no /root/reference)."""
+    from airwave_tpu.io import wav
+    from airwave_tpu.io.wav import WAVData
+
+    try:
+        return wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+    except Exception:
+        from airwave_tpu.assets.bundled import synthesize_hrir
+
+        return WAVData(SAMPLE_RATE, synthesize_hrir("neutral", 4320))
+
+
 def measure_pool(batch: int, blocks_per_call: int, calls: int,
                  hrir_seconds: float = None, speakers: int = 2):
-    """Serving-path device number: the StreamPool's jitted round (masked
-    shared-cursor ring step + device scatter/gather of the harvested rows)
-    scanned sync-proof with every lane active — the steady-state cost the
-    production pool pays per block. Uses the pool's pow2 partition
-    bucketing (compile reuse across preset swaps), unlike the bake path's
-    exact partitions."""
+    """Serving-path device number: the StreamPool's jitted round
+    (shared-cursor ring step + device scatter/gather of the harvested
+    rows, in the unmasked ring_all variant pump selects when every
+    attached lane is harvested) scanned sync-proof with every lane active
+    — the steady-state cost the production pool pays per block. Exact
+    partitions, matching the renderer default (pow2 measured +23%)."""
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable_compile_cache()
 
+    from airwave_tpu.io.apo import (EqualizerDefinition, EqualizerFilter,
+                                    FilterType)
+    from airwave_tpu.ops import biquad_design as bd
     from airwave_tpu.ops import eq_block, upols
     from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
 
-    conv_params, eq_params, _, x = build(batch, hrir_seconds=hrir_seconds,
-                                         speakers=speakers)
+    filters = tuple(
+        EqualizerFilter(i + 1, i + 1, True,
+                        (FilterType.PEAKING, FilterType.LOW_SHELF,
+                         FilterType.HIGH_SHELF)[i % 3],
+                        100.0 * (i + 1) + 60.0, (-1.0) ** i * 2.0, 0.9)
+        for i in range(10)
+    )
+    preamp, coeffs = bd.design_cascade(EqualizerDefinition(-2.5, filters),
+                                       SAMPLE_RATE)
+    eq_params = eq_block.make_eq_params(coeffs, preamp, BLOCK)
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (batch, speakers, BLOCK), jnp.float32) * 0.25
     # Pool configuration: exact partitions (renderer default; the pow2
     # bucket measured +23% pool-round time at B=8192 — see BENCH_NOTES).
     rng = np.random.default_rng(0)
@@ -333,7 +358,7 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
     from airwave_tpu.io import wav
     from airwave_tpu.runtime.stream_pool import StreamPool
 
-    data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+    data = _reference_hrir_wav()
     layout = cm.STEREO if speakers == 2 else cm.detect_layout(speakers)
     renderer = prepare_renderer(data, layout, SAMPLE_RATE, BLOCK)
     pool = StreamPool(batch, SAMPLE_RATE, renderer, eq_definition=None,
@@ -395,9 +420,12 @@ def measure_serve(clients: int, blocks_each: int, calls: int):
     from airwave_tpu.runtime.stream_pool import StreamPool
     from airwave_tpu.shell.serve import RenderServer, render_via_server
 
-    data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+    data = _reference_hrir_wav()
     renderer = prepare_renderer(data, cm.STEREO, SAMPLE_RATE, BLOCK)
-    pool = StreamPool(max(clients, 2), SAMPLE_RATE, renderer,
+    # +2 slots of headroom: a finished client's server-side detach runs
+    # just after its EOF frame, so a back-to-back wave can momentarily
+    # overlap the previous occupancy.
+    pool = StreamPool(clients + 2, SAMPLE_RATE, renderer,
                       eq_definition=None, block_size=BLOCK, ring_blocks=8)
     # Compile every harvest-bucket/roll shape before opening the doors —
     # a cold bucket compile mid-flight stalls past client timeouts.
@@ -447,7 +475,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
             use_pallas: bool = False, batch_tile: int = 256,
             hrir_seconds: float = None, fdl_dtype: str = "float32",
             blocks_per_step: int = 1, speakers: int = 2,
-            acc_chunk: int = 0):
+            acc_chunk: int = 0, max_unroll: int = 0):
     # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
     # compile and fit inside short healthy windows.
     _enable_compile_cache()
@@ -481,7 +509,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
             eq_block.make_eq_state(batch),
         )
     runner = make_runner(blocks_per_call, use_pallas, batch_tile,
-                         blocks_per_step, acc_chunk)
+                         blocks_per_step, acc_chunk, max_unroll)
 
     # Warmup: compile + one real execution, checksum fetched (true sync).
     state, acc = runner(conv_params, eq_params, state, x)
@@ -533,6 +561,9 @@ def main():
                         help="loopback RenderServer throughput with "
                              "--batch synthetic TCP clients")
     parser.add_argument("--deadline", type=float, default=480.0)
+    parser.add_argument("--strict", action="store_true",
+                        help="exit nonzero when only an error JSON could "
+                             "be produced (CI release gates)")
     args = parser.parse_args()
     if args.pallas:
         args.blocks_per_step = 1  # the fused kernel path is single-block
@@ -574,6 +605,8 @@ def main():
                 "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
                 "error": f"serve bench failed: {err}",
             }))
+            if args.strict:
+                sys.exit(1)
             return
         print(json.dumps({
             "metric": "render-server loopback realtime-multiple",
@@ -614,6 +647,8 @@ def main():
                 "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
                 "error": f"device error after retries: {last_error}",
             }))
+            if args.strict:
+                sys.exit(1)
             return
         out = {
             "metric": ("serving-pool realtime-multiple per chip"
@@ -645,11 +680,14 @@ def main():
                                args.blocks_per_step,
                                hbm_bytes=device_hbm_bytes())
     else:
-        plan = [(args.blocks_per_step, 0, "as requested")]
+        from airwave_tpu.utils.memory_planner import PlanAttempt
+
+        plan = [PlanAttempt(args.blocks_per_step, 0, "as requested")]
 
     def _is_oom(err) -> bool:
         text = str(err)
         return ("RESOURCE_EXHAUSTED" in text or "Out of memory" in text
+                or "Ran out of memory" in text
                 or "exceeds the memory capacity" in text
                 or "Attempting to reserve" in text)
 
@@ -657,7 +695,8 @@ def main():
     # and retry (compiles hit the persistent cache, so retries are cheap).
     last_error = None
     result = None
-    for m, chunk, reason in plan:
+    for attempt in plan:
+        m, chunk = attempt.lookahead, attempt.acc_chunk
         step_blocks = max(blocks - blocks % m, m)
         for _attempt in range(3):
             try:
@@ -670,8 +709,9 @@ def main():
                     blocks_per_step=m,
                     speakers=args.speakers,
                     acc_chunk=chunk,
+                    max_unroll=attempt.max_unroll,
                 )
-                result = (multiple, per_block, m, chunk)
+                result = (multiple, per_block, attempt)
                 break
             except Exception as err:  # noqa: BLE001
                 last_error = err
@@ -686,8 +726,10 @@ def main():
             "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
             "error": f"device error after retries: {last_error}",
         }))
+        if args.strict:
+            sys.exit(1)
         return
-    multiple, per_block, used_m, used_chunk = result
+    multiple, per_block, used = result
     out = {
         "metric": "realtime-multiple per chip (48kHz stereo HRIR+EQ chain)",
         "value": round(multiple, 1),
@@ -697,9 +739,11 @@ def main():
         "speakers": args.speakers,
         "ms_per_block_step": round(per_block * 1e3, 3),
     }
-    if (used_m, used_chunk) != (args.blocks_per_step, 0):
-        out["memory_plan"] = {"blocks_per_step": used_m,
-                              "acc_chunk": used_chunk}
+    if (used.lookahead, used.acc_chunk, used.max_unroll) != (
+            args.blocks_per_step, 0, 0):
+        out["memory_plan"] = {"blocks_per_step": used.lookahead,
+                              "acc_chunk": used.acc_chunk,
+                              "max_unroll": used.max_unroll}
     print(json.dumps(out))
 
 

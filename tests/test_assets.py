@@ -134,6 +134,16 @@ def test_profiles_persist_last_seen_refreshes_debounced(tmp_path):
     m.update_available_devices([dev])
     assert on_disk() == t[0]
     assert changes == []
+    # FREQUENT polls (every few seconds, the realistic device-list cadence)
+    # must still persist once per window: the debounce keys on the last
+    # PERSISTED value, not the in-memory one each poll refreshes.
+    last_disk = on_disk()
+    for _ in range(int(DeviceProfileManager.SEEN_PERSIST_INTERVAL / 5) + 2):
+        t[0] += 5.0
+        m.update_available_devices([dev])
+    assert on_disk() > last_disk, (
+        "frequent refreshes never reached disk — inverted debounce"
+    )
 
 
 def test_profiles_clear_dangling(tmp_path):

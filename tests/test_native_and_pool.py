@@ -374,6 +374,44 @@ def test_stream_pool_snapshot_restore_bit_identical_resume():
     assert s2 not in (s0, s1)
 
 
+def test_stream_pool_snapshot_restore_mid_eq_crossfade():
+    """Checkpoint DURING a live EQ retarget ramp: the restored pool must
+    continue the crossfade bit-identically — the snapshot carries the EQ
+    machine's active/from targets and ramp clock, not just device state."""
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    eq_a = EqualizerDefinition(preamp_db=-6.0)
+    eq_b = EqualizerDefinition(preamp_db=+3.0)
+    a = StreamPool(2, 48_000.0, renderer, eq_definition=eq_a,
+                   block_size=block)
+    s = a.attach()
+    rng = np.random.default_rng(43)
+    sig = (rng.standard_normal((2, 30 * block)) * 0.3).astype(np.float32)
+    # Finish the activation ramp, then retarget and step PART of the new
+    # ramp (transition_length = 960 = 15 blocks at block 64).
+    for i in range(16):
+        a.push(s, sig[:, i * block:(i + 1) * block])
+        a.pump()
+    a.pull(s, 16 * block)
+    a.set_equalizer(eq_b)
+    for i in range(16, 20):  # 4 of 15 ramp blocks
+        a.push(s, sig[:, i * block:(i + 1) * block])
+        a.pump()
+    a.pull(s, 4 * block)
+    snap = a.snapshot()
+    assert snap["eq_runtime"]["transition_from"] is not None
+
+    c = StreamPool(2, 48_000.0, renderer, eq_definition=eq_a,
+                   block_size=block)
+    c.restore(snap)
+    for pool in (a, c):
+        for i in range(20, 30):
+            pool.push(s, sig[:, i * block:(i + 1) * block])
+            pool.pump()
+    np.testing.assert_array_equal(a.pull(s, 10 * block),
+                                  c.pull(s, 10 * block))
+
+
 def test_stream_pool_sharded_over_mesh_matches_unsharded():
     """Multi-chip serving: a pool whose lane state shards over a 1-D
     "streams" mesh must render byte-compatible audio with the unsharded

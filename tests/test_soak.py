@@ -95,13 +95,15 @@ def test_render_server_soak():
     lock = threading.Lock()
 
     def normal_client(i: int):
-        n = int(rng.integers(2 * BLOCK, 14 * BLOCK))
-        audio = (np.random.default_rng(i).standard_normal((2, n)) * 0.3
-                 ).astype(np.float32)
+        # Thread-local generator: np.random.Generator is not thread-safe,
+        # and the main thread draws from `rng` concurrently.
+        trng = np.random.default_rng(i)
+        n = int(trng.integers(2 * BLOCK, 14 * BLOCK))
+        audio = (trng.standard_normal((2, n)) * 0.3).astype(np.float32)
         try:
             # Stay under the wire cap (ring capacity - block + 1 frames).
             out = render_via_server(srv.address, audio,
-                                    chunk=int(rng.integers(17, 3 * BLOCK)))
+                                    chunk=int(trng.integers(17, 3 * BLOCK)))
             assert out.shape == (2, n), (out.shape, n)
             assert np.all(np.isfinite(out))
             with lock:
