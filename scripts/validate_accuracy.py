@@ -30,6 +30,10 @@ def main() -> int:
     parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--blocks-per-step", type=int, default=1,
                         help="validate the M-block lookahead (paged) chain")
+    parser.add_argument("--pool", action="store_true",
+                        help="validate the serving pool's ring step "
+                             "(shared cursor + masked writes + debt rolls "
+                             "under a ragged pause schedule)")
     args = parser.parse_args()
 
     import jax
@@ -63,7 +67,47 @@ def main() -> int:
     B, N = args.batch, args.blocks
     x = (rng.standard_normal((B, S, N * T)) * 0.3).astype(np.float32)
 
-    if args.pallas:
+    if args.pool:
+        # The serving path end-to-end on the device under a ragged pause
+        # schedule: lanes pause at different rounds, so the masked ring
+        # write, the ring_all fast variant, AND the debt-roll re-alignment
+        # all execute on the target backend.
+        from airwave_tpu.graph.renderer import RendererState
+        from airwave_tpu.runtime.stream_pool import StreamPool
+
+        conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+        renderer = RendererState(
+            conv_params=conv_params, speakers=("FL", "FR"),
+            sample_rate=48_000.0, block_size=T,
+        )
+        pool = StreamPool(B, 48_000.0, renderer,
+                          eq_definition=EqualizerDefinition(-2.5, filters),
+                          block_size=T, ring_blocks=max(N + 2, 4))
+        streams = [pool.attach() for _ in range(B)]
+        # Let the activation unity->target ramp finish on silence so the
+        # steady state matches the oracle's immediate-target application.
+        ramp_blocks = -(-960 // T) + 1
+        for _ in range(ramp_blocks):
+            for s in streams:
+                pool.push(s, np.zeros((S, T), np.float32))
+            pool.pump()
+        for s in streams:
+            pool.pull(s, ramp_blocks * T)
+        fed = [0] * B
+        for rnd in range(4 * N):
+            if all(f >= N for f in fed):
+                break
+            for j, s in enumerate(streams):
+                # Ragged: lane j pauses on rounds where (rnd % (j+2)) == 0.
+                if fed[j] < N and (j == 0 or rnd % (j + 2) != 0):
+                    pool.push(
+                        s, x[j, :, fed[j] * T:(fed[j] + 1) * T]
+                    )
+                    fed[j] += 1
+            pool.pump()
+        outs = None
+        got = np.stack([pool.pull(s, N * T) for s in streams])
+    elif args.pallas:
         from airwave_tpu.kernels import upols_pallas as kp
 
         conv_params = kp.make_packed_params(hrir, T)
@@ -131,7 +175,8 @@ def main() -> int:
             state, y = step(conv_params, eq_params, eq_params, state,
                             jnp.asarray(x[:, :, i * T:(i + 1) * T]))
             outs.append(np.asarray(y))
-    got = np.concatenate(outs, axis=-1)
+    if outs is not None:
+        got = np.concatenate(outs, axis=-1)
 
     worst = 0.0
     for b in range(B):
