@@ -206,6 +206,7 @@ def main() -> int:
         "backend": _jax.default_backend(),
         "device": str(_jax.devices()[0]),
         "pallas": bool(args.pallas),
+        "pool": bool(args.pool),
         "blocks_per_step": args.blocks_per_step,
         "batch": B,
         "blocks": N,
