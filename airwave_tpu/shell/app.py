@@ -297,34 +297,58 @@ def cmd_demo(args) -> int:
     return 0
 
 
-def cmd_serve(args) -> int:
+def build_serve_pool(args):
+    """Resolve serve-CLI args into a prewarmed StreamPool (tested
+    directly; cmd_serve wraps it in the accept loop)."""
     import jax
 
     from airwave_tpu.assets import channel_maps as cm
     from airwave_tpu.graph.renderer import prepare_renderer
     from airwave_tpu.io import wav as wav_io
     from airwave_tpu.runtime.stream_pool import StreamPool
-    from airwave_tpu.shell.serve import RenderServer
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
 
     hrir = wav_io.load(args.hrir)
     layout = {"stereo": cm.STEREO, "7.1": cm.SURROUND_7_1,
               "7.1.4": cm.ATMOS_7_1_4}[args.layout]
     renderer = prepare_renderer(hrir, layout, args.sample_rate)
+    mesh = None
+    if args.mesh_devices:
+        from jax.sharding import Mesh
+        import numpy as _np
+
+        devices = jax.devices()[: args.mesh_devices]
+        if len(devices) < args.mesh_devices:
+            raise SystemExit(
+                f"--mesh-devices {args.mesh_devices}: only "
+                f"{len(devices)} devices visible"
+            )
+        mesh = Mesh(_np.array(devices), ("streams",))
     pool = StreamPool(
         max_streams=args.max_streams,
         sample_rate=args.sample_rate,
         renderer=renderer,
         eq_definition=_load_equalizer(args.eq),
+        mesh=mesh,
     )
     pool.prewarm()  # compile every bucket shape before accepting traffic
+    return pool, layout
+
+
+def cmd_serve(args) -> int:
+    import jax
+
+    from airwave_tpu.shell.serve import RenderServer
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    pool, layout = build_serve_pool(args)
     server = RenderServer(pool, host=args.host, port=args.port)
     server.start()
     print(json.dumps({"listening": list(server.address),
                       "max_streams": args.max_streams,
-                      "layout": layout.name}), flush=True)
+                      "layout": layout.name,
+                      "mesh_devices": args.mesh_devices or 1}), flush=True)
     try:
         while True:
             time.sleep(1.0)
@@ -400,6 +424,10 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--layout", choices=["stereo", "7.1", "7.1.4"],
                        default="stereo")
     serve.add_argument("--max-streams", type=int, default=64)
+    serve.add_argument("--mesh-devices", type=int, default=0,
+                       help="shard the pool's lane state over this many "
+                            "local devices (1-D streams mesh; 0 = single "
+                            "device)")
     serve.add_argument("--cpu", action="store_true")
     serve.set_defaults(fn=cmd_serve)
 

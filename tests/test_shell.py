@@ -187,6 +187,42 @@ def test_render_cli_714_input_drops_heights(tmp_path, capsys):
     assert rel < 1e-5, rel
 
 
+def test_serve_cli_builds_mesh_sharded_pool(tmp_path):
+    """The serve CLI's --mesh-devices wiring: a pool built over N local
+    devices serves a loopback client identically to the plain path."""
+    import argparse
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from airwave_tpu.assets.bundled import synthesize_hrir
+    from airwave_tpu.io import wav
+    from airwave_tpu.shell.app import build_serve_pool
+    from airwave_tpu.shell.serve import RenderServer, render_via_server
+
+    hrir_path = str(tmp_path / "h.wav")
+    wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
+    args = argparse.Namespace(hrir=hrir_path, eq=None, layout="stereo",
+                              sample_rate=48_000.0, max_streams=8,
+                              mesh_devices=8)
+    pool, layout = build_serve_pool(args)
+    assert pool.mesh is not None and pool.mesh.size == 8
+    srv = RenderServer(pool, port=0)
+    srv.start()
+    try:
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal((2, 3 * 512)) * 0.3).astype(np.float32)
+        y = render_via_server(srv.address, x)
+        assert y.shape == (2, 3 * 512)
+        assert np.any(y != 0) and np.all(np.isfinite(y))
+    finally:
+        srv.stop()
+    # Requesting more devices than visible fails loudly.
+    args.mesh_devices = 10_000
+    with pytest.raises(SystemExit):
+        build_serve_pool(args)
+
+
 def test_demo_cli_reaches_processing(tmp_path, capsys):
     rc = app_main([
         "--data-dir", str(tmp_path / "data"),
