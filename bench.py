@@ -240,7 +240,8 @@ def _reference_hrir_wav():
 
 
 def measure_pool(batch: int, blocks_per_call: int, calls: int,
-                 hrir_seconds: float = None, speakers: int = 2):
+                 hrir_seconds: float = None, speakers: int = 2,
+                 active_fraction: float = 1.0):
     """Serving-path device number: the StreamPool's jitted round
     (shared-cursor ring step + device scatter/gather of the harvested
     rows, in the unmasked ring_all variant pump selects when every
@@ -297,18 +298,23 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
                                    conv_params.partition_count, BLOCK),
         eq=eq_block.make_eq_state(batch),
     )
-    idx = jnp.arange(batch, dtype=jnp.int32)
+    k = max(1, int(round(batch * active_fraction)))
+    idx = jnp.arange(k, dtype=jnp.int32)
+    if k != batch:
+        x = x[:k]
+    # Full harvest == the all-attached steady state, where pump selects
+    # the unmasked ring_all variant; a partial harvest exercises the
+    # masked ring variant (paused lanes preserved by the slot read-back).
+    variant = "ring_all" if k == batch else "ring"
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(conv_params, eq_params, state, x, idx):
         def body(carry, _):
             s, acc = carry
-            # All lanes active == the all-attached-harvested steady state,
-            # where pump selects the unmasked ring_all variant.
             s, y_rows = pool_step_body(
                 conv_params, eq_params, eq_params, s, x, idx,
                 transition_length=960, eq_enabled=True,
-                eq_crossfading=False, variant="ring_all",
+                eq_crossfading=False, variant=variant,
             )
             acc = acc + jnp.sum(y_rows.reshape(-1, 8, 128), axis=0)
             return (s, acc), None
@@ -554,6 +560,10 @@ def main():
     parser.add_argument("--pool", action="store_true",
                         help="serving-path number: the StreamPool's jitted "
                              "round (masked ring step) scanned sync-proof")
+    parser.add_argument("--pool-active-fraction", type=float, default=1.0,
+                        help="fraction of lanes harvested per round "
+                             "(<1 measures the masked ragged variant; "
+                             "aggregate counts only rendered lanes)")
     parser.add_argument("--pool-host", action="store_true",
                         help="end-to-end host serving loop through the real "
                              "StreamPool (rings + transfers + pulls)")
@@ -631,7 +641,8 @@ def main():
                     multiple, per_block = measure_pool(
                         batch, blocks, args.calls,
                         hrir_seconds=args.hrir_seconds,
-                        speakers=args.speakers)
+                        speakers=args.speakers,
+                        active_fraction=args.pool_active_fraction)
                     breakdown = None
                 else:
                     rounds = args.blocks or (4 if args.smoke else 24)
@@ -661,6 +672,8 @@ def main():
             "speakers": args.speakers,
             "ms_per_block_step": round(per_block * 1e3, 3),
         }
+        if args.pool and args.pool_active_fraction != 1.0:
+            out["active_fraction"] = args.pool_active_fraction
         if breakdown:
             out["host_ms_per_round"] = breakdown
         print(json.dumps(out))
