@@ -1,4 +1,4 @@
-.PHONY: test gate bench-smoke bench dryrun
+.PHONY: test gate bench-smoke bench bench-pool bench-serve soak accuracy dryrun release-check
 
 test:
 	python -m pytest tests/ -q
@@ -12,7 +12,31 @@ bench-smoke:
 bench:
 	python bench.py
 
+bench-pool:
+	python bench.py --pool
+
+bench-serve:
+	python bench.py --serve
+
+soak:
+	python -m pytest -m soak tests/test_soak.py -q -s
+
+accuracy:
+	python scripts/validate_accuracy.py
+	python scripts/validate_accuracy.py --pool
+	python scripts/validate_accuracy.py --blocks-per-step 8
+
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	import __graft_entry__ as e; e.dryrun_multichip(8); print('ok')"
+
+# The release workflow's local dress rehearsal (no tagging/publishing).
+release-check:
+	python scripts/validate_release_version.py 999.0.0 "" --skip-metadata
+	python -m pytest tests/ -q
+	python scripts/check_hot_path.py
+	python bench.py --smoke --strict
+	python bench.py --smoke --pool --strict
+	python bench.py --smoke --serve --strict
+	$(MAKE) dryrun
