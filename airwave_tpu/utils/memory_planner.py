@@ -44,6 +44,12 @@ class PlanAttempt(NamedTuple):
     # trade a per-group page-rotation copy (~fdl/unroll extra traffic)
     # for bounded live outputs.
     max_unroll: int = 0
+    # Process the stream batch as this many sequential groups (1 = whole
+    # batch). The terminal rung: a workload whose CARRY alone crowds out
+    # the program (config-5 at B=16384 measured arguments 12.35 GB +
+    # program >= 3.7 GB vs 15.75 GB HBM — ~2% over at every smaller
+    # rung) still completes, at the per-group batch's throughput.
+    batch_split: int = 1
 
 
 def _padded_bins(block: int) -> int:
@@ -101,19 +107,24 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
         # Tightest squeeze: pairwise lookahead with fully serialized
         # accumulation (live Ykm terms bounded to 2).
         candidates.append(PlanAttempt(2, 1, "minimum-memory M=2, chunk=1"))
-        # Last resort: additionally cap the scan unroll so only a few
-        # per-step projection outputs stay live (costs a page-rotation
-        # copy per unrolled group).
+        # Cap the scan unroll so only a few per-step projection outputs
+        # stay live (costs a page-rotation copy per unrolled group).
         candidates.append(PlanAttempt(
             2, 1, "minimum-memory M=2, chunk=1, unroll<=4", 4))
+    # Terminal rung: halve the resident batch and run two sequential
+    # groups at the preferred full-speed configuration — always
+    # completes if the half-batch workload fits.
+    candidates.append(PlanAttempt(
+        lookahead, 0, "half-batch split (two sequential groups)", 0, 2))
 
     if hbm_bytes is None:
         return candidates
     budget = headroom * float(hbm_bytes)
     fits = [
         c for c in candidates
-        if estimate_paged_bake(batch, speakers, hrir_taps, block,
-                               c.lookahead, c.acc_chunk).total_bytes <= budget
+        if estimate_paged_bake(batch // c.batch_split, speakers, hrir_taps,
+                               block, c.lookahead,
+                               c.acc_chunk).total_bytes <= budget
     ]
     kept = fits if fits else []
     # Always keep the final fallback: estimates are coarse by design.

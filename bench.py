@@ -481,10 +481,41 @@ def measure(batch: int, blocks_per_call: int, calls: int,
             use_pallas: bool = False, batch_tile: int = 256,
             hrir_seconds: float = None, fdl_dtype: str = "float32",
             blocks_per_step: int = 1, speakers: int = 2,
-            acc_chunk: int = 0, max_unroll: int = 0):
+            acc_chunk: int = 0, max_unroll: int = 0,
+            batch_split: int = 1):
     # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
     # compile and fit inside short healthy windows.
     _enable_compile_cache()
+
+    if batch_split > 1:
+        # Terminal memory rung: the full batch's CARRY does not fit, so
+        # run `batch_split` sequential stream-groups of batch/split each
+        # (the workload still completes; aggregate counts all groups).
+        assert batch % batch_split == 0, (batch, batch_split)
+        gb = batch // batch_split
+        builds = [build(gb, hrir_seconds=hrir_seconds,
+                        lookahead=blocks_per_step, speakers=speakers)
+                  for _ in range(batch_split)]
+        conv_params, eq_params, _, x = builds[0]
+        states = [b[2] for b in builds]
+        runner = make_runner(blocks_per_call, use_pallas, batch_tile,
+                             blocks_per_step, acc_chunk, max_unroll)
+        for i in range(batch_split):
+            states[i], acc = runner(conv_params, eq_params, states[i], x)
+            warm = np.asarray(acc)
+            assert np.all(np.isfinite(warm))
+        best = float("inf")
+        for _ in range(calls):
+            t0 = time.perf_counter()
+            for i in range(batch_split):
+                states[i], acc = runner(conv_params, eq_params,
+                                        states[i], x)
+                host = np.asarray(acc)
+                assert np.all(np.isfinite(host))
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+        audio_seconds = batch * blocks_per_call * BLOCK / SAMPLE_RATE
+        return audio_seconds / best, best / blocks_per_call
 
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
                                              lookahead=blocks_per_step,
@@ -723,6 +754,7 @@ def main():
                     speakers=args.speakers,
                     acc_chunk=chunk,
                     max_unroll=attempt.max_unroll,
+                    batch_split=attempt.batch_split,
                 )
                 result = (multiple, per_block, attempt)
                 break
@@ -752,11 +784,12 @@ def main():
         "speakers": args.speakers,
         "ms_per_block_step": round(per_block * 1e3, 3),
     }
-    if (used.lookahead, used.acc_chunk, used.max_unroll) != (
-            args.blocks_per_step, 0, 0):
+    if (used.lookahead, used.acc_chunk, used.max_unroll,
+            used.batch_split) != (args.blocks_per_step, 0, 0, 1):
         out["memory_plan"] = {"blocks_per_step": used.lookahead,
                               "acc_chunk": used.acc_chunk,
-                              "max_unroll": used.max_unroll}
+                              "max_unroll": used.max_unroll,
+                              "batch_split": used.batch_split}
     print(json.dumps(out))
 
 

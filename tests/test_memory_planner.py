@@ -37,14 +37,18 @@ def test_plan_ladder_ordering_and_pruning():
     # Generous HBM: full-speed first, ladder intact behind it.
     plan = mp.plan_paged_bake(8192, 2, 4320, 512, 8, hbm_bytes=1e12)
     assert plan[0] == mp.PlanAttempt(8, 0, "full speed")
-    # Tight HBM: hopeless attempts pruned, final fallback always kept.
+    # Tight HBM: hopeless attempts pruned; the terminal batch-split rung
+    # (whose half-batch workload is predicted to fit) survives, so the
+    # workload always completes.
     plan = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8, hbm_bytes=16e9)
     assert plan, "ladder must never be empty"
-    assert plan[-1].lookahead == 2 and plan[-1].acc_chunk == 1
+    assert plan[-1].batch_split == 2
     assert all(a.lookahead <= 8 for a in plan)
     # No HBM estimate: the full ladder comes back for runtime-OOM walking.
     full = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8)
-    assert full[0].acc_chunk == 0 and full[-1].acc_chunk == 1
+    assert full[0].acc_chunk == 0
+    assert any(a.acc_chunk == 1 for a in full)
+    assert full[-1].batch_split == 2
 
 
 def test_acc_chunk_parameter_matches_unchunked():
