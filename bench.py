@@ -489,33 +489,39 @@ def measure(batch: int, blocks_per_call: int, calls: int,
 
     if batch_split > 1:
         # Terminal memory rung: the full batch's CARRY does not fit, so
-        # run `batch_split` sequential stream-groups of batch/split each
-        # (the workload still completes; aggregate counts all groups).
+        # run `batch_split` sequential stream-groups of batch/split each,
+        # ONE group resident at a time (group g bakes to completion and
+        # frees its carry before group g+1 builds — two resident carries
+        # is exactly the OOM this rung exists to avoid). The workload
+        # still completes; the aggregate counts all groups' audio over
+        # the summed group times.
         assert batch % batch_split == 0, (batch, batch_split)
         gb = batch // batch_split
-        builds = [build(gb, hrir_seconds=hrir_seconds,
-                        lookahead=blocks_per_step, speakers=speakers)
-                  for _ in range(batch_split)]
-        conv_params, eq_params, _, x = builds[0]
-        states = [b[2] for b in builds]
         runner = make_runner(blocks_per_call, use_pallas, batch_tile,
                              blocks_per_step, acc_chunk, max_unroll)
-        for i in range(batch_split):
-            states[i], acc = runner(conv_params, eq_params, states[i], x)
+        total = 0.0
+        for _g in range(batch_split):
+            conv_params, eq_params, state, x = build(
+                gb, hrir_seconds=hrir_seconds,
+                lookahead=blocks_per_step, speakers=speakers,
+            )
+            state, acc = runner(conv_params, eq_params, state, x)
             warm = np.asarray(acc)
             assert np.all(np.isfinite(warm))
-        best = float("inf")
-        for _ in range(calls):
-            t0 = time.perf_counter()
-            for i in range(batch_split):
-                states[i], acc = runner(conv_params, eq_params,
-                                        states[i], x)
+            best_g = float("inf")
+            for _ in range(calls):
+                t0 = time.perf_counter()
+                state, acc = runner(conv_params, eq_params, state, x)
                 host = np.asarray(acc)
+                dt = time.perf_counter() - t0
                 assert np.all(np.isfinite(host))
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
+                best_g = min(best_g, dt)
+            total += best_g
+            del state, acc, conv_params, eq_params, x  # free the carry
         audio_seconds = batch * blocks_per_call * BLOCK / SAMPLE_RATE
-        return audio_seconds / best, best / blocks_per_call
+        return audio_seconds / total, total / (
+            blocks_per_call * batch_split
+        )
 
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
                                              lookahead=blocks_per_step,
