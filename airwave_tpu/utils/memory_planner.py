@@ -76,7 +76,12 @@ def estimate_paged_bake(batch: int, speakers: int, hrir_taps: int,
     page = kp * speakers * 2 * lookahead * batch * F32
     fdl = n_pages * page
     term = kp * batch * lookahead * ears * 2 * F32
-    live = (n_pages if acc_chunk <= 0 else min(acc_chunk + 1, n_pages))
+    # Unchunked, XLA's rematerializer empirically bounds concurrently-live
+    # Ykm terms to ~8 even at 13 pages (config-5 measured 12 GB peak incl.
+    # the 7.1 GB line); the naive all-pages count would prune shapes that
+    # actually fit.
+    live = (min(n_pages, 8) if acc_chunk <= 0
+            else min(acc_chunk + 1, n_pages))
     live_terms = live * term
     # frames + new-page DFT output + folded projection output, ~2 pages.
     working = 2 * page + 2 * batch * speakers * lookahead * block * F32
@@ -115,7 +120,7 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
     # groups at the preferred full-speed configuration — always
     # completes if the half-batch workload fits.
     candidates.append(PlanAttempt(
-        lookahead, 0, "half-batch split (two sequential groups)", 0, 2))
+        lookahead, 2, "half-batch split (two sequential groups)", 0, 2))
 
     if hbm_bytes is None:
         return candidates

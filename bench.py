@@ -518,6 +518,11 @@ def measure(batch: int, blocks_per_call: int, calls: int,
                 best_g = min(best_g, dt)
             total += best_g
             del state, acc, conv_params, eq_params, x  # free the carry
+            # On tunneled runtimes buffer frees are asynchronous RPCs;
+            # give them a moment before the next group allocates its
+            # 7 GB carry (a group-2 alloc racing group-1's frees
+            # reproduced ResourceExhausted on-chip).
+            time.sleep(3.0)
         audio_seconds = batch * blocks_per_call * BLOCK / SAMPLE_RATE
         return audio_seconds / total, total / (
             blocks_per_call * batch_split
