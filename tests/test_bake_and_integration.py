@@ -87,6 +87,57 @@ def test_pool_renderer_hot_swap():
     assert np.all(np.isfinite(out)) and np.any(out != 0)
 
 
+def test_config4_resampled_hrir_chain_with_midstream_swap():
+    """BASELINE config 4 end-to-end: a 44.1 kHz HRIR preset renders
+    through the 48 kHz chain (resampled at preparation), a second preset
+    hot-swaps MID-STREAM, and both segments match their own oracle built
+    from the same resampled IRs (the swap restarts conv history, the
+    reference's fresh-engines semantics)."""
+    from airwave_tpu.ops.resample import resample_linear
+    from airwave_tpu.runtime.stream_pool import StreamPool
+
+    block = 64
+    rng = np.random.default_rng(3)
+
+    def make_441_renderer(seed):
+        audio = (np.random.default_rng(seed).standard_normal((14, 256))
+                 * 0.2).astype(np.float32)
+        return (prepare_renderer(WAVData(44_100.0, audio), cm.STEREO,
+                                 48_000.0, block), audio)
+
+    r1, audio1 = make_441_renderer(11)
+    r2, audio2 = make_441_renderer(12)
+    pool = StreamPool(2, 48_000.0, r1, block_size=block)
+    s = pool.attach()
+    n = 4
+    sig = (rng.standard_normal((2, 2 * n * block)) * 0.3).astype(np.float32)
+    for i in range(n):
+        pool.push(s, sig[:, i * block:(i + 1) * block])
+        pool.pump()
+    seg1 = pool.pull(s, n * block)
+    pool.set_renderer(r2)  # mid-stream profile hot-swap
+    for i in range(n, 2 * n):
+        pool.push(s, sig[:, i * block:(i + 1) * block])
+        pool.pump()
+    seg2 = pool.pull(s, n * block)
+
+    m = cm.hesuvi_14_channel(cm.STEREO.channels)
+    for seg, audio, x0 in ((seg1, audio1, 0), (seg2, audio2, n * block)):
+        ref = np.zeros((2, n * block))
+        for spk_idx, speaker in enumerate((cm.FL, cm.FR)):
+            li, ri = m.indices(speaker)
+            for ear, ch in ((0, li), (1, ri)):
+                ir = resample_linear(audio[ch], 44_100.0, 48_000.0)
+                o = UPOLSOracle(ir, block)
+                ref[ear] += np.concatenate(
+                    [o.process(sig[spk_idx,
+                                   x0 + j * block:x0 + (j + 1) * block])
+                     for j in range(n)]
+                )
+        err = np.sqrt(np.mean((seg - ref) ** 2)) / np.sqrt(np.mean(ref**2))
+        assert err < 1e-5, err
+
+
 def test_watcher_drives_library_reload(tmp_path):
     """Disk change -> debounced watcher -> manager reload -> presets update
     (the reference's FSEvents flow, end to end)."""
