@@ -497,14 +497,27 @@ def measure(batch: int, blocks_per_call: int, calls: int,
         # the summed group times.
         assert batch % batch_split == 0, (batch, batch_split)
         gb = batch // batch_split
+        import jax
+        import jax.numpy as jnp
+
         runner = make_runner(blocks_per_call, use_pallas, batch_tile,
                              blocks_per_step, acc_chunk, max_unroll)
+        # One carry allocation for ALL groups: group g+1's fresh (zero)
+        # carry is group g's buffers donate-reset in place — rebuilding a
+        # second multi-GB carry while the first frees asynchronously
+        # reproduced ResourceExhausted on the tunneled terminal.
+        reset = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.zeros_like, s),
+            donate_argnums=0,
+        )
+        conv_params, eq_params, state, x = build(
+            gb, hrir_seconds=hrir_seconds,
+            lookahead=blocks_per_step, speakers=speakers,
+        )
         total = 0.0
-        for _g in range(batch_split):
-            conv_params, eq_params, state, x = build(
-                gb, hrir_seconds=hrir_seconds,
-                lookahead=blocks_per_step, speakers=speakers,
-            )
+        for g in range(batch_split):
+            if g:
+                state = reset(state)
             state, acc = runner(conv_params, eq_params, state, x)
             warm = np.asarray(acc)
             assert np.all(np.isfinite(warm))
@@ -517,12 +530,6 @@ def measure(batch: int, blocks_per_call: int, calls: int,
                 assert np.all(np.isfinite(host))
                 best_g = min(best_g, dt)
             total += best_g
-            del state, acc, conv_params, eq_params, x  # free the carry
-            # On tunneled runtimes buffer frees are asynchronous RPCs;
-            # give them a moment before the next group allocates its
-            # 7 GB carry (a group-2 alloc racing group-1's frees
-            # reproduced ResourceExhausted on-chip).
-            time.sleep(3.0)
         audio_seconds = batch * blocks_per_call * BLOCK / SAMPLE_RATE
         return audio_seconds / total, total / (
             blocks_per_call * batch_split
