@@ -73,6 +73,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.awv_out_available.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.awv_reset_stream.restype = ctypes.c_int
     lib.awv_reset_stream.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.awv_push_many.restype = ctypes.c_int
+    lib.awv_push_many.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p, f32p,
+                                  ctypes.c_int]
+    lib.awv_pop_out_many.restype = ctypes.c_int
+    lib.awv_pop_out_many.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p,
+                                     f32p, ctypes.c_int]
     return lib
 
 
@@ -145,6 +151,51 @@ class RaggedAssembler:
         self._py_in[stream] = np.concatenate(
             [self._py_in[stream], chunk], axis=1
         )
+
+    def push_many(self, streams, chunks: np.ndarray) -> None:
+        """One call pushes chunks[k, C, n] onto k streams (all-or-nothing:
+        if ANY ring lacks space, nothing is written and OverflowError
+        raises). The batch-host data-plane fast path — k python push
+        calls measured ~7.6 ms/round at k=1024."""
+        streams = np.ascontiguousarray(streams, np.int32)
+        chunks = np.ascontiguousarray(chunks, np.float32)
+        assert chunks.ndim == 3 and chunks.shape[0] == len(streams)
+        assert chunks.shape[1] == self.channels
+        if self._handle is not None:
+            rc = _lib.awv_push_many(self._handle, len(streams),
+                                    _i32(streams), _f32(chunks),
+                                    chunks.shape[2])
+            if rc == -1:
+                raise OverflowError("an input ring is full (nothing pushed)")
+            if rc != 0:
+                raise ValueError(f"push_many failed ({rc})")
+            return
+        for s in streams:
+            if (self._py_in[int(s)].shape[1] + chunks.shape[2]
+                    > self.capacity):
+                raise OverflowError("an input ring is full (nothing pushed)")
+        for j, s in enumerate(int(v) for v in streams):
+            self._py_in[s] = np.concatenate(
+                [self._py_in[s], chunks[j]], axis=1
+            )
+
+    def pop_many(self, streams, frames: int) -> np.ndarray:
+        """Drain k streams into one [k, C, frames] array (zero-filled per
+        stream on underflow)."""
+        streams = np.ascontiguousarray(streams, np.int32)
+        out = np.zeros((len(streams), self.channels, frames), np.float32)
+        if self._handle is not None:
+            rc = _lib.awv_pop_out_many(self._handle, len(streams),
+                                       _i32(streams), _f32(out), frames)
+            if rc != 0:
+                raise ValueError(f"pop_many failed ({rc})")
+            return out
+        for j, s in enumerate(int(v) for v in streams):
+            buf = self._py_out[s]
+            available = min(frames, buf.shape[1])
+            out[j, :, :available] = buf[:, :available]
+            self._py_out[s] = buf[:, available:]
+        return out
 
     def pending(self, stream: int) -> int:
         if self._handle is not None:

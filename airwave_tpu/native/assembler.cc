@@ -212,6 +212,38 @@ int awv_out_available(Assembler* a, int stream) {
   return static_cast<int>(a->output[stream].count);
 }
 
+// Batch push: data float32[k, C, frames], one chunk per stream, all the
+// same length. All-or-nothing (like awv_scatter_out): capacity is checked
+// for every stream before any write, so -1 means NO ring was modified.
+int awv_push_many(Assembler* a, int k, const int32_t* streams,
+                  const float* data, int frames) {
+  if (!a || k < 0 || frames <= 0) return -2;
+  for (int j = 0; j < k; ++j) {
+    int s = streams[j];
+    if (s < 0 || s >= a->n_streams) return -2;
+    if (a->input[s].count + frames > a->capacity) return -1;
+  }
+  const size_t stride = static_cast<size_t>(a->channels) * frames;
+  for (int j = 0; j < k; ++j) {
+    ring_push(a, a->input[streams[j]], data + j * stride, frames);
+  }
+  return 0;
+}
+
+// Batch drain: out float32[k, C, frames], zero-filled per stream on
+// underflow (the reference contract). One call replaces k pop loops.
+int awv_pop_out_many(Assembler* a, int k, const int32_t* streams,
+                     float* out, int frames) {
+  if (!a || k < 0 || frames <= 0) return -2;
+  const size_t stride = static_cast<size_t>(a->channels) * frames;
+  for (int j = 0; j < k; ++j) {
+    int s = streams[j];
+    if (s < 0 || s >= a->n_streams) return -2;
+    ring_pop(a, a->output[s], out + j * stride, frames);
+  }
+  return 0;
+}
+
 int awv_reset_stream(Assembler* a, int stream) {
   if (!a || stream < 0 || stream >= a->n_streams) return -2;
   a->input[stream].read = a->input[stream].count = 0;

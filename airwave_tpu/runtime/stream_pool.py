@@ -453,6 +453,28 @@ class StreamPool:
                 _roll_lanes(throwaway().conv, idx,
                             jnp.zeros((kb,), jnp.int32))
 
+    def push_many(self, streams, chunks: np.ndarray) -> None:
+        """Batch ingest: chunks [k, C, n] onto k streams in ONE native
+        call (all-or-nothing on ring space). C may be the resolved
+        speaker count or the full layout channel count (unmapped
+        channels drop, as in push)."""
+        chunks = np.asarray(chunks, np.float32)
+        speakers = self.renderer.num_speakers
+        if chunks.shape[1] == 1 and speakers > 1:
+            chunks = np.repeat(chunks, speakers, axis=1)
+        elif (chunks.shape[1] == self.renderer.layout_channels
+              and chunks.shape[1] != speakers):
+            chunks = chunks[:, list(self.renderer.input_indices)]
+        self.assembler.push_many(streams, chunks)
+
+    def pull_many(self, streams, frames: int) -> np.ndarray:
+        """Batch drain: [k, 2, frames], zero-filled per stream on
+        underflow. Falls back to per-stream pulls while any stashed
+        blocks exist (the unlocked-race safety net keeps its ordering)."""
+        if not self._pending_out:
+            return self._out.pop_many(streams, frames)
+        return np.stack([self.pull(int(s), frames) for s in streams])
+
     def pump(self, max_rounds: int = 64) -> int:
         """Render while any stream has a full block. Returns rounds run.
 

@@ -374,17 +374,15 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
     block_in = (rng.standard_normal((batch, speakers, BLOCK)) * 0.25
                 ).astype(np.float32)
 
+    stream_ids = np.asarray(streams, np.int32)
+
     def one_round(t):
         t0 = time.perf_counter()
-        for j, s in enumerate(streams):
-            pool.push(s, block_in[j])
+        pool.push_many(stream_ids, block_in)
         t1 = time.perf_counter()
         pool.pump(max_rounds=1)
         t2 = time.perf_counter()
-        for s in streams:
-            n = pool.available(s)
-            if n:
-                pool.pull(s, n)
+        pool.pull_many(stream_ids, BLOCK)
         t3 = time.perf_counter()
         if t is not None:
             t["push"] += t1 - t0

@@ -68,6 +68,27 @@ def test_assembler_wraparound_and_overflow(impl):
         a.push(0, np.ones((1, 100), np.float32))
 
 
+def test_assembler_push_many_pop_many(impl):
+    a = RaggedAssembler(4, 2, block=8, capacity=32, force_python=impl)
+    rng = np.random.default_rng(3)
+    chunks = rng.standard_normal((3, 2, 8)).astype(np.float32)
+    streams = np.array([0, 2, 3], np.int32)
+    a.push_many(streams, chunks)
+    idx, blocks = a.harvest(8)
+    assert list(idx) == [0, 2, 3]
+    np.testing.assert_array_equal(blocks, chunks)
+    a.scatter(idx, blocks * 3.0)
+    out = a.pop_many(streams, 12)  # 8 real + 4 underflow zeros each
+    np.testing.assert_array_equal(out[:, :, :8], chunks * 3.0)
+    np.testing.assert_array_equal(out[:, :, 8:], 0)
+    # All-or-nothing: fill stream 2, then a batch including it pushes
+    # NOTHING anywhere.
+    a.push(2, rng.standard_normal((2, 32)).astype(np.float32))
+    with pytest.raises(OverflowError):
+        a.push_many(streams, chunks)
+    assert a.pending(0) == 0 and a.pending(3) == 0
+
+
 def test_native_and_python_agree():
     if not native_available():
         pytest.skip("no native lib")
