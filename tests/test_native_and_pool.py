@@ -433,6 +433,69 @@ def test_stream_pool_snapshot_restore_mid_eq_crossfade():
                                   c.pull(s, 10 * block))
 
 
+_POOL_ENV_PROBE = r"""
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+from airwave_tpu.graph.renderer import prepare_renderer
+from airwave_tpu.io.wav import WAVData
+from airwave_tpu.runtime.stream_pool import StreamPool
+from airwave_tpu.assets import channel_maps as cm
+
+block = 64
+audio = (np.random.default_rng(5).standard_normal((14, 300)) * 0.2
+         ).astype(np.float32)
+renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                            48_000.0, block)
+pool = StreamPool(3, 48_000.0, renderer, block_size=block)
+streams = [pool.attach() for _ in range(2)]
+rng = np.random.default_rng(9)
+n = 6
+sigs = [(rng.standard_normal((2, n * block)) * 0.3).astype(np.float32)
+        for _ in streams]
+fed = [0, 0]
+for rnd in range(3 * n):
+    for i, s in enumerate(streams):
+        if fed[i] < n and (i == 0 or rnd % 2 == 0):  # ragged lane 1
+            pool.push(s, sigs[i][:, fed[i] * block:(fed[i] + 1) * block])
+            fed[i] += 1
+    pool.pump()
+np.save(OUT_PATH, np.stack([pool.pull(s, n * block) for s in streams]))
+"""
+
+
+@pytest.mark.parametrize("variant", ["ring", "rolled"])
+def test_pool_step_env_variants_match(tmp_path, variant):
+    """AIRWAVE_POOL_STEP is a module-level env flag (the rolled
+    shift-register lowering is kept for re-measurement) — subprocess
+    differential pins it against bit-rot, ragged schedule included."""
+    import os
+    import subprocess
+    import sys
+
+    out = tmp_path / f"{variant}.npy"
+    code = f"OUT_PATH = {str(out)!r}\n" + _POOL_ENV_PROBE
+    env = dict(os.environ)
+    env["AIRWAVE_POOL_STEP"] = variant
+    env["JAX_PLATFORMS"] = "cpu"
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd="/root/repo", timeout=300)
+    got = np.load(out)
+    base_path = tmp_path / "ring-base.npy"
+    if variant == "ring":
+        base = got
+    else:
+        base_code = f"OUT_PATH = {str(base_path)!r}\n" + _POOL_ENV_PROBE
+        env["AIRWAVE_POOL_STEP"] = "ring"
+        subprocess.run([sys.executable, "-c", base_code], env=env,
+                       check=True, cwd="/root/repo", timeout=300)
+        base = np.load(base_path)
+    rel = np.sqrt(np.mean((got - base) ** 2)) / max(
+        np.sqrt(np.mean(base**2)), 1e-9
+    )
+    assert rel < 1e-6, rel
+    assert np.any(got != 0)
+
+
 def test_stream_pool_sharded_over_mesh_matches_unsharded():
     """Multi-chip serving: a pool whose lane state shards over a 1-D
     "streams" mesh must render byte-compatible audio with the unsharded
