@@ -161,6 +161,8 @@ class RaggedAssembler:
         chunks = np.ascontiguousarray(chunks, np.float32)
         assert chunks.ndim == 3 and chunks.shape[0] == len(streams)
         assert chunks.shape[1] == self.channels
+        if len(streams) == 0 or chunks.shape[2] == 0:
+            return  # no-op, native/python parity
         if self._handle is not None:
             rc = _lib.awv_push_many(self._handle, len(streams),
                                     _i32(streams), _f32(chunks),
@@ -170,10 +172,14 @@ class RaggedAssembler:
             if rc != 0:
                 raise ValueError(f"push_many failed ({rc})")
             return
-        for s in streams:
-            if (self._py_in[int(s)].shape[1] + chunks.shape[2]
+        extra = {}
+        for s in (int(v) for v in streams):
+            if not 0 <= s < self.n_streams:
+                raise ValueError(f"stream {s} out of range")
+            if (self._py_in[s].shape[1] + extra.get(s, 0) + chunks.shape[2]
                     > self.capacity):
                 raise OverflowError("an input ring is full (nothing pushed)")
+            extra[s] = extra.get(s, 0) + chunks.shape[2]
         for j, s in enumerate(int(v) for v in streams):
             self._py_in[s] = np.concatenate(
                 [self._py_in[s], chunks[j]], axis=1
@@ -183,7 +189,11 @@ class RaggedAssembler:
         """Drain k streams into one [k, C, frames] array (zero-filled per
         stream on underflow)."""
         streams = np.ascontiguousarray(streams, np.int32)
+        if np.any((streams < 0) | (streams >= self.n_streams)):
+            raise ValueError("stream id out of range")
         out = np.zeros((len(streams), self.channels, frames), np.float32)
+        if len(streams) == 0 or frames == 0:
+            return out  # no-op, native/python parity
         if self._handle is not None:
             rc = _lib.awv_pop_out_many(self._handle, len(streams),
                                        _i32(streams), _f32(out), frames)

@@ -185,10 +185,14 @@ int awv_out_free_all(Assembler* a, int32_t* out) {
 int awv_scatter_out(Assembler* a, int k, const int32_t* indices,
                     const float* data) {
   if (!a || k < 0) return -2;
+  std::vector<int64_t> extra(a->n_streams, 0);  // duplicate-id aware
   for (int j = 0; j < k; ++j) {
     int stream = indices[j];
     if (stream < 0 || stream >= a->n_streams) return -2;
-    if (a->output[stream].count + a->block > a->capacity) return -1;
+    if (a->output[stream].count + extra[stream] + a->block > a->capacity) {
+      return -1;
+    }
+    extra[stream] += a->block;
   }
   const size_t stride = static_cast<size_t>(a->channels) * a->block;
   for (int j = 0; j < k; ++j) {
@@ -217,11 +221,17 @@ int awv_out_available(Assembler* a, int stream) {
 // for every stream before any write, so -1 means NO ring was modified.
 int awv_push_many(Assembler* a, int k, const int32_t* streams,
                   const float* data, int frames) {
-  if (!a || k < 0 || frames <= 0) return -2;
+  if (!a || k < 0 || frames < 0) return -2;
+  if (k == 0 || frames == 0) return 0;
+  // Capacity pre-check must account for DUPLICATE stream ids within the
+  // batch (each occurrence adds `frames`), or the all-or-nothing
+  // guarantee breaks on the second occurrence.
+  std::vector<int64_t> extra(a->n_streams, 0);
   for (int j = 0; j < k; ++j) {
     int s = streams[j];
     if (s < 0 || s >= a->n_streams) return -2;
-    if (a->input[s].count + frames > a->capacity) return -1;
+    if (a->input[s].count + extra[s] + frames > a->capacity) return -1;
+    extra[s] += frames;
   }
   const size_t stride = static_cast<size_t>(a->channels) * frames;
   for (int j = 0; j < k; ++j) {
@@ -234,12 +244,16 @@ int awv_push_many(Assembler* a, int k, const int32_t* streams,
 // underflow (the reference contract). One call replaces k pop loops.
 int awv_pop_out_many(Assembler* a, int k, const int32_t* streams,
                      float* out, int frames) {
-  if (!a || k < 0 || frames <= 0) return -2;
+  if (!a || k < 0 || frames < 0) return -2;
+  if (k == 0 || frames == 0) return 0;
+  // Validate every id BEFORE draining anything: a bad id mid-batch must
+  // not consume earlier streams' rendered audio irrecoverably.
+  for (int j = 0; j < k; ++j) {
+    if (streams[j] < 0 || streams[j] >= a->n_streams) return -2;
+  }
   const size_t stride = static_cast<size_t>(a->channels) * frames;
   for (int j = 0; j < k; ++j) {
-    int s = streams[j];
-    if (s < 0 || s >= a->n_streams) return -2;
-    ring_pop(a, a->output[s], out + j * stride, frames);
+    ring_pop(a, a->output[streams[j]], out + j * stride, frames);
   }
   return 0;
 }

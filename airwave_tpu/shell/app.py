@@ -322,6 +322,11 @@ def build_serve_pool(args):
                 f"--mesh-devices {args.mesh_devices}: only "
                 f"{len(devices)} devices visible"
             )
+        if args.max_streams % args.mesh_devices:
+            raise SystemExit(
+                f"--max-streams {args.max_streams} must divide by "
+                f"--mesh-devices {args.mesh_devices}"
+            )
         mesh = Mesh(_np.array(devices), ("streams",))
     pool = StreamPool(
         max_streams=args.max_streams,

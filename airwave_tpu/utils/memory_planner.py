@@ -117,8 +117,9 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
         candidates.append(PlanAttempt(
             2, 1, "minimum-memory M=2, chunk=1, unroll<=4", 4))
     # Terminal rung: halve the resident batch and run two sequential
-    # groups at the preferred full-speed configuration — always
-    # completes if the half-batch workload fits.
+    # groups, paired with acc chunking (the proven-to-fit half-batch
+    # configuration, ~2% slower than unchunked) — completes whenever
+    # the half-batch workload fits.
     candidates.append(PlanAttempt(
         lookahead, 2, "half-batch split (two sequential groups)", 0, 2))
 

@@ -298,6 +298,10 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
                                    conv_params.partition_count, BLOCK),
         eq=eq_block.make_eq_state(batch),
     )
+    if not (0.0 < active_fraction <= 1.0):
+        raise ValueError(
+            f"active_fraction must be in (0, 1], got {active_fraction}"
+        )
     k = max(1, int(round(batch * active_fraction)))
     idx = jnp.arange(k, dtype=jnp.int32)
     if k != batch:
@@ -336,7 +340,9 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
         dt = time.perf_counter() - t0
         assert np.all(np.isfinite(host))
         best = min(best, dt)
-    audio_seconds = batch * blocks_per_call * BLOCK / SAMPLE_RATE
+    # Aggregate counts RENDERED lanes only (k, not batch): a partial
+    # harvest renders k lanes' audio per round.
+    audio_seconds = k * blocks_per_call * BLOCK / SAMPLE_RATE
     return audio_seconds / best, best / blocks_per_call
 
 
@@ -756,6 +762,8 @@ def main():
     last_error = None
     result = None
     for attempt in plan:
+        if attempt.batch_split > 1 and batch % attempt.batch_split:
+            continue  # a split that does not divide the batch cannot run
         m, chunk = attempt.lookahead, attempt.acc_chunk
         step_blocks = max(blocks - blocks % m, m)
         for _attempt in range(3):

@@ -463,8 +463,7 @@ np.save(OUT_PATH, np.stack([pool.pull(s, n * block) for s in streams]))
 """
 
 
-@pytest.mark.parametrize("variant", ["ring", "rolled"])
-def test_pool_step_env_variants_match(tmp_path, variant):
+def test_pool_step_env_variants_match(tmp_path):
     """AIRWAVE_POOL_STEP is a module-level env flag (the rolled
     shift-register lowering is kept for re-measurement) — subprocess
     differential pins it against bit-rot, ragged schedule included."""
@@ -472,28 +471,21 @@ def test_pool_step_env_variants_match(tmp_path, variant):
     import subprocess
     import sys
 
-    out = tmp_path / f"{variant}.npy"
-    code = f"OUT_PATH = {str(out)!r}\n" + _POOL_ENV_PROBE
-    env = dict(os.environ)
-    env["AIRWAVE_POOL_STEP"] = variant
-    env["JAX_PLATFORMS"] = "cpu"
-    subprocess.run([sys.executable, "-c", code], env=env, check=True,
-                   cwd="/root/repo", timeout=300)
-    got = np.load(out)
-    base_path = tmp_path / "ring-base.npy"
-    if variant == "ring":
-        base = got
-    else:
-        base_code = f"OUT_PATH = {str(base_path)!r}\n" + _POOL_ENV_PROBE
-        env["AIRWAVE_POOL_STEP"] = "ring"
-        subprocess.run([sys.executable, "-c", base_code], env=env,
-                       check=True, cwd="/root/repo", timeout=300)
-        base = np.load(base_path)
-    rel = np.sqrt(np.mean((got - base) ** 2)) / max(
-        np.sqrt(np.mean(base**2)), 1e-9
+    outs = {}
+    for variant in ("ring", "rolled"):
+        out = tmp_path / f"{variant}.npy"
+        code = f"OUT_PATH = {str(out)!r}\n" + _POOL_ENV_PROBE
+        env = dict(os.environ)
+        env["AIRWAVE_POOL_STEP"] = variant
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       cwd="/root/repo", timeout=300)
+        outs[variant] = np.load(out)
+    rel = np.sqrt(np.mean((outs["rolled"] - outs["ring"]) ** 2)) / max(
+        np.sqrt(np.mean(outs["ring"] ** 2)), 1e-9
     )
     assert rel < 1e-6, rel
-    assert np.any(got != 0)
+    assert np.any(outs["ring"] != 0)
 
 
 def test_stream_pool_sharded_over_mesh_matches_unsharded():
