@@ -783,8 +783,17 @@ def main():
                 result = (multiple, per_block, attempt)
                 break
             except Exception as err:  # noqa: BLE001
-                last_error = err
-                if _is_oom(err):
+                # Keep only the MESSAGE: holding the exception object pins
+                # the failed attempt's device buffers via its traceback
+                # frames (a 13 GB carry kept alive starved the next rung's
+                # allocation on-chip).
+                oom = _is_oom(err)
+                last_error = f"{type(err).__name__}: {err}"
+                del err
+                import gc
+
+                gc.collect()
+                if oom:
                     break  # next plan attempt, not a transient retry
                 time.sleep(5.0)
         if result is not None:
