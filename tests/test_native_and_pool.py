@@ -89,6 +89,37 @@ def test_assembler_push_many_pop_many(impl):
     assert a.pending(0) == 0 and a.pending(3) == 0
 
 
+def test_assembler_batch_api_contract_edges(impl):
+    """Review-pinned contract edges: duplicate stream ids respect
+    all-or-nothing capacity accounting, invalid ids fail BEFORE any ring
+    is drained, and zero-length batches are uniform no-ops."""
+    a = RaggedAssembler(4, 2, block=8, capacity=16, force_python=impl)
+    rng = np.random.default_rng(7)
+    # Duplicates: stream 0 holds 4 frames; two 8-frame chunks for it pass
+    # the naive per-entry check (4+8<=16) but must be refused atomically.
+    a.push(0, rng.standard_normal((2, 4)).astype(np.float32))
+    dup = rng.standard_normal((2, 2, 8)).astype(np.float32)
+    with pytest.raises(OverflowError):
+        a.push_many(np.array([0, 0], np.int32), dup)
+    assert a.pending(0) == 4  # nothing was written
+    # Duplicates that DO fit both land.
+    a2 = RaggedAssembler(4, 2, block=8, capacity=32, force_python=impl)
+    a2.push_many(np.array([1, 1], np.int32), dup)
+    assert a2.pending(1) == 16
+    # Invalid id mid-batch: nothing drained from the valid stream.
+    ok = rng.standard_normal((2, 8)).astype(np.float32)
+    assert a2.try_push_out(1, ok)
+    with pytest.raises(ValueError):
+        a2.pop_many(np.array([1, 9999], np.int32), 8)
+    assert a2.out_available(1) == 8  # still there
+    # Zero-length batches: no-ops on both implementations.
+    a2.push_many(np.zeros(0, np.int32), np.zeros((0, 2, 8), np.float32))
+    out = a2.pop_many(np.zeros(0, np.int32), 8)
+    assert out.shape == (0, 2, 8)
+    a2.push_many(np.array([2], np.int32), np.zeros((1, 2, 0), np.float32))
+    assert a2.pending(2) == 0
+
+
 def test_native_and_python_agree():
     if not native_available():
         pytest.skip("no native lib")
