@@ -161,6 +161,10 @@ class RaggedAssembler:
         chunks = np.ascontiguousarray(chunks, np.float32)
         assert chunks.ndim == 3 and chunks.shape[0] == len(streams)
         assert chunks.shape[1] == self.channels
+        # Validate ids BEFORE the zero-length no-op so both batch APIs
+        # reject stale ids uniformly regardless of payload size.
+        if np.any((streams < 0) | (streams >= self.n_streams)):
+            raise ValueError("stream id out of range")
         if len(streams) == 0 or chunks.shape[2] == 0:
             return  # no-op, native/python parity
         if self._handle is not None:

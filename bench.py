@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import gc
 import json
 import os
 import sys
@@ -703,8 +704,11 @@ def main():
                         batch, rounds, args.calls, speakers=args.speakers)
                 break
             except Exception as err:  # noqa: BLE001
-                last_error = err
-                time.sleep(5.0)
+                # Message only — the exception's traceback frames would
+                # pin the failed attempt's device buffers across retries.
+                last_error = f"{type(err).__name__}: {err}"
+            gc.collect()  # outside the handler: exc state cleared
+            time.sleep(5.0)
         else:
             print(json.dumps({
                 "metric": "serving-pool realtime-multiple per chip",
@@ -786,16 +790,15 @@ def main():
                 # Keep only the MESSAGE: holding the exception object pins
                 # the failed attempt's device buffers via its traceback
                 # frames (a 13 GB carry kept alive starved the next rung's
-                # allocation on-chip).
+                # allocation on-chip). The collect runs OUTSIDE the
+                # handler — inside it, the interpreter's exception state
+                # still references the frames and nothing frees.
                 oom = _is_oom(err)
                 last_error = f"{type(err).__name__}: {err}"
-                del err
-                import gc
-
-                gc.collect()
-                if oom:
-                    break  # next plan attempt, not a transient retry
-                time.sleep(5.0)
+            gc.collect()
+            if oom:
+                break  # next plan attempt, not a transient retry
+            time.sleep(5.0)
         if result is not None:
             break
     if result is None:

@@ -112,12 +112,16 @@ def test_assembler_batch_api_contract_edges(impl):
     with pytest.raises(ValueError):
         a2.pop_many(np.array([1, 9999], np.int32), 8)
     assert a2.out_available(1) == 8  # still there
-    # Zero-length batches: no-ops on both implementations.
+    # Zero-length batches: no-ops on both implementations — but a stale
+    # id still raises, payload size notwithstanding.
     a2.push_many(np.zeros(0, np.int32), np.zeros((0, 2, 8), np.float32))
     out = a2.pop_many(np.zeros(0, np.int32), 8)
     assert out.shape == (0, 2, 8)
     a2.push_many(np.array([2], np.int32), np.zeros((1, 2, 0), np.float32))
     assert a2.pending(2) == 0
+    with pytest.raises(ValueError):
+        a2.push_many(np.array([9999], np.int32),
+                     np.zeros((1, 2, 0), np.float32))
 
 
 def test_native_and_python_agree():
