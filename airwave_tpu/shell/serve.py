@@ -119,6 +119,22 @@ class RenderServer:
         with self._lock:
             self.pool.set_equalizer(definition)
 
+    def set_renderer(self, renderer, prewarm: bool = True) -> None:
+        """Live pool-wide HRIR swap (the reference's full-reprepare path:
+        conv history restarts for every stream). Serving pauses under the
+        lock for the swap — and, by default, for a prewarm when the new
+        renderer's partition/speaker shape differs (otherwise the first
+        rounds after the swap would stall on jit compiles instead)."""
+        with self._lock:
+            old = self.pool.renderer
+            self.pool.set_renderer(renderer)
+            shape_changed = (
+                old.partition_count != renderer.partition_count
+                or old.num_speakers != renderer.num_speakers
+            )
+            if prewarm and shape_changed:
+                self.pool.prewarm()
+
     def stop(self) -> None:
         self._stopping = True
         try:

@@ -236,6 +236,41 @@ def test_churn_soak(server):
     assert len(srv.pool._free) == srv.pool.max_streams
 
 
+def test_live_renderer_swap_through_server(server):
+    """RenderServer.set_renderer swaps the pool's HRIR mid-serving
+    (conv history restarts, reference semantics) and prewarm-compiles a
+    shape change so the next clients render correctly."""
+    import numpy as np
+
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.io.wav import WAVData
+    from airwave_tpu.oracle.upols_oracle import UPOLSOracle
+
+    srv, _ = server
+    rng = np.random.default_rng(6)
+    new_audio = (rng.standard_normal((14, 500)) * 0.2).astype(np.float32)
+    new_renderer = prepare_renderer(WAVData(48_000.0, new_audio), cm.STEREO,
+                                    48_000.0, BLOCK)
+    assert new_renderer.partition_count != srv.pool.renderer.partition_count
+    srv.set_renderer(new_renderer)
+
+    x = (rng.standard_normal((2, 4 * BLOCK)) * 0.3).astype(np.float32)
+    y = render_via_server(srv.address, x)
+    m = cm.hesuvi_14_channel(cm.STEREO.channels)
+    ref = np.zeros((2, 4 * BLOCK))
+    for spk, speaker in ((0, cm.FL), (1, cm.FR)):
+        li, ri = m.indices(speaker)
+        for ear, ch in ((0, li), (1, ri)):
+            o = UPOLSOracle(new_audio[ch], BLOCK)
+            ref[ear] += np.concatenate(
+                [o.process(x[spk, i * BLOCK:(i + 1) * BLOCK])
+                 for i in range(4)]
+            )
+    err = np.sqrt(np.mean((y - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert err < 1e-5, err
+
+
 def test_pump_thread_survives_render_exceptions(server):
     """A render round that raises must not kill the pump thread (a dead
     pump wedges every current and future connection): the error is
