@@ -6,8 +6,10 @@ native C++ assembler, dense masked device steps, per-stream drain with the
 reference's underflow contract. One pool shares one (HRIR, EQ) preset set and
 sample rate across its slots; per-stream lifecycle is attach/push/pump/pull/
 detach. Streams advance ONLY when a full block of their own input exists
-(ref RealtimeAudioProcessor.swift:112-115) — the masked shift-register conv
-keeps inactive carries untouched.
+(ref RealtimeAudioProcessor.swift:112-115) — the shared-cursor ring step
+preserves inactive carries exactly (masked slot write + per-lane alignment
+debt repaid by a roll at rejoin; see pool_step_body and BENCH_NOTES.md
+round-3).
 
 EQ semantics: retargets are pool-wide (one preset set per pool). Streams
 actively rendering during the 20 ms ramp crossfade per-sample exactly; a
