@@ -47,6 +47,12 @@ class RendererState:
     generation: int = 0
     input_channels: int = 0      # layout channel count (0 = num_speakers)
     input_indices: tuple = ()    # layout-channel index per resolved speaker
+    # M-block lookahead the conv params were built for (M-1 zero tail
+    # partitions, partition count divisible by M — see
+    # upols.make_conv_params). 1 = the zero-added-latency live shape;
+    # M > 1 feeds the paged throughput paths (models/bake,
+    # StreamPool(blocks_per_step=M)).
+    lookahead: int = 1
 
     @property
     def num_speakers(self) -> int:
@@ -127,6 +133,7 @@ def prepare_renderer(
     generation: int = 0,
     resampler=resample.resample_linear,
     partition_bucketing: str = "exact",
+    lookahead: int = 1,
 ) -> RendererState:
     """partition_bucketing: "exact" (default) uses the HRIR's true partition
     count — with the shared-cursor ring step the FDL read dominates the
@@ -134,13 +141,17 @@ def prepare_renderer(
     (measured on-chip at B=8192: pool round 4.43 ms/block exact-9 vs 5.46
     pow2-16). "pow2" restores the reference's bucket-for-compile-reuse
     policy (ConvolutionEngine.swift:96) for workloads that hot-swap presets
-    of many different lengths faster than the persistent jit cache warms."""
+    of many different lengths faster than the persistent jit cache warms.
+
+    lookahead=M builds conv params for the M-block paged paths (M-1 zero
+    tail partitions; adds up to M-block latency — throughput tiers only)."""
     hrir_td, speakers, layout_indices = build_hrir_time_domain(
         wav, input_layout, output_sample_rate, channel_map, resampler,
         with_speakers=True,
     )
     params = upols.make_conv_params(
-        hrir_td, block_size, pad_to_pow2=(partition_bucketing == "pow2")
+        hrir_td, block_size, pad_to_pow2=(partition_bucketing == "pow2"),
+        lookahead=lookahead,
     )
     return RendererState(
         conv_params=params,
@@ -150,4 +161,5 @@ def prepare_renderer(
         generation=generation,
         input_channels=len(input_layout.channels),
         input_indices=layout_indices,
+        lookahead=int(lookahead),
     )

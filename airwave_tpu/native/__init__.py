@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.awv_harvest_allowed.restype = ctypes.c_int
     lib.awv_harvest_allowed.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p,
                                         i32p, f32p]
+    lib.awv_harvest_allowed_n.restype = ctypes.c_int
+    lib.awv_harvest_allowed_n.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                          ctypes.c_int, i32p, i32p, f32p]
+    lib.awv_scatter_out_n.restype = ctypes.c_int
+    lib.awv_scatter_out_n.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, i32p, f32p]
     lib.awv_out_free_all.restype = ctypes.c_int
     lib.awv_out_free_all.argtypes = [ctypes.c_void_p, i32p]
     lib.awv_scatter_out.restype = ctypes.c_int
@@ -241,24 +247,30 @@ class RaggedAssembler:
                     k += 1
         return indices[:k], blocks[:k]
 
-    def harvest_allowed(self, max_batch: int,
-                        allow: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """harvest(), restricted to streams with allow[stream] truthy."""
+    def harvest_allowed(self, max_batch: int, allow: np.ndarray,
+                        frames: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """harvest(), restricted to streams with allow[stream] truthy.
+
+        `frames` (default one block) pops that many frames from each
+        qualifying stream — streams with fewer buffered frames are skipped.
+        The multi-block serving tier harvests M * block per round."""
+        frames = frames or self.block
         allow = np.ascontiguousarray(allow, np.int32)
         assert allow.shape == (self.n_streams,)
         indices = np.zeros(max_batch, np.int32)
-        blocks = np.zeros((max_batch, self.channels, self.block), np.float32)
+        blocks = np.zeros((max_batch, self.channels, frames), np.float32)
         if self._handle is not None:
-            k = _lib.awv_harvest_allowed(self._handle, max_batch, _i32(allow),
-                                         _i32(indices), _f32(blocks))
+            k = _lib.awv_harvest_allowed_n(self._handle, max_batch, frames,
+                                           _i32(allow), _i32(indices),
+                                           _f32(blocks))
         else:
             k = 0
             for i in range(self.n_streams):
                 if k >= max_batch:
                     break
-                if allow[i] and self._py_in[i].shape[1] >= self.block:
-                    blocks[k] = self._py_in[i][:, : self.block]
-                    self._py_in[i] = self._py_in[i][:, self.block:]
+                if allow[i] and self._py_in[i].shape[1] >= frames:
+                    blocks[k] = self._py_in[i][:, :frames]
+                    self._py_in[i] = self._py_in[i][:, frames:]
                     indices[k] = i
                     k += 1
         return indices[:k], blocks[:k]
@@ -276,22 +288,31 @@ class RaggedAssembler:
         )
 
     def scatter(self, indices: np.ndarray, blocks: np.ndarray) -> None:
-        """Queue one rendered block per (unique) stream. All-or-nothing:
-        an OverflowError means NO ring was modified."""
+        """Queue rendered frames per (unique) stream — blocks [k, C, n]
+        with any n (the single-block pool passes n = block, the
+        multi-block tier n = M * block). All-or-nothing: an OverflowError
+        means NO ring was modified."""
         indices = np.ascontiguousarray(indices, np.int32)
         blocks = np.ascontiguousarray(blocks, np.float32)
-        assert blocks.shape == (len(indices), self.channels, self.block)
+        assert (blocks.ndim == 3 and blocks.shape[0] == len(indices)
+                and blocks.shape[1] == self.channels)
+        frames = blocks.shape[2]
+        if len(indices) == 0 or frames == 0:
+            return
         if self._handle is not None:
-            rc = _lib.awv_scatter_out(self._handle, len(indices),
-                                      _i32(indices), _f32(blocks))
+            rc = _lib.awv_scatter_out_n(self._handle, len(indices), frames,
+                                        _i32(indices), _f32(blocks))
             if rc == -1:
                 raise OverflowError("output ring full")
             if rc != 0:
                 raise ValueError(f"scatter failed ({rc})")
             return
-        for stream in indices:
-            if self._py_out[stream].shape[1] + self.block > self.capacity:
+        extra = {}
+        for stream in (int(s) for s in indices):
+            if (self._py_out[stream].shape[1] + extra.get(stream, 0)
+                    + frames > self.capacity):
                 raise OverflowError("output ring full")
+            extra[stream] = extra.get(stream, 0) + frames
         for j, stream in enumerate(indices):
             self._py_out[stream] = np.concatenate(
                 [self._py_out[stream], blocks[j]], axis=1

@@ -153,20 +153,34 @@ int awv_harvest(Assembler* a, int max_batch, int32_t* indices, float* out) {
 // with a full output ring is simply not harvested — backpressure then
 // propagates to the producer through the input ring instead of surfacing
 // as an overflow after rendering.
-int awv_harvest_allowed(Assembler* a, int max_batch, const int32_t* allow,
-                        int32_t* indices, float* out) {
-  if (!a || max_batch <= 0 || !allow) return -2;
+// Harvest like awv_harvest, restricted to streams with allow[stream] != 0,
+// popping `frames` frames per stream (streams with fewer buffered frames
+// are skipped). The serving pool passes the output side's free-space mask
+// so a stream with a full output ring is simply not harvested —
+// backpressure then propagates to the producer through the input ring
+// instead of surfacing as an overflow after rendering. The multi-block
+// serving tier harvests frames = M * block per round.
+int awv_harvest_allowed_n(Assembler* a, int max_batch, int frames,
+                          const int32_t* allow, int32_t* indices,
+                          float* out) {
+  if (!a || max_batch <= 0 || frames <= 0 || !allow) return -2;
   int k = 0;
-  const size_t stride = static_cast<size_t>(a->channels) * a->block;
+  const size_t stride = static_cast<size_t>(a->channels) * frames;
   for (int i = 0; i < a->n_streams && k < max_batch; ++i) {
     if (!allow[i]) continue;
     Ring& r = a->input[i];
-    if (r.count < a->block) continue;
-    ring_pop(a, r, out + k * stride, a->block);
+    if (r.count < frames) continue;
+    ring_pop(a, r, out + k * stride, frames);
     indices[k] = i;
     ++k;
   }
   return k;
+}
+
+int awv_harvest_allowed(Assembler* a, int max_batch, const int32_t* allow,
+                        int32_t* indices, float* out) {
+  if (!a) return -2;
+  return awv_harvest_allowed_n(a, max_batch, a->block, allow, indices, out);
 }
 
 // Per-stream output-ring free space (frames), one call for the whole pool.
@@ -182,23 +196,32 @@ int awv_out_free_all(Assembler* a, int32_t* out) {
 // All-or-nothing: free space is verified for every target before any write,
 // so a -1 return means NO ring was modified (callers may safely fall back
 // to per-stream delivery without duplicating blocks).
-int awv_scatter_out(Assembler* a, int k, const int32_t* indices,
-                    const float* data) {
-  if (!a || k < 0) return -2;
+// Scatter `frames` frames per stream (the multi-block tier delivers
+// M * block at once; the single-block pool passes block).
+int awv_scatter_out_n(Assembler* a, int k, int frames,
+                      const int32_t* indices, const float* data) {
+  if (!a || k < 0 || frames <= 0) return -2;
   std::vector<int64_t> extra(a->n_streams, 0);  // duplicate-id aware
   for (int j = 0; j < k; ++j) {
     int stream = indices[j];
     if (stream < 0 || stream >= a->n_streams) return -2;
-    if (a->output[stream].count + extra[stream] + a->block > a->capacity) {
+    if (a->output[stream].count + extra[stream] + frames > a->capacity) {
       return -1;
     }
-    extra[stream] += a->block;
+    extra[stream] += frames;
   }
-  const size_t stride = static_cast<size_t>(a->channels) * a->block;
+  const size_t stride = static_cast<size_t>(a->channels) * frames;
   for (int j = 0; j < k; ++j) {
-    ring_push(a, a->output[indices[j]], data + j * stride, a->block);
+    ring_push(a, a->output[indices[j]], data + j * stride, frames);
   }
   return 0;
+}
+
+int awv_scatter_out(Assembler* a, int k, const int32_t* indices,
+                    const float* data) {
+  if (!a) return -2;
+  if (k == 0) return 0;
+  return awv_scatter_out_n(a, k, a->block, indices, data);
 }
 
 int awv_push_out(Assembler* a, int stream, const float* data, int frames) {

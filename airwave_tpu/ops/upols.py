@@ -336,6 +336,56 @@ def conv_roll_lanes(state: ConvState, lane_idx: jax.Array,
                      write_pos=state.write_pos)
 
 
+def conv_roll_lanes_paged(state: "PagedConvState", lane_idx: jax.Array,
+                          shift: jax.Array) -> "PagedConvState":
+    """Re-align paused lanes of a PAGED delay line (the multi-block serving
+    tier's analog of conv_roll_lanes).
+
+    An idle lane's masked step (conv_step_paged_raw active_mask) recycles
+    its oldest page into the new page 0, so after d idle rounds its page i
+    holds what page (i - d) mod n held at pause time. Restoring the
+    canonical order takes new[i] = cur[(i + d) mod n] — exact for any pause
+    length (a full cycle is the identity). Alignment is page-granular
+    because pauses are whole rounds (M blocks).
+
+    lane_idx: [k] int32 lanes to fix (pad entries >= B drop); shift: [k]
+    int32 idle-round counts (mod n_pages applied here). Touches only the
+    k lanes' columns of each page."""
+    n = len(state.pages)
+    sh = shift.astype(jnp.int32) % n
+    # Gather the k lanes' columns across pages: [n, ..., k] (small).
+    lanes = jnp.stack([pg[..., lane_idx] for pg in state.pages], axis=0)
+    src = (jnp.arange(n, dtype=jnp.int32)[:, None] + sh[None, :]) % n
+    idx = src.reshape((n,) + (1,) * (lanes.ndim - 2) + (sh.shape[0],))
+    rolled = jnp.take_along_axis(lanes, idx, axis=0)
+    pages = tuple(
+        pg.at[..., lane_idx].set(rolled[i], mode="drop")
+        for i, pg in enumerate(state.pages)
+    )
+    return PagedConvState(pages=pages, overlap=state.overlap)
+
+
+def conv_reset_paged(state: "PagedConvState",
+                     stream_mask: jax.Array | None = None) -> "PagedConvState":
+    """Zero paged conv history; with a [B] bool mask, only masked lanes
+    (per-stream reset in a shared batch — a zeroed lane is rotation-
+    invariant, so it rejoins the shared page rotation with no alignment
+    work)."""
+    if stream_mask is None:
+        return PagedConvState(
+            pages=tuple(jnp.zeros_like(pg) for pg in state.pages),
+            overlap=jnp.zeros_like(state.overlap),
+        )
+    m = stream_mask.astype(bool)
+    return PagedConvState(
+        pages=tuple(
+            jnp.where(m[None, None, None, None, :], 0, pg)
+            for pg in state.pages
+        ),
+        overlap=jnp.where(m[:, None, None], 0, state.overlap),
+    )
+
+
 class PagedConvState(NamedTuple):
     """Delay line as P2/M pages of M slots each (pages[0] newest). Rotation
     is tuple renaming — ZERO data movement when the surrounding scan is
@@ -392,7 +442,8 @@ def _group_factor(kp: int, rows: int, cols: int, tile: int = 128) -> int:
 
 
 def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array,
-                    acc_chunk: int | None = None):
+                    acc_chunk: int | None = None,
+                    active_mask: jax.Array | None = None):
     """M-block lookahead step on the paged delay line:
     x [B, S, M, T] -> (state', y [B, M, E, T]).
 
@@ -411,19 +462,32 @@ def conv_step_paged(params: ConvParams, state: PagedConvState, x: jax.Array,
     Run inside lax.scan with unroll = len(state.pages) so the page rotation
     stays pure renaming (an un-unrolled scan would copy every page at each
     iteration boundary)."""
-    new_state, Ykm = conv_step_paged_raw(params, state, x, acc_chunk)
+    new_state, Ykm = conv_step_paged_raw(params, state, x, acc_chunk,
+                                         active_mask)
     y = paged_project(params, Ykm).astype(x.dtype)
     return new_state, y
 
 
 def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
-                        x: jax.Array, acc_chunk: int | None = None):
+                        x: jax.Array, acc_chunk: int | None = None,
+                        active_mask: jax.Array | None = None):
     """Analysis + MAC of the M-block lookahead step, stopping before the
     synthesis transform: x [B, S, M, T] -> (state', Ykm).
 
     Ykm is the frequency-domain mix in the grouped MAC layout (see
     _paged_mac); feed it to paged_project to synthesize time-domain output
-    (optionally with a folded post-matrix)."""
+    (optionally with a folded post-matrix).
+
+    `active_mask` [B] bool (optional, for the serving pool's multi-block
+    tier): an inactive lane's history is preserved EXACTLY by recycling —
+    its column of the outgoing oldest page is `where`d into the new page 0
+    (so the rotation is cyclic for that lane: nothing is lost, its pages
+    are merely rotated one position per round) and its overlap row is kept.
+    After d idle rounds the lane's pages sit rotated by d; the pool repairs
+    that with conv_roll_lanes_paged before the lane next steps (a full
+    cycle is the identity, so ANY pause length is exact). An inactive
+    lane's output row is garbage and must not be delivered. With
+    active_mask=None this path is byte-identical to the bake chain."""
     B, S, M, T = x.shape
     Kp = state.pages[0].shape[0]
     K = params.wf.shape[1]
@@ -456,6 +520,14 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
         new_page = jnp.einsum("bsmt,tkc->kscmb", frames, wf_padded,
                               preferred_element_type=jnp.float32,
                               precision=fftmm.DFT_PRECISION)
+    overlap = x[:, :, -1, :]
+    if active_mask is not None:
+        m_act = active_mask.astype(bool)
+        # Recycle the outgoing oldest page for idle lanes (batch is the
+        # minor axis of every page layout), making their rotation cyclic.
+        new_page = jnp.where(m_act[None, None, None, None, :], new_page,
+                             state.pages[-1])
+        overlap = jnp.where(m_act[:, None, None], overlap, state.overlap)
     pages = (new_page,) + tuple(state.pages[:-1])
 
     # Hz: natural-order H behind M-1 zero partitions (params-derived — the
@@ -473,7 +545,7 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
         hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
 
     Ykm = _paged_mac(params, pages, hz, M, acc_chunk)
-    return PagedConvState(pages=pages, overlap=x[:, :, -1, :]), Ykm
+    return PagedConvState(pages=pages, overlap=overlap), Ykm
 
 
 def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int,

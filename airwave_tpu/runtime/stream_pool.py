@@ -11,6 +11,16 @@ preserves inactive carries exactly (masked slot write + per-lane alignment
 debt repaid by a roll at rejoin; see pool_step_body and BENCH_NOTES.md
 round-3).
 
+Two serving tiers share this class:
+  - blocks_per_step=1 (default): zero added latency, the shared-cursor
+    ring FDL step (the reference adapter's one-block contract).
+  - blocks_per_step=M: the THROUGHPUT tier — each round renders M blocks
+    per lane on the bake path's paged delay line with the EQ folded into
+    the synthesis DFT (upols.conv_step_paged_raw + eq_apply_folded), at
+    the cost of up to M blocks of latency. Idle lanes are preserved by
+    recycling their oldest page; alignment debt is page-granular and
+    repaid by upols.conv_roll_lanes_paged at rejoin.
+
 EQ semantics: retargets are pool-wide (one preset set per pool). Streams
 actively rendering during the 20 ms ramp crossfade per-sample exactly; a
 stream that is idle across the entire ramp hears the new target directly when
@@ -66,11 +76,21 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
     harvested output rows travel back to the host, so per-round transfer
     scales with the harvest, not the pool size.
 
-    NOTE: the bake path's EQ-into-synthesis fold was measured on this
-    step too and REJECTED (fused 10.5 vs plain 8.5 ms/block at B=8192 —
-    the dual projections re-constrain layouts; BENCH_NOTES.md round-2
-    addendum). The fold is multi-block-only.
+    Variants "paged" / "paged_all" are the multi-block throughput tier
+    (StreamPool(blocks_per_step=M)): blocks is [kb, S, M, T] and the round
+    runs the M-block lookahead chain (paged delay line + folded EQ) —
+    see _pool_round_paged.
+
+    NOTE: the bake path's EQ-into-synthesis fold was measured on the
+    SINGLE-block step too and REJECTED (fused 10.5 vs plain 8.5 ms/block
+    at B=8192 — the dual projections re-constrain layouts; BENCH_NOTES.md
+    round-2 addendum). The fold is multi-block-only.
     """
+    if variant in ("paged", "paged_all"):
+        return _pool_round_paged(
+            conv_params, eq_from, eq_to, state, blocks, idx,
+            transition_length, eq_enabled, eq_crossfading, variant,
+        )
     conv_state, eq_state = state
     B, S, T = conv_state.overlap.shape
     x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(blocks, mode="drop")
@@ -108,6 +128,67 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
     return PoolState(conv_state, eq_state), y_rows
 
 
+def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
+                      transition_length, eq_enabled, eq_crossfading,
+                      variant):
+    """One multi-block pool round (the blocks_per_step=M throughput tier):
+    blocks [kb, S, M, T] -> y_rows [kb, M, E, T].
+
+    The spatial stage is the bake path's paged lookahead step (one
+    delay-line read per M blocks, zero rewrite traffic); in steady state
+    (eq_crossfading=False) the EQ's Toeplitz FIR and state-drive matrices
+    fold into the synthesis-DFT weights exactly as in
+    models/binaural.chain_step_multi_fn, so the spatial output never
+    materializes. "paged_all" skips the lane masking when every attached
+    lane is in the harvest (the common serving round); "paged" preserves
+    idle lanes by recycling their oldest page (upols.conv_step_paged_raw
+    active_mask) — the pool repays the resulting page-granular rotation
+    debt with a roll at rejoin, mirroring the single-block ring design."""
+    conv_state, eq_state = state
+    B, S, T = conv_state.overlap.shape
+    M = blocks.shape[2]
+    x = jnp.zeros((B, S, M, T), jnp.float32).at[idx].set(blocks, mode="drop")
+    mask = None
+    if variant != "paged_all":
+        mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
+    if eq_enabled and not eq_crossfading:
+        conv_state, Ykm = upols.conv_step_paged_raw(
+            conv_params, conv_state, x, active_mask=mask
+        )
+        post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
+        both = upols.paged_project(conv_params, Ykm, post=post)
+        fir, drive = both[..., :T], both[..., T:]
+        new_eq, y = eq_block.eq_apply_folded(eq_to, eq_state, fir, drive)
+        y = y.astype(x.dtype)
+    else:
+        conv_state, y = upols.conv_step_paged(
+            conv_params, conv_state, x, active_mask=mask
+        )
+        new_eq = eq_state
+        if eq_enabled:
+            outs = []
+            for m in range(M):
+                new_eq, ym = eq_block.eq_step(
+                    eq_from, eq_to, new_eq, y[:, m], transition_length,
+                    eq_crossfading,
+                )
+                outs.append(ym)
+            y = jnp.stack(outs, axis=1)
+    if eq_enabled:
+        if mask is None:
+            eq_state = new_eq
+        else:
+            eq_state = eq_block.EqState(
+                s_from=jnp.where(mask[:, None, None], new_eq.s_from,
+                                 eq_state.s_from),
+                s_to=jnp.where(mask[:, None, None], new_eq.s_to,
+                               eq_state.s_to),
+                counter=jnp.where(mask, new_eq.counter, eq_state.counter),
+            )
+    y_rows = jnp.take(y, jnp.minimum(idx, B - 1), axis=0)  # [kb, M, E, T]
+    return PoolState(conv_state, eq_state), y_rows
+
+
 _pool_step = functools.partial(
     jax.jit,
     static_argnames=("transition_length", "eq_enabled", "eq_crossfading",
@@ -121,6 +202,11 @@ def _roll_lanes(conv_state, lane_idx, shift):
     return upols.conv_roll_lanes(conv_state, lane_idx, shift)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _roll_lanes_paged(conv_state, lane_idx, shift):
+    return upols.conv_roll_lanes_paged(conv_state, lane_idx, shift)
+
+
 class StreamPool:
     def __init__(
         self,
@@ -132,6 +218,7 @@ class StreamPool:
         ring_blocks: int = 16,
         config: AirwaveConfig = DEFAULT_CONFIG,
         mesh=None,
+        blocks_per_step: int = 1,
     ) -> None:
         """`mesh`: an optional 1-D `jax.sharding.Mesh` whose single axis is
         named "streams". The pool's lane state (FDL, overlap, EQ state)
@@ -141,13 +228,28 @@ class StreamPool:
         the harvest). max_streams must divide evenly by the mesh size.
         Host rings stay process-local — multi-HOST serving wants one pool
         per host process (DCN carries client payloads, never lane state).
-        """
+
+        `blocks_per_step=M > 1` is the THROUGHPUT serving tier: each pump
+        round renders M blocks per harvested lane on the bake path's paged
+        delay line with the EQ folded into the synthesis DFT (one line
+        read per M blocks, zero rewrite traffic — BENCH_NOTES.md). A lane
+        advances only when M full blocks of its input exist, so output
+        latency grows to up to M blocks (85 ms at M=8/48 kHz) — latency-
+        tolerant workloads only; the default M=1 keeps the reference
+        adapter's one-block contract. Requires a renderer prepared with
+        `lookahead=M` (prepare_renderer) so the partition tail carries the
+        M-1 zero partitions the lookahead math needs."""
         self.max_streams = int(max_streams)
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
+        self.blocks_per_step = int(blocks_per_step)
         self.renderer = renderer
         self.config = config
         self.mesh = mesh
+        if self.blocks_per_step < 1:
+            raise ValueError(f"blocks_per_step must be >= 1, got "
+                             f"{blocks_per_step}")
+        self._check_renderer_lookahead(renderer)
         if mesh is not None:
             if tuple(mesh.axis_names) != ("streams",):
                 raise ValueError(
@@ -160,12 +262,15 @@ class StreamPool:
                 )
         speakers = renderer.num_speakers
 
+        # Rings must hold at least two full steps so a lane can buffer the
+        # next round while one is in flight.
+        capacity = block_size * max(int(ring_blocks),
+                                    2 * self.blocks_per_step)
         self.assembler = RaggedAssembler(
-            max_streams, speakers, block_size,
-            capacity=block_size * ring_blocks,
+            max_streams, speakers, block_size, capacity=capacity,
         )
         self._out = RaggedAssembler(
-            max_streams, 2, block_size, capacity=block_size * ring_blocks
+            max_streams, 2, block_size, capacity=capacity
         )
         self.eq_runtime = EqualizerRuntime(
             sample_rate, block_size, config.eq_state_dim, config
@@ -174,14 +279,7 @@ class StreamPool:
         if eq_definition is not None:
             self.eq_runtime.set_target(eq_definition)
 
-        self._state = self._place(PoolState(
-            conv=upols.make_conv_state(
-                self.max_streams, speakers, renderer.partition_count,
-                block_size,
-            ),
-            eq=eq_block.make_eq_state(self.max_streams, 2,
-                                      config.eq_state_dim),
-        ))
+        self._state = self._place(self._fresh_state())
         self._attached: Dict[int, bool] = {}
         self._attached_mask = np.zeros(max_streams, bool)
         self._free = list(range(max_streams - 1, -1, -1))
@@ -203,6 +301,55 @@ class StreamPool:
         self.blocks_rendered = 0
         self.render_errors = 0
 
+    @property
+    def step_frames(self) -> int:
+        """Frames a lane advances per pump round (blocks_per_step * block) —
+        the ingest granularity of the multi-block tier; serving frontends
+        pad EOF tails to this boundary."""
+        return self.blocks_per_step * self.block_size
+
+    def _check_renderer_lookahead(self, renderer: RendererState) -> None:
+        if self.blocks_per_step == 1:
+            return
+        lookahead = getattr(renderer, "lookahead", 1)
+        if lookahead != self.blocks_per_step:
+            raise ValueError(
+                f"blocks_per_step={self.blocks_per_step} needs a renderer "
+                f"prepared with lookahead={self.blocks_per_step} "
+                f"(got lookahead={lookahead}; see prepare_renderer)"
+            )
+        if renderer.partition_count % self.blocks_per_step:
+            raise ValueError(
+                f"renderer partition count {renderer.partition_count} is "
+                f"not divisible by blocks_per_step={self.blocks_per_step}"
+            )
+
+    def _fresh_state(self) -> PoolState:
+        speakers = self.renderer.num_speakers
+        if self.blocks_per_step > 1:
+            conv = upols.make_conv_state_paged(
+                self.max_streams, speakers, self.renderer.partition_count,
+                self.block_size, self.blocks_per_step,
+            )
+        else:
+            conv = upols.make_conv_state(
+                self.max_streams, speakers, self.renderer.partition_count,
+                self.block_size,
+            )
+        return PoolState(
+            conv=conv,
+            eq=eq_block.make_eq_state(self.max_streams, 2,
+                                      self.config.eq_state_dim),
+        )
+
+    def _cycle(self) -> int:
+        """Alignment-debt modulus: one full rotation of the shared carry is
+        the identity — P2 cursor advances for the ring FDL, n_pages rounds
+        for the paged line."""
+        if self.blocks_per_step > 1:
+            return len(self._state.conv.pages)
+        return int(self._state.conv.fdl.shape[2])
+
     def _place(self, state: PoolState) -> PoolState:
         """Shard lane state over the pool mesh (no-op without one)."""
         if self.mesh is None:
@@ -215,14 +362,26 @@ class StreamPool:
 
         conv = state.conv
         eq = state.eq
-        return PoolState(
-            conv=upols.ConvState(
+        if self.blocks_per_step > 1:
+            conv = upols.PagedConvState(
+                pages=tuple(
+                    jax.device_put(
+                        pg, ns(P(None, None, None, None, "streams"))
+                    )
+                    for pg in conv.pages
+                ),
+                overlap=jax.device_put(conv.overlap, ns(P("streams"))),
+            )
+        else:
+            conv = upols.ConvState(
                 fdl=jax.device_put(
                     conv.fdl, ns(P(None, None, None, None, "streams"))
                 ),
                 overlap=jax.device_put(conv.overlap, ns(P("streams"))),
                 write_pos=jax.device_put(conv.write_pos, ns(P())),
-            ),
+            )
+        return PoolState(
+            conv=conv,
             eq=eq_block.EqState(
                 s_from=jax.device_put(eq.s_from, ns(P("streams"))),
                 s_to=jax.device_put(eq.s_to, ns(P("streams"))),
@@ -258,8 +417,10 @@ class StreamPool:
         mask = np.zeros(self.max_streams, bool)
         mask[stream] = True
         m = jnp.asarray(mask)
+        reset = (upols.conv_reset_paged if self.blocks_per_step > 1
+                 else upols.conv_reset)
         self._state = PoolState(
-            conv=upols.conv_reset(self._state.conv, m),
+            conv=reset(self._state.conv, m),
             eq=eq_block.eq_reset(self._state.eq, m),
         )
 
@@ -281,14 +442,17 @@ class StreamPool:
         (the reference builds fresh engines per activation). A speaker- or
         partition-count change reallocates the conv carry."""
         old = self.renderer
+        self._check_renderer_lookahead(renderer)
         self.renderer = renderer
         same_shape = (
             old.num_speakers == renderer.num_speakers
             and old.partition_count == renderer.partition_count
         )
         if same_shape:
+            reset = (upols.conv_reset_paged if self.blocks_per_step > 1
+                     else upols.conv_reset)
             self._state = PoolState(
-                conv=upols.conv_reset(self._state.conv), eq=self._state.eq
+                conv=reset(self._state.conv), eq=self._state.eq
             )
             self._debt[:] = 0
             return
@@ -297,13 +461,7 @@ class StreamPool:
                 "renderer speaker count must match the pool's input layout"
             )
         self._state = PoolState(
-            conv=self._place(PoolState(
-                conv=upols.make_conv_state(
-                    self.max_streams, renderer.num_speakers,
-                    renderer.partition_count, self.block_size,
-                ),
-                eq=self._state.eq,
-            )).conv,
+            conv=self._place(self._fresh_state()).conv,
             eq=self._state.eq,
         )
         self._debt[:] = 0
@@ -424,22 +582,24 @@ class StreamPool:
         speakers = self.renderer.num_speakers
         eq_p = self.eq_runtime.active.params
         crossfades = (False, True) if self._eq_enabled else (False,)
-        step_variants = (
-            ("ring", "ring_all") if _POOL_STEP == "ring" else (_POOL_STEP,)
-        )
+        paged = self.blocks_per_step > 1
+        if paged:
+            step_variants = ("paged", "paged_all")
+        else:
+            step_variants = (
+                ("ring", "ring_all") if _POOL_STEP == "ring"
+                else (_POOL_STEP,)
+            )
 
         def throwaway():  # donated per call; the pool's own state untouched
-            return self._place(PoolState(
-                conv=upols.make_conv_state(
-                    self.max_streams, speakers,
-                    self.renderer.partition_count, self.block_size,
-                ),
-                eq=eq_block.make_eq_state(self.max_streams, 2,
-                                          self.config.eq_state_dim),
-            ))
+            return self._place(self._fresh_state())
 
+        block_shape = (
+            (speakers, self.blocks_per_step, self.block_size)
+            if paged else (speakers, self.block_size)
+        )
         for kb in buckets:
-            blocks = jnp.zeros((kb, speakers, self.block_size), jnp.float32)
+            blocks = jnp.zeros((kb,) + block_shape, jnp.float32)
             idx = jnp.full((kb,), self.max_streams, jnp.int32)
             for crossfading in crossfades:
                 for variant in step_variants:
@@ -451,7 +611,10 @@ class StreamPool:
                         eq_crossfading=crossfading,
                         variant=variant,
                     )
-            if _POOL_STEP == "ring":
+            if paged:
+                _roll_lanes_paged(throwaway().conv, idx,
+                                  jnp.zeros((kb,), jnp.int32))
+            elif _POOL_STEP == "ring":
                 _roll_lanes(throwaway().conv, idx,
                             jnp.zeros((kb,), jnp.int32))
 
@@ -492,36 +655,40 @@ class StreamPool:
         rounds = 0
         pending = None  # (indices, device y_rows) awaiting delivery
         inflight = np.zeros(self.max_streams, bool)
-        p2 = int(self._state.conv.fdl.shape[2])
+        M = self.blocks_per_step
+        step_frames = self.step_frames
+        cycle = self._cycle()
+        paged = M > 1
+        roll_fn = _roll_lanes_paged if paged else _roll_lanes
         try:
             while rounds < max_rounds and self.assembler.ready_count() > 0:
                 # Only harvest streams whose output ring can take the
-                # rendered block — a slow reader's stream stays
+                # rendered step — a slow reader's stream stays
                 # un-harvested (and its producer eventually sees
                 # input-ring backpressure) instead of overflowing after
-                # the carry has advanced. An undelivered in-flight block
+                # the carry has advanced. An undelivered in-flight step
                 # counts against the free space.
                 free = self._out.out_free_all()
                 allow = (
-                    free - inflight * self.block_size
-                ) >= self.block_size
+                    free - inflight * step_frames
+                ) >= step_frames
                 indices, blocks = self.assembler.harvest_allowed(
-                    self.max_streams, allow
+                    self.max_streams, allow, frames=step_frames
                 )
                 if len(indices) == 0:
                     break
 
-                rejoin = indices[self._debt[indices] % p2 != 0]
-                if rejoin.size and _POOL_STEP == "ring":
+                rejoin = indices[self._debt[indices] % cycle != 0]
+                if rejoin.size and (paged or _POOL_STEP == "ring"):
                     kb = self._bucket(len(rejoin))
                     lane = np.full(kb, self.max_streams, np.int32)
                     shift = np.zeros(kb, np.int32)
                     lane[: len(rejoin)] = rejoin
-                    shift[: len(rejoin)] = self._debt[rejoin] % p2
+                    shift[: len(rejoin)] = self._debt[rejoin] % cycle
                     self._state = PoolState(
-                        conv=_roll_lanes(self._state.conv,
-                                         jnp.asarray(lane),
-                                         jnp.asarray(shift)),
+                        conv=roll_fn(self._state.conv,
+                                     jnp.asarray(lane),
+                                     jnp.asarray(shift)),
                         eq=self._state.eq,
                     )
 
@@ -529,6 +696,12 @@ class StreamPool:
                 kb = self._bucket(k)
                 idx_up = np.full(kb, self.max_streams, np.int32)
                 idx_up[:k] = indices
+                if paged:
+                    # [k, S, M*T] -> [k, S, M, T] (ring pop is frame-major
+                    # per channel, so the reshape is free).
+                    blocks = blocks.reshape(
+                        k, blocks.shape[1], M, self.block_size
+                    )
                 if kb != k:
                     pad = np.zeros(
                         (kb - k,) + blocks.shape[1:], blocks.dtype
@@ -542,12 +715,16 @@ class StreamPool:
                     self.eq_runtime.is_transitioning
                     or self.eq_runtime.pending_target is not None
                 )
-                variant = _POOL_STEP
-                if variant == "ring" and k == len(self._attached):
-                    # Common serving case: every attached lane stepped —
-                    # the masking machinery is unnecessary (free lanes'
-                    # garbage is reset at attach).
-                    variant = "ring_all"
+                if paged:
+                    variant = ("paged_all" if k == len(self._attached)
+                               else "paged")
+                else:
+                    variant = _POOL_STEP
+                    if variant == "ring" and k == len(self._attached):
+                        # Common serving case: every attached lane stepped
+                        # — the masking machinery is unnecessary (free
+                        # lanes' garbage is reset at attach).
+                        variant = "ring_all"
                 state, y_rows = _pool_step(
                     self.renderer.conv_params, p_from, p_to,
                     PoolState(self._state.conv, eq_state),
@@ -558,25 +735,23 @@ class StreamPool:
                     variant=variant,
                 )
                 self._state = state
-                self.eq_runtime.after_block(self.block_size)
+                self.eq_runtime.after_block(step_frames)
                 self._debt[self._debt_targets(indices)] += 1
                 self._debt[indices] = 0
 
                 if pending is not None:
                     prev_idx, prev_rows = pending
-                    self._deliver(
-                        prev_idx, np.asarray(prev_rows)[: len(prev_idx)]
-                    )
+                    self._deliver(prev_idx, prev_rows)
                     inflight[prev_idx] = False
                 pending = (indices, y_rows)
                 inflight[indices] = True
                 self.rounds += 1
-                self.blocks_rendered += k
+                self.blocks_rendered += k * M
                 rounds += 1
             if pending is not None:
                 prev_idx, prev_rows = pending
                 pending = None
-                self._deliver(prev_idx, np.asarray(prev_rows)[: len(prev_idx)])
+                self._deliver(prev_idx, prev_rows)
         except Exception:
             # The step donates the carry, so after a device failure the
             # old buffers may already be consumed — rebuild fresh
@@ -585,15 +760,7 @@ class StreamPool:
             # harvested for in-flight rounds are lost to the failure and
             # surface as underflow zeros at pull time; the pool itself
             # stays usable for the next round.
-            self._state = self._place(PoolState(
-                conv=upols.make_conv_state(
-                    self.max_streams, self.renderer.num_speakers,
-                    self.renderer.partition_count, self.block_size,
-                ),
-                eq=eq_block.make_eq_state(
-                    self.max_streams, 2, self.config.eq_state_dim
-                ),
-            ))
+            self._state = self._place(self._fresh_state())
             self._debt[:] = 0
             self.render_errors += 1
             raise
@@ -606,12 +773,21 @@ class StreamPool:
         mask[harvested] = False
         return mask
 
-    def _deliver(self, indices: np.ndarray, blocks: np.ndarray) -> None:
-        """Queue rendered blocks. Harvest gating guarantees space at
-        harvest time, so the single atomic scatter is the whole fast path;
-        an unlocked pull racing the round can still shrink a ring between
-        check and write, in which case the affected blocks stash in order
-        (scatter is all-or-nothing, so nothing double-delivers)."""
+    def _deliver(self, indices: np.ndarray, rows) -> None:
+        """Queue rendered output (fetching the device rows here, where
+        delivery overlaps the next round's dispatch). Harvest gating
+        guarantees space at harvest time, so the single atomic scatter is
+        the whole fast path; an unlocked pull racing the round can still
+        shrink a ring between check and write, in which case the affected
+        blocks stash in order (scatter is all-or-nothing, so nothing
+        double-delivers)."""
+        blocks = np.asarray(rows)[: len(indices)]
+        if self.blocks_per_step > 1:
+            # [k, M, E, T] -> [k, E, M*T] (ring frames are channel planes).
+            k, M, E, T = blocks.shape
+            blocks = np.ascontiguousarray(
+                blocks.swapaxes(1, 2)
+            ).reshape(k, E, M * T)
         if not self._pending_out:
             try:
                 self._out.scatter(indices, blocks)

@@ -17,13 +17,14 @@ Wire protocol (little-endian):
                      then frames: uint32 n | float32 data[C*n]  (n == 0: EOF)
   server -> client:  frames: uint32 n | float32 data[2*n]
 Wire limits: C must be 1 (mono duplicated) or the pool's speaker count, and
-each message's n is capped at ring capacity minus (block - 1) by default —
-the largest size guaranteed to eventually fit past any un-harvestable
-sub-block residue. Violations close the connection with a clean EOF frame
-instead of killing the serving thread.
+each message's n is capped at ring capacity minus (step - 1) frames by
+default — the largest size guaranteed to eventually fit past any
+un-harvestable sub-step residue (step = block, or M blocks on a
+blocks_per_step=M throughput pool). Violations close the connection with a
+clean EOF frame instead of killing the serving thread.
 Rendered audio follows the pool's underflow contract: the server returns
 whatever is rendered so far; remaining tail is flushed after the client EOF
-(zero-padded to the block boundary). The server's EOF frame is a
+(zero-padded to the step boundary). The server's EOF frame is a
 completion guarantee — if rendering stalls past the client timeout the
 connection closes WITHOUT it, so clients can distinguish a truncated
 stream from a successful one (`truncated_closes` counts these).
@@ -78,13 +79,14 @@ class RenderServer:
         self.client_timeout = float(client_timeout)
         self.batch_window = float(batch_window)
         # Default cap: a max-size message must ALWAYS eventually fit. Up to
-        # block-1 frames of residue can linger un-harvestable in the input
-        # ring, so capacity-sized messages could stall forever against a
+        # step_frames-1 frames of residue (block-1 for the default
+        # single-block pool) can linger un-harvestable in the input ring,
+        # so capacity-sized messages could stall forever against a
         # permanently short ring.
         self.max_message_frames = int(
             max_message_frames
             if max_message_frames is not None
-            else pool.assembler.capacity - (pool.block_size - 1)
+            else pool.assembler.capacity - (pool.step_frames - 1)
         )
         self._lock = threading.Lock()  # pool control-plane lock
         self._listener = socket.create_server((host, port))
@@ -228,7 +230,6 @@ class RenderServer:
 
     def _serve_client(self, conn: socket.socket) -> None:
         stream: Optional[int] = None
-        block = self.pool.block_size
         clean = False
         suppress_eof = False
         try:
@@ -292,11 +293,12 @@ class RenderServer:
                     returned += out.shape[1]
                     _send_frame(conn, out)
 
-            # Flush: pad the pending partial block, render, return the exact
-            # remaining frames of the client's signal.
+            # Flush: pad the pending partial step (block for the default
+            # pool, M blocks for the multi-block tier), render, return the
+            # exact remaining frames of the client's signal.
             remaining = received - returned
             if remaining > 0:
-                pad = (-received) % block
+                pad = (-received) % self.pool.step_frames
                 if pad and not self._push_with_backpressure(
                     stream, np.zeros((channels, pad), np.float32)
                 ):

@@ -242,13 +242,17 @@ def _reference_hrir_wav():
 
 def measure_pool(batch: int, blocks_per_call: int, calls: int,
                  hrir_seconds: float = None, speakers: int = 2,
-                 active_fraction: float = 1.0):
+                 active_fraction: float = 1.0, blocks_per_step: int = 1):
     """Serving-path device number: the StreamPool's jitted round
     (shared-cursor ring step + device scatter/gather of the harvested
     rows, in the unmasked ring_all variant pump selects when every
     attached lane is harvested) scanned sync-proof with every lane active
     — the steady-state cost the production pool pays per block. Exact
-    partitions, matching the renderer default (pow2 measured +23%)."""
+    partitions, matching the renderer default (pow2 measured +23%).
+
+    blocks_per_step=M > 1 benches the multi-block THROUGHPUT tier
+    (StreamPool(blocks_per_step=M)): the paged lookahead round with the
+    EQ folded into the synthesis DFT."""
     import jax
     import jax.numpy as jnp
 
@@ -270,8 +274,10 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
     preamp, coeffs = bd.design_cascade(EqualizerDefinition(-2.5, filters),
                                        SAMPLE_RATE)
     eq_params = eq_block.make_eq_params(coeffs, preamp, BLOCK)
-    x = jax.random.normal(jax.random.PRNGKey(0),
-                          (batch, speakers, BLOCK), jnp.float32) * 0.25
+    M = int(blocks_per_step)
+    x_shape = ((batch, speakers, M, BLOCK) if M > 1
+               else (batch, speakers, BLOCK))
+    x = jax.random.normal(jax.random.PRNGKey(0), x_shape, jnp.float32) * 0.25
     # Pool configuration: exact partitions (renderer default; the pow2
     # bucket measured +23% pool-round time at B=8192 — see BENCH_NOTES).
     rng = np.random.default_rng(0)
@@ -293,12 +299,17 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
             hrir = (rng.standard_normal((speakers, 2, 4320)) * 0.05
                     ).astype(np.float32)
             hrir[:, :, 0] += 0.8
-    conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False)
-    state = PoolState(
-        conv=upols.make_conv_state(batch, speakers,
-                                   conv_params.partition_count, BLOCK),
-        eq=eq_block.make_eq_state(batch),
-    )
+    conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
+                                         lookahead=M)
+    if M > 1:
+        conv_state = upols.make_conv_state_paged(
+            batch, speakers, conv_params.partition_count, BLOCK, M
+        )
+    else:
+        conv_state = upols.make_conv_state(
+            batch, speakers, conv_params.partition_count, BLOCK
+        )
+    state = PoolState(conv=conv_state, eq=eq_block.make_eq_state(batch))
     if not (0.0 < active_fraction <= 1.0):
         raise ValueError(
             f"active_fraction must be in (0, 1], got {active_fraction}"
@@ -308,9 +319,21 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
     if k != batch:
         x = x[:k]
     # Full harvest == the all-attached steady state, where pump selects
-    # the unmasked ring_all variant; a partial harvest exercises the
-    # masked ring variant (paused lanes preserved by the slot read-back).
-    variant = "ring_all" if k == batch else "ring"
+    # the unmasked ring_all/paged_all variant; a partial harvest
+    # exercises the masked variant (paused lanes preserved by the slot
+    # read-back / oldest-page recycle).
+    if M > 1:
+        variant = "paged_all" if k == batch else "paged"
+        assert blocks_per_call % M == 0, (blocks_per_call, M)
+        steps = blocks_per_call // M
+        # Unroll by the page count so the page rotation stays SSA
+        # renaming (see upols.conv_step_paged).
+        unroll = max(1, min(len(conv_state.pages), steps))
+        while steps % unroll:
+            unroll -= 1
+    else:
+        variant = "ring_all" if k == batch else "ring"
+        steps, unroll = blocks_per_call, 1
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(conv_params, eq_params, state, x, idx):
@@ -326,7 +349,7 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
 
         acc0 = jnp.zeros((8, 128), jnp.float32)
         (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
-                                   length=blocks_per_call)
+                                   length=steps, unroll=unroll)
         return s, acc
 
     state, acc = run(conv_params, eq_params, state, x, idx)
@@ -618,6 +641,10 @@ def main():
                         help="fraction of lanes harvested per round "
                              "(<1 measures the masked ragged variant; "
                              "aggregate counts only rendered lanes)")
+    parser.add_argument("--pool-blocks", type=int, default=1,
+                        help="with --pool: bench the multi-block throughput "
+                             "tier (StreamPool(blocks_per_step=M) — paged "
+                             "line + folded EQ, +up to M blocks latency)")
     parser.add_argument("--pool-host", action="store_true",
                         help="end-to-end host serving loop through the real "
                              "StreamPool (rings + transfers + pulls)")
@@ -692,11 +719,13 @@ def main():
             try:
                 if args.pool:
                     blocks = args.blocks or (8 if args.smoke else 96)
+                    blocks += (-blocks) % args.pool_blocks
                     multiple, per_block = measure_pool(
                         batch, blocks, args.calls,
                         hrir_seconds=args.hrir_seconds,
                         speakers=args.speakers,
-                        active_fraction=args.pool_active_fraction)
+                        active_fraction=args.pool_active_fraction,
+                        blocks_per_step=args.pool_blocks)
                     breakdown = None
                 else:
                     rounds = args.blocks or (4 if args.smoke else 24)
@@ -731,6 +760,8 @@ def main():
         }
         if args.pool and args.pool_active_fraction != 1.0:
             out["active_fraction"] = args.pool_active_fraction
+        if args.pool and args.pool_blocks > 1:
+            out["blocks_per_step"] = args.pool_blocks
         if breakdown:
             out["host_ms_per_round"] = breakdown
         print(json.dumps(out))

@@ -71,37 +71,45 @@ def main() -> int:
         # The serving path end-to-end on the device under a ragged pause
         # schedule: lanes pause at different rounds, so the masked ring
         # write, the ring_all fast variant, AND the debt-roll re-alignment
-        # all execute on the target backend.
+        # all execute on the target backend. With --blocks-per-step M this
+        # validates the multi-block throughput tier instead (paged line +
+        # folded EQ + page-granular debt rolls).
         from airwave_tpu.graph.renderer import RendererState
         from airwave_tpu.runtime.stream_pool import StreamPool
 
-        conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+        M = args.blocks_per_step
+        assert N % M == 0, (N, M)
+        step_t = M * T
+        conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
+                                             lookahead=M)
         renderer = RendererState(
             conv_params=conv_params, speakers=("FL", "FR"),
-            sample_rate=48_000.0, block_size=T,
+            sample_rate=48_000.0, block_size=T, lookahead=M,
         )
         pool = StreamPool(B, 48_000.0, renderer,
                           eq_definition=EqualizerDefinition(-2.5, filters),
-                          block_size=T, ring_blocks=max(N + 2, 4))
+                          block_size=T, ring_blocks=max(N + 2, 4),
+                          blocks_per_step=M)
         streams = [pool.attach() for _ in range(B)]
         # Let the activation unity->target ramp finish on silence so the
         # steady state matches the oracle's immediate-target application.
-        ramp_blocks = -(-960 // T) + 1
-        for _ in range(ramp_blocks):
+        ramp_rounds = -(-960 // step_t) + 1
+        for _ in range(ramp_rounds):
             for s in streams:
-                pool.push(s, np.zeros((S, T), np.float32))
+                pool.push(s, np.zeros((S, step_t), np.float32))
             pool.pump()
         for s in streams:
-            pool.pull(s, ramp_blocks * T)
+            pool.pull(s, ramp_rounds * step_t)
         fed = [0] * B
-        for rnd in range(4 * N):
-            if all(f >= N for f in fed):
+        n_chunks = N // M
+        for rnd in range(4 * n_chunks):
+            if all(f >= n_chunks for f in fed):
                 break
             for j, s in enumerate(streams):
                 # Ragged: lane j pauses on rounds where (rnd % (j+2)) == 0.
-                if fed[j] < N and (j == 0 or rnd % (j + 2) != 0):
+                if fed[j] < n_chunks and (j == 0 or rnd % (j + 2) != 0):
                     pool.push(
-                        s, x[j, :, fed[j] * T:(fed[j] + 1) * T]
+                        s, x[j, :, fed[j] * step_t:(fed[j] + 1) * step_t]
                     )
                     fed[j] += 1
             pool.pump()

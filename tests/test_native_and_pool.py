@@ -148,11 +148,12 @@ def test_native_and_python_agree():
         np.testing.assert_array_equal(na, nb)
 
 
-def make_renderer(frames=700, seed=5, sample_rate=48_000.0, block=64):
+def make_renderer(frames=700, seed=5, sample_rate=48_000.0, block=64,
+                  lookahead=1):
     rng = np.random.default_rng(seed)
     audio = (rng.standard_normal((14, frames)) * 0.2).astype(np.float32)
     return prepare_renderer(WAVData(sample_rate, audio), cm.STEREO,
-                            sample_rate, block), audio
+                            sample_rate, block, lookahead=lookahead), audio
 
 
 def test_conv_step_rolled_matches_conv_step():
@@ -818,3 +819,327 @@ def test_pool_randomized_interleaving_matches_reference_pool():
     b = np.concatenate(got_r, axis=1)
     np.testing.assert_array_equal(a, b)
     assert a.shape[1] >= fed - 2 * block  # nothing renderable was lost
+
+
+# --- multi-block (blocks_per_step=M) throughput tier --------------------------------
+
+
+def test_assembler_multiframe_harvest_and_scatter(impl):
+    """The multi-block tier's data plane: harvest_allowed(frames=M*block)
+    pops whole steps (lanes with less buffered input are skipped) and
+    scatter() takes arbitrary frame counts — native/python parity."""
+    force_python = impl == "python"
+    if not force_python and not native_available():
+        pytest.skip("no native toolchain")
+    block, M = 8, 3
+    a = RaggedAssembler(4, 2, block, capacity=block * 8,
+                        force_python=force_python)
+    rng = np.random.default_rng(7)
+    a.push(0, rng.standard_normal((2, M * block)).astype(np.float32))
+    a.push(1, rng.standard_normal((2, M * block - 1)).astype(np.float32))
+    a.push(2, rng.standard_normal((2, 2 * M * block)).astype(np.float32))
+    allow = np.ones(4, np.int32)
+    idx, blocks = a.harvest_allowed(4, allow, frames=M * block)
+    # Stream 1 has one frame too few for a whole step.
+    np.testing.assert_array_equal(idx, [0, 2])
+    assert blocks.shape == (2, 2, M * block)
+    assert a.pending(0) == 0 and a.pending(1) == M * block - 1
+    assert a.pending(2) == M * block
+    # Variable-frame scatter (all-or-nothing).
+    out = rng.standard_normal((2, 2, M * block)).astype(np.float32)
+    a.scatter(idx, out)
+    np.testing.assert_array_equal(a.pop(0, M * block), out[0])
+    np.testing.assert_array_equal(a.pop(2, M * block), out[1])
+    big = np.zeros((1, 2, block * 8 + block), np.float32)
+    with pytest.raises(OverflowError):
+        a.scatter(np.array([3], np.int32), big)
+    assert a.out_available(3) == 0  # nothing was written
+
+
+def test_conv_step_paged_masked_with_debt_roll_matches_single_block():
+    """The multi-block pool's device math at the op level: the masked paged
+    step preserves idle lanes by recycling their oldest page, and
+    conv_roll_lanes_paged re-aligns them at rejoin — per-lane audio must
+    match M single-block masked steps to f32 rounding under random pause
+    patterns, including a pause longer than a full page cycle."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    T, B, S, M = 64, 5, 2, 4
+    hrir = rng.standard_normal((S, 2, 400)).astype(np.float32) * 0.3
+    params_m = upols.make_conv_params(hrir, T, pad_to_pow2=False,
+                                      lookahead=M)
+    params_1 = upols.make_conv_params(hrir, T, pad_to_pow2=False)
+    p2 = params_m.partition_count
+    n_pages = p2 // M
+    s_paged = upols.make_conv_state_paged(B, S, p2, T, M)
+    s_roll = upols.make_conv_state(B, S, params_1.partition_count, T)
+    debt = np.zeros(B, np.int64)
+    paused_long = False
+    for rnd in range(4 * n_pages + 6):
+        active = rng.random(B) < 0.6
+        if rnd < 2:
+            active[:] = True
+        # Lane 0: one pause spanning more than a full page cycle.
+        if n_pages + 1 <= rnd <= 2 * n_pages + 3:
+            active[0] = False
+            paused_long = True
+        x = jnp.asarray(
+            rng.standard_normal((B, S, M, T)).astype(np.float32)
+            * active[:, None, None, None]
+        )
+        m = jnp.asarray(active)
+        rejoin = np.where(active & (debt % n_pages != 0))[0]
+        if len(rejoin):
+            s_paged = upols.conv_roll_lanes_paged(
+                s_paged, jnp.asarray(rejoin, np.int32),
+                jnp.asarray(debt[rejoin], np.int32),
+            )
+        s_paged, y_paged = upols.conv_step_paged(params_m, s_paged, x,
+                                                 active_mask=m)
+        ys = []
+        for j in range(M):
+            s_roll, yj = upols.conv_step_rolled(params_1, s_roll,
+                                                x[:, :, j], m)
+            ys.append(np.asarray(yj))
+        y_ref = np.stack(ys, axis=1)  # [B, M, E, T]
+        debt[active] = 0
+        debt[~active] += 1
+        ya = np.asarray(y_paged)[active]
+        yb = y_ref[active]
+        if ya.size:
+            rel = np.sqrt(np.mean((ya - yb) ** 2)) / max(
+                np.sqrt(np.mean(yb**2)), 1e-9
+            )
+            assert rel < 1e-6, (rnd, rel)
+    assert paused_long
+
+
+def _settle_eq_ramp(pools, streams_per_pool, step_frames):
+    """Run the activation unity->target ramp to completion on silence so a
+    cross-granularity comparison starts from the shared steady state (ramp
+    OBSERVATION is round-granular: <=1 block of skew on the default pool,
+    <=1 step on the multi-block tier — documented semantics)."""
+    rounds = 2 * (960 // step_frames + 2)
+    for _ in range(rounds):
+        for pool, streams in zip(pools, streams_per_pool):
+            for s in streams:
+                pool.push(s, np.zeros((2, step_frames), np.float32))
+            pool.pump()
+    for pool, streams in zip(pools, streams_per_pool):
+        for s in streams:
+            pool.pull(s, rounds * step_frames)
+
+
+def test_stream_pool_multiblock_matches_single_block_ragged():
+    """blocks_per_step=M (paged line + folded EQ + page-granular debt
+    rolls) must render the same audio as the single-block ring pool for
+    the same signals under a ragged pause schedule."""
+    block, M, B = 64, 4, 4
+    renderer1, _ = make_renderer(block=block)
+    rendererM, _ = make_renderer(block=block, lookahead=M)
+    eq = EqualizerDefinition(preamp_db=-2.0)
+    p1 = StreamPool(B, 48_000.0, renderer1, eq_definition=eq,
+                    block_size=block, ring_blocks=64)
+    pM = StreamPool(B, 48_000.0, rendererM, eq_definition=eq,
+                    block_size=block, ring_blocks=64, blocks_per_step=M)
+    assert pM.step_frames == M * block
+    streams1 = [p1.attach() for _ in range(B)]
+    streamsM = [pM.attach() for _ in range(B)]
+    _settle_eq_ramp((p1, pM), (streams1, streamsM), M * block)
+
+    rng = np.random.default_rng(0)
+    n = 16  # M-block chunks per stream
+    x = (rng.standard_normal((B, 2, n * M * block)) * 0.3).astype(np.float32)
+    fed = [0] * B
+    for rnd in range(6 * n):
+        if all(f >= n for f in fed):
+            break
+        for j in range(B):
+            # Ragged: lane j pauses on rounds where rnd % (j+2) == 0.
+            if fed[j] < n and (j == 0 or rnd % (j + 2) != 0):
+                lo = fed[j] * M * block
+                chunk = x[j, :, lo:lo + M * block]
+                p1.push(streams1[j], chunk)
+                pM.push(streamsM[j], chunk)
+                fed[j] += 1
+        p1.pump()
+        pM.pump()
+    total = n * M * block
+    out1 = np.stack([p1.pull(s, total) for s in streams1])
+    outM = np.stack([pM.pull(s, total) for s in streamsM])
+    rel = np.sqrt(np.mean((out1 - outM) ** 2)) / max(
+        np.sqrt(np.mean(out1**2)), 1e-9
+    )
+    assert rel < 2e-6, rel
+    assert np.any(out1 != 0)
+    # The tier really batches: M blocks per round per lane.
+    assert pM.rounds * M <= p1.rounds + M
+
+
+def test_stream_pool_multiblock_eq_retarget_matches_single_block():
+    """A live EQ retarget mid-stream on an all-active multi-block pool:
+    the 20 ms crossfade (unfused M-block EQ path) must match the
+    single-block pool sample-for-sample — all-active rounds observe the
+    publication at the same sample boundary."""
+    block, M = 64, 4
+    renderer1, _ = make_renderer(block=block)
+    rendererM, _ = make_renderer(block=block, lookahead=M)
+    eq_a = EqualizerDefinition(preamp_db=-6.0)
+    eq_b = EqualizerDefinition(preamp_db=+3.0)
+    p1 = StreamPool(2, 48_000.0, renderer1, eq_definition=eq_a,
+                    block_size=block, ring_blocks=64)
+    pM = StreamPool(2, 48_000.0, rendererM, eq_definition=eq_a,
+                    block_size=block, ring_blocks=64, blocks_per_step=M)
+    s1, sM = p1.attach(), pM.attach()
+    _settle_eq_ramp((p1, pM), ([s1], [sM]), M * block)
+
+    rng = np.random.default_rng(5)
+    n = 12
+    x = (rng.standard_normal((2, n * M * block)) * 0.3).astype(np.float32)
+    for i in range(n):
+        if i == 3:  # retarget between rounds (same sample position)
+            p1.set_equalizer(eq_b)
+            pM.set_equalizer(eq_b)
+        chunk = x[:, i * M * block:(i + 1) * M * block]
+        p1.push(s1, chunk)
+        pM.push(sM, chunk)
+        p1.pump()
+        pM.pump()
+    a = p1.pull(s1, n * M * block)
+    b = pM.pull(sM, n * M * block)
+    rel = np.sqrt(np.mean((a - b) ** 2)) / max(np.sqrt(np.mean(a**2)), 1e-9)
+    assert rel < 2e-6, rel
+    assert np.any(a != 0)
+
+
+def test_stream_pool_multiblock_snapshot_restore_bit_identical():
+    """Checkpoint a multi-block pool mid-life (paused lane with
+    page-granular debt included) and resume in a fresh pool:
+    continuation must be bit-identical."""
+    block, M = 64, 4
+    renderer, _ = make_renderer(block=block, lookahead=M)
+    step = M * block
+    a = StreamPool(4, 48_000.0, renderer, block_size=block,
+                   ring_blocks=64, blocks_per_step=M)
+    rng = np.random.default_rng(41)
+    s0, s1 = a.attach(), a.attach()
+    sig0 = (rng.standard_normal((2, 8 * step)) * 0.3).astype(np.float32)
+    sig1 = (rng.standard_normal((2, 8 * step)) * 0.3).astype(np.float32)
+    for i in range(4):
+        a.push(s0, sig0[:, i * step:(i + 1) * step])
+        if i < 2:
+            a.push(s1, sig1[:, i * step:(i + 1) * step])
+        a.pump()
+    a.pull(s0, 4 * step)
+    a.pull(s1, 2 * step)
+    snap = a.snapshot()
+    assert snap["debt"][s1] > 0
+
+    b = StreamPool(4, 48_000.0, renderer, block_size=block,
+                   ring_blocks=64, blocks_per_step=M)
+    b.restore(snap)
+    for pool in (a, b):
+        for i in range(4, 8):
+            pool.push(s0, sig0[:, i * step:(i + 1) * step])
+        for i in range(2, 8):
+            pool.push(s1, sig1[:, i * step:(i + 1) * step])
+        pool.pump()
+    np.testing.assert_array_equal(a.pull(s0, 4 * step), b.pull(s0, 4 * step))
+    np.testing.assert_array_equal(a.pull(s1, 6 * step), b.pull(s1, 6 * step))
+
+
+def test_multiblock_pool_validates_renderer_lookahead():
+    block, M = 64, 4
+    renderer1, _ = make_renderer(block=block)
+    rendererM, _ = make_renderer(block=block, lookahead=M)
+    with pytest.raises(ValueError, match="lookahead"):
+        StreamPool(2, 48_000.0, renderer1, block_size=block,
+                   blocks_per_step=M)
+    pool = StreamPool(2, 48_000.0, rendererM, block_size=block,
+                      blocks_per_step=M)
+    with pytest.raises(ValueError, match="lookahead"):
+        pool.set_renderer(renderer1)
+    # A fresh lookahead-M renderer hot-swaps fine.
+    renderer2, _ = make_renderer(block=block, lookahead=M, seed=9)
+    pool.set_renderer(renderer2)
+    with pytest.raises(ValueError):
+        StreamPool(2, 48_000.0, rendererM, block_size=block,
+                   blocks_per_step=0)
+
+
+def test_stream_pool_multiblock_prewarm_and_recycle():
+    """prewarm() on the multi-block tier is a semantic no-op, and
+    attach/detach recycles lanes cleanly (a zeroed lane is
+    rotation-invariant on the paged line too)."""
+    block, M = 64, 2
+    renderer, _ = make_renderer(block=block, lookahead=M)
+    step = M * block
+    warm = StreamPool(4, 48_000.0, renderer, block_size=block,
+                      ring_blocks=64, blocks_per_step=M)
+    plain = StreamPool(4, 48_000.0, renderer, block_size=block,
+                       ring_blocks=64, blocks_per_step=M)
+    rng = np.random.default_rng(11)
+    sig = (rng.standard_normal((2, 4 * step)) * 0.3).astype(np.float32)
+    s_w, s_p = warm.attach(), plain.attach()
+    warm.prewarm()
+    for i in range(4):
+        warm.push(s_w, sig[:, i * step:(i + 1) * step])
+        plain.push(s_p, sig[:, i * step:(i + 1) * step])
+        warm.pump()
+        plain.pump()
+        if i == 1:
+            warm.prewarm(up_to=2)
+    a = warm.pull(s_w, 4 * step)
+    b = plain.pull(s_p, 4 * step)
+    rel = np.sqrt(np.mean((a - b) ** 2)) / max(np.sqrt(np.mean(b**2)), 1e-9)
+    assert rel < 1e-6, rel
+    # Recycle: detach + attach resets the lane.
+    warm.detach(s_w)
+    s2 = warm.attach()
+    warm.push(s2, np.zeros((2, step), np.float32))
+    warm.pump()
+    np.testing.assert_array_equal(warm.pull(s2, step), 0)
+
+
+def test_stream_pool_multiblock_sharded_over_mesh_matches_unsharded():
+    """The throughput tier shards over a streams mesh like the default
+    pool: SPMD rounds with page-granular debt rolls crossing shards."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = Mesh(np.array(devices[:8]), ("streams",))
+    block, M = 64, 2
+    renderer, _ = make_renderer(block=block, lookahead=M)
+    step = M * block
+    sharded = StreamPool(8, 48_000.0, renderer, block_size=block,
+                         ring_blocks=64, blocks_per_step=M, mesh=mesh)
+    plain = StreamPool(8, 48_000.0, renderer, block_size=block,
+                       ring_blocks=64, blocks_per_step=M)
+    streams = [(sharded.attach(), plain.attach()) for _ in range(3)]
+    rng = np.random.default_rng(31)
+    n = 6
+    sigs = [(rng.standard_normal((2, n * step)) * 0.3).astype(np.float32)
+            for _ in streams]
+    fed = [0] * len(streams)
+    for rnd in range(3 * n):
+        feeds = [True, rnd % 2 == 0, rnd % 3 == 0]  # ragged pauses
+        for i, (s_s, s_p) in enumerate(streams):
+            if feeds[i] and fed[i] < n:
+                chunk = sigs[i][:, fed[i] * step:(fed[i] + 1) * step]
+                sharded.push(s_s, chunk)
+                plain.push(s_p, chunk)
+                fed[i] += 1
+        sharded.pump()
+        plain.pump()
+    for i, (s_s, s_p) in enumerate(streams):
+        a = sharded.pull(s_s, n * step)
+        b = plain.pull(s_p, n * step)
+        rel = np.sqrt(np.mean((a - b) ** 2)) / max(
+            np.sqrt(np.mean(b**2)), 1e-9
+        )
+        assert rel < 1e-6, (i, rel)
+        assert np.any(a != 0)

@@ -336,3 +336,45 @@ def test_full_pool_rejects_connection_cleanly():
         assert y.shape == (2, BLOCK)
     finally:
         srv.stop()
+
+
+def test_roundtrip_through_multiblock_pool_matches_oracle():
+    """The throughput tier behind the server: blocks_per_step=M renders M
+    blocks per lane per round; the wire contract is unchanged (exact frame
+    count back, ragged tail flushed at the M-block step boundary)."""
+    rng = np.random.default_rng(5)
+    M = 2
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK, lookahead=M)
+    pool = StreamPool(8, 48_000.0, renderer, block_size=BLOCK,
+                      blocks_per_step=M)
+    srv = RenderServer(pool, port=0)
+    srv.start()
+    try:
+        n = 5 * BLOCK + 13  # ragged tail, not an M-block multiple
+        x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+        y = render_via_server(srv.address, x, chunk=100)
+        assert y.shape == (2, n)
+
+        m = cm.hesuvi_14_channel(cm.STEREO.channels)
+        step = M * BLOCK
+        padded = np.concatenate(
+            [x, np.zeros((2, (-n) % step), np.float32)], axis=1
+        )
+        nblk = padded.shape[1] // BLOCK
+        ref = np.zeros((2, nblk * BLOCK))
+        for spk, speaker in ((0, cm.FL), (1, cm.FR)):
+            li, ri = m.indices(speaker)
+            for ear, ch in ((0, li), (1, ri)):
+                o = UPOLSOracle(audio[ch], BLOCK)
+                ref[ear] += np.concatenate(
+                    [o.process(padded[spk, i * BLOCK:(i + 1) * BLOCK])
+                     for i in range(nblk)]
+                )
+        ref = ref[:, :n]
+        err = np.sqrt(np.mean((y - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+        assert err < 1e-5, err
+        assert srv.truncated_closes == 0 and srv.pump_errors == 0
+    finally:
+        srv.stop()
