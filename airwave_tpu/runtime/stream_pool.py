@@ -86,27 +86,41 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
     at B=8192 — the dual projections re-constrain layouts; BENCH_NOTES.md
     round-2 addendum). The fold is multi-block-only.
     """
-    if variant in ("paged", "paged_all"):
+    if variant in ("paged", "paged_all", "paged_id"):
         return _pool_round_paged(
             conv_params, eq_from, eq_to, state, blocks, idx,
             transition_length, eq_enabled, eq_crossfading, variant,
         )
     conv_state, eq_state = state
     B, S, T = conv_state.overlap.shape
-    x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(blocks, mode="drop")
-    if variant == "ring_all":
-        # Every ATTACHED lane is in this harvest (pump checks), so only
-        # free lanes are "inactive" — their slot/overlap/EQ garbage is
-        # harmless (attach resets the lane) and the masking machinery
-        # (slot read-back + wheres) is skipped entirely.
+    if variant in ("ring_all", "ring_id"):
+        # ring_all: every ATTACHED lane is in this harvest (pump checks),
+        # so only free lanes are "inactive" — their slot/overlap/EQ
+        # garbage is harmless (attach resets the lane) and the masking
+        # machinery (slot read-back + wheres) is skipped entirely.
+        # ring_id: additionally k == max_streams, and harvest order is
+        # ascending, so idx IS arange(B) (pump verifies) — the harvest
+        # rows ARE the dense batch and the input scatter + output gather
+        # (two full-batch layout passes XLA cannot elide for a dynamic
+        # idx) are skipped too: the saturated steady state pays zero
+        # staging.
+        identity = variant == "ring_id"
+        if identity:
+            assert blocks.shape[0] == B, (blocks.shape, B)
+            x = blocks
+        else:
+            x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(
+                blocks, mode="drop")
         conv_state, y = upols.conv_step(conv_params, conv_state, x)
         if eq_enabled:
             eq_state, y = eq_block.eq_step(
                 eq_from, eq_to, eq_state, y, transition_length,
                 eq_crossfading,
             )
-        y_rows = jnp.take(y, jnp.minimum(idx, B - 1), axis=0)
+        y_rows = y if identity else jnp.take(
+            y, jnp.minimum(idx, B - 1), axis=0)
         return PoolState(conv_state, eq_state), y_rows
+    x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(blocks, mode="drop")
     mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
     if variant == "rolled":
         conv_state, y = upols.conv_step_rolled(
@@ -143,13 +157,22 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
     lane is in the harvest (the common serving round); "paged" preserves
     idle lanes by recycling their oldest page (upols.conv_step_paged_raw
     active_mask) — the pool repays the resulting page-granular rotation
-    debt with a roll at rejoin, mirroring the single-block ring design."""
+    debt with a roll at rejoin, mirroring the single-block ring design;
+    "paged_id" is the saturated steady state (k == max_streams, idx ==
+    arange — pump verifies): the harvest rows ARE the dense batch, so the
+    input scatter and output gather are skipped entirely."""
     conv_state, eq_state = state
     B, S, T = conv_state.overlap.shape
     M = blocks.shape[2]
-    x = jnp.zeros((B, S, M, T), jnp.float32).at[idx].set(blocks, mode="drop")
+    identity = variant == "paged_id"
+    if identity:
+        assert blocks.shape[0] == B, (blocks.shape, B)
+        x = blocks
+    else:
+        x = jnp.zeros((B, S, M, T), jnp.float32).at[idx].set(
+            blocks, mode="drop")
     mask = None
-    if variant != "paged_all":
+    if variant == "paged":
         mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
     if eq_enabled and not eq_crossfading:
         conv_state, Ykm = upols.conv_step_paged_raw(
@@ -185,7 +208,8 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
                                eq_state.s_to),
                 counter=jnp.where(mask, new_eq.counter, eq_state.counter),
             )
-    y_rows = jnp.take(y, jnp.minimum(idx, B - 1), axis=0)  # [kb, M, E, T]
+    # [kb, M, E, T]
+    y_rows = y if identity else jnp.take(y, jnp.minimum(idx, B - 1), axis=0)
     return PoolState(conv_state, eq_state), y_rows
 
 
@@ -282,6 +306,7 @@ class StreamPool:
         self._state = self._place(self._fresh_state())
         self._attached: Dict[int, bool] = {}
         self._attached_mask = np.zeros(max_streams, bool)
+        self._identity_idx = np.arange(max_streams, dtype=np.int32)
         self._free = list(range(max_streams - 1, -1, -1))
         # Shared-cursor ring bookkeeping: debt[b] counts cursor advances a
         # lane sat out since it last stepped; a harvested lane with
@@ -601,8 +626,16 @@ class StreamPool:
         for kb in buckets:
             blocks = jnp.zeros((kb,) + block_shape, jnp.float32)
             idx = jnp.full((kb,), self.max_streams, jnp.int32)
+            variants = step_variants
+            if kb == self.max_streams:
+                # The saturated identity-harvest fast variant only exists
+                # at the full-pool bucket.
+                variants = step_variants + (
+                    ("paged_id",) if paged else
+                    (("ring_id",) if _POOL_STEP == "ring" else ())
+                )
             for crossfading in crossfades:
-                for variant in step_variants:
+                for variant in variants:
                     _pool_step(
                         self.renderer.conv_params, eq_p, eq_p, throwaway(),
                         blocks, idx,
@@ -725,6 +758,14 @@ class StreamPool:
                         # — the masking machinery is unnecessary (free
                         # lanes' garbage is reset at attach).
                         variant = "ring_all"
+                if (variant in ("ring_all", "paged_all")
+                        and k == self.max_streams
+                        and np.array_equal(indices, self._identity_idx)):
+                    # Saturated steady state: every lane harvested, in
+                    # ascending order — the rows ARE the dense batch, so
+                    # the step skips the input scatter + output gather
+                    # (two full-batch layout passes).
+                    variant = variant[:-3] + "id"
                 state, y_rows = _pool_step(
                     self.renderer.conv_params, p_from, p_to,
                     PoolState(self._state.conv, eq_state),

@@ -318,12 +318,13 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
     idx = jnp.arange(k, dtype=jnp.int32)
     if k != batch:
         x = x[:k]
-    # Full harvest == the all-attached steady state, where pump selects
-    # the unmasked ring_all/paged_all variant; a partial harvest
-    # exercises the masked variant (paused lanes preserved by the slot
-    # read-back / oldest-page recycle).
+    # Full harvest == the saturated steady state, where pump selects the
+    # identity-harvest ring_id/paged_id variant (idx == arange: no input
+    # scatter, no output gather); a partial harvest exercises the masked
+    # variant (paused lanes preserved by the slot read-back / oldest-page
+    # recycle).
     if M > 1:
-        variant = "paged_all" if k == batch else "paged"
+        variant = "paged_id" if k == batch else "paged"
         assert blocks_per_call % M == 0, (blocks_per_call, M)
         steps = blocks_per_call // M
         # Unroll by the page count so the page rotation stays SSA
@@ -332,7 +333,7 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
         while steps % unroll:
             unroll -= 1
     else:
-        variant = "ring_all" if k == batch else "ring"
+        variant = "ring_id" if k == batch else "ring"
         steps, unroll = blocks_per_call, 1
 
     @functools.partial(jax.jit, donate_argnums=(2,))
@@ -382,12 +383,17 @@ def _enable_compile_cache():
 
 
 def measure_pool_host(batch: int, rounds: int, calls: int,
-                      speakers: int = 2):
+                      speakers: int = 2, blocks_per_step: int = 1):
     """End-to-end host serving loop: the REAL StreamPool (native assembler
     rings, harvest, indexed upload, pipelined delivery, pull) with every
-    stream fed one block per round. On this environment the host<->device
+    stream fed one step per round. On this environment the host<->device
     tunnel dominates; the number records the full serving stack's
-    throughput, with a breakdown of where wall-clock goes."""
+    throughput, with a breakdown of where wall-clock goes.
+
+    blocks_per_step=M runs the multi-block throughput tier — M blocks of
+    audio per round of host loops, so per-BLOCK host overhead drops ~M×
+    (rounds here counts pump rounds; realtime accounting uses M*BLOCK
+    frames per round)."""
     _enable_compile_cache()
     from airwave_tpu.assets import channel_maps as cm
     from airwave_tpu.graph.renderer import prepare_renderer
@@ -396,12 +402,16 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
 
     data = _reference_hrir_wav()
     layout = cm.STEREO if speakers == 2 else cm.detect_layout(speakers)
-    renderer = prepare_renderer(data, layout, SAMPLE_RATE, BLOCK)
+    M = int(blocks_per_step)
+    renderer = prepare_renderer(data, layout, SAMPLE_RATE, BLOCK,
+                                lookahead=M)
     pool = StreamPool(batch, SAMPLE_RATE, renderer, eq_definition=None,
-                      block_size=BLOCK, ring_blocks=4)
+                      block_size=BLOCK, ring_blocks=4 * M,
+                      blocks_per_step=M)
     streams = [pool.attach() for _ in range(batch)]
+    step = pool.step_frames
     rng = np.random.default_rng(0)
-    block_in = (rng.standard_normal((batch, speakers, BLOCK)) * 0.25
+    block_in = (rng.standard_normal((batch, speakers, step)) * 0.25
                 ).astype(np.float32)
 
     stream_ids = np.asarray(streams, np.int32)
@@ -412,7 +422,7 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
         t1 = time.perf_counter()
         pool.pump(max_rounds=1)
         t2 = time.perf_counter()
-        pool.pull_many(stream_ids, BLOCK)
+        pool.pull_many(stream_ids, step)
         t3 = time.perf_counter()
         if t is not None:
             t["push"] += t1 - t0
@@ -431,20 +441,25 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
         dt = time.perf_counter() - t0
         if dt < best:
             best, breakdown = dt, t
-    audio_seconds = batch * rounds * BLOCK / SAMPLE_RATE
-    per_block = best / rounds
+    audio_seconds = batch * rounds * step / SAMPLE_RATE
+    per_block = best / (rounds * M)
     return audio_seconds / best, per_block, {
         k: round(v / rounds * 1e3, 3) for k, v in breakdown.items()
     }
 
 
-def measure_serve(clients: int, blocks_each: int, calls: int):
+def measure_serve(clients: int, blocks_each: int, calls: int,
+                  blocks_per_step: int = 1):
     """Loopback RenderServer throughput: N synthetic TCP clients stream
     concurrently through one shared pool (the production serving stack:
     sockets -> native rings -> batched device rounds -> sockets). The
     analog of the reference's committed realtime perf harnesses
     (/root/reference/AirwaveTests/RealtimeAudioProcessorTests.swift:128-166),
-    scaled to the pool architecture."""
+    scaled to the pool architecture.
+
+    blocks_per_step=M serves from the multi-block throughput tier (the
+    serve CLI's --blocks-per-step): same wire contract, ~M× fewer host
+    rounds and the paged/folded device step."""
     _enable_compile_cache()
     import threading
 
@@ -455,12 +470,15 @@ def measure_serve(clients: int, blocks_each: int, calls: int):
     from airwave_tpu.shell.serve import RenderServer, render_via_server
 
     data = _reference_hrir_wav()
-    renderer = prepare_renderer(data, cm.STEREO, SAMPLE_RATE, BLOCK)
+    M = int(blocks_per_step)
+    renderer = prepare_renderer(data, cm.STEREO, SAMPLE_RATE, BLOCK,
+                                lookahead=M)
     # +2 slots of headroom: a finished client's server-side detach runs
     # just after its EOF frame, so a back-to-back wave can momentarily
     # overlap the previous occupancy.
     pool = StreamPool(clients + 2, SAMPLE_RATE, renderer,
-                      eq_definition=None, block_size=BLOCK, ring_blocks=8)
+                      eq_definition=None, block_size=BLOCK,
+                      ring_blocks=8 * M, blocks_per_step=M)
     # Compile every harvest-bucket/roll shape before opening the doors —
     # a cold bucket compile mid-flight stalls past client timeouts.
     pool.prewarm()
@@ -642,9 +660,11 @@ def main():
                              "(<1 measures the masked ragged variant; "
                              "aggregate counts only rendered lanes)")
     parser.add_argument("--pool-blocks", type=int, default=1,
-                        help="with --pool: bench the multi-block throughput "
-                             "tier (StreamPool(blocks_per_step=M) — paged "
-                             "line + folded EQ, +up to M blocks latency)")
+                        help="with --pool / --pool-host: bench the "
+                             "multi-block throughput tier "
+                             "(StreamPool(blocks_per_step=M) — paged line "
+                             "+ folded EQ, +up to M blocks latency, ~M× "
+                             "fewer host rounds per block)")
     parser.add_argument("--pool-host", action="store_true",
                         help="end-to-end host serving loop through the real "
                              "StreamPool (rings + transfers + pulls)")
@@ -688,8 +708,9 @@ def main():
         clients = args.batch or (2 if args.smoke else 32)
         blocks_each = args.blocks or (4 if args.smoke else 48)
         try:
-            multiple, per_block = measure_serve(clients, blocks_each,
-                                                args.calls)
+            multiple, per_block = measure_serve(
+                clients, blocks_each, args.calls,
+                blocks_per_step=args.pool_blocks)
         except Exception as err:  # noqa: BLE001
             print(json.dumps({
                 "metric": "render-server loopback realtime-multiple",
@@ -699,14 +720,17 @@ def main():
             if args.strict:
                 sys.exit(1)
             return
-        print(json.dumps({
+        out = {
             "metric": "render-server loopback realtime-multiple",
             "value": round(multiple, 1),
             "unit": "x_realtime",
             "vs_baseline": round(multiple / 5000.0, 3),
             "clients": clients,
             "ms_per_block_step": round(per_block * 1e3, 3),
-        }))
+        }
+        if args.pool_blocks > 1:
+            out["blocks_per_step"] = args.pool_blocks
+        print(json.dumps(out))
         return
 
     if args.pool or args.pool_host:
@@ -730,7 +754,8 @@ def main():
                 else:
                     rounds = args.blocks or (4 if args.smoke else 24)
                     multiple, per_block, breakdown = measure_pool_host(
-                        batch, rounds, args.calls, speakers=args.speakers)
+                        batch, rounds, args.calls, speakers=args.speakers,
+                        blocks_per_step=args.pool_blocks)
                 break
             except Exception as err:  # noqa: BLE001
                 # Message only — the exception's traceback frames would
@@ -760,7 +785,7 @@ def main():
         }
         if args.pool and args.pool_active_fraction != 1.0:
             out["active_fraction"] = args.pool_active_fraction
-        if args.pool and args.pool_blocks > 1:
+        if args.pool_blocks > 1:
             out["blocks_per_step"] = args.pool_blocks
         if breakdown:
             out["host_ms_per_round"] = breakdown

@@ -1143,3 +1143,95 @@ def test_stream_pool_multiblock_sharded_over_mesh_matches_unsharded():
         )
         assert rel < 1e-6, (i, rel)
         assert np.any(a != 0)
+
+
+def test_pool_step_identity_variants_match_all_variants():
+    """The saturated fast path (ring_id / paged_id: idx == arange, no
+    input scatter / output gather) must be numerically identical to the
+    *_all variants it replaces — states and output rows."""
+    import jax.numpy as jnp
+    from airwave_tpu.ops import eq_block
+    from airwave_tpu.ops.biquad_design import design_cascade
+    from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
+
+    rng = np.random.default_rng(17)
+    T, B, S, M = 64, 6, 2, 4
+    hrir = rng.standard_normal((S, 2, 300)).astype(np.float32) * 0.3
+    preamp, coeffs = design_cascade(EqualizerDefinition(preamp_db=-2.0),
+                                    48_000.0)
+    eq_p = eq_block.make_eq_params(coeffs, preamp, T)
+    idx = jnp.arange(B, dtype=jnp.int32)
+
+    # Single-block tier.
+    params1 = upols.make_conv_params(hrir, T)
+    for crossfading in (False, True):
+        st = PoolState(
+            conv=upols.make_conv_state(B, S, params1.partition_count, T),
+            eq=eq_block.make_eq_state(B, 2),
+        )
+        x = jnp.asarray(rng.standard_normal((B, S, T)).astype(np.float32))
+        sa, ya = pool_step_body(params1, eq_p, eq_p, st, x, idx,
+                                transition_length=960, eq_enabled=True,
+                                eq_crossfading=crossfading,
+                                variant="ring_all")
+        sb, yb = pool_step_body(params1, eq_p, eq_p, st, x, idx,
+                                transition_length=960, eq_enabled=True,
+                                eq_crossfading=crossfading,
+                                variant="ring_id")
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+        np.testing.assert_array_equal(np.asarray(sa.conv.fdl),
+                                      np.asarray(sb.conv.fdl))
+        np.testing.assert_array_equal(np.asarray(sa.eq.s_to),
+                                      np.asarray(sb.eq.s_to))
+
+    # Multi-block tier (folded steady state AND unfused crossfade path).
+    paramsM = upols.make_conv_params(hrir, T, lookahead=M)
+    for crossfading in (False, True):
+        st = PoolState(
+            conv=upols.make_conv_state_paged(
+                B, S, paramsM.partition_count, T, M),
+            eq=eq_block.make_eq_state(B, 2),
+        )
+        x = jnp.asarray(
+            rng.standard_normal((B, S, M, T)).astype(np.float32))
+        sa, ya = pool_step_body(paramsM, eq_p, eq_p, st, x, idx,
+                                transition_length=960, eq_enabled=True,
+                                eq_crossfading=crossfading,
+                                variant="paged_all")
+        sb, yb = pool_step_body(paramsM, eq_p, eq_p, st, x, idx,
+                                transition_length=960, eq_enabled=True,
+                                eq_crossfading=crossfading,
+                                variant="paged_id")
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+        for pa, pb in zip(sa.conv.pages, sb.conv.pages):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        np.testing.assert_array_equal(np.asarray(sa.eq.s_to),
+                                      np.asarray(sb.eq.s_to))
+
+
+def test_pump_selects_identity_variant_when_saturated():
+    """A full pool with every lane fed steps through the identity variant
+    (verified indirectly: output parity with a half-full pool rendering
+    the same signals, which steps through ring_all/ring)."""
+    block, B = 64, 4
+    renderer, _ = make_renderer(block=block)
+    full = StreamPool(B, 48_000.0, renderer, block_size=block,
+                      ring_blocks=32)
+    half = StreamPool(2 * B, 48_000.0, renderer, block_size=block,
+                      ring_blocks=32)
+    sf = [full.attach() for _ in range(B)]
+    sh = [half.attach() for _ in range(B)]
+    rng = np.random.default_rng(23)
+    n = 6
+    x = (rng.standard_normal((B, 2, n * block)) * 0.3).astype(np.float32)
+    for i in range(n):
+        for j in range(B):
+            chunk = x[j, :, i * block:(i + 1) * block]
+            full.push(sf[j], chunk)
+            half.push(sh[j], chunk)
+        full.pump()
+        half.pump()
+    a = np.stack([full.pull(s, n * block) for s in sf])
+    b = np.stack([half.pull(s, n * block) for s in sh])
+    np.testing.assert_allclose(a, b, atol=2e-6)
+    assert np.any(a != 0)
