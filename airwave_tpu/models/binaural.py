@@ -112,17 +112,10 @@ def chain_step_multi_fn(
     full-size MXU pass per block (BENCH_NOTES.md round-2 addendum)."""
     conv_state, eq_state = state
     if eq_enabled and not eq_crossfading:
-        conv_state, Ykm = upols.conv_step_paged_raw(
-            conv_params, conv_state, x, acc_chunk
+        conv_state, eq_state, y = eq_block.eq_folded_paged_round(
+            conv_params, eq_to, conv_state, eq_state, x, acc_chunk
         )
-        # ONE projection pass for both folded matrices (columns
-        # concatenated), so Ykm is read once instead of twice.
-        T = x.shape[-1]
-        post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
-        both = upols.paged_project(conv_params, Ykm, post=post)
-        fir, drive = both[..., :T], both[..., T:]
-        eq_state, y = eq_block.eq_apply_folded(eq_to, eq_state, fir, drive)
-        return ChainState(conv_state, eq_state), y.astype(x.dtype)
+        return ChainState(conv_state, eq_state), y
     conv_state, y = upols.conv_step_paged(conv_params, conv_state, x,
                                           acc_chunk)
     if eq_enabled:

@@ -39,10 +39,36 @@ def _load() -> Optional[ctypes.CDLL]:
     path = _build_library()
     if path is None:
         return None
+    lib = _bind(path)
+    if lib is None and os.path.exists(_SRC):
+        # A stale prebuilt .so can be missing newer symbols while passing
+        # the mtime check (copies/extractions flatten mtimes): force ONE
+        # rebuild from the current source, then give up gracefully — a
+        # bind failure must degrade to the NumPy fallback, never break
+        # `import airwave_tpu.native`.
+        try:
+            os.remove(path)
+        except OSError:
+            return None
+        path = _build_library()
+        if path is not None:
+            lib = _bind(path)
+    return lib
+
+
+def _bind(path: str) -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(path)
     except OSError:
         return None
+    try:
+        _declare(lib)
+    except AttributeError:
+        return None
+    return lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.awv_create.restype = ctypes.c_void_p
@@ -85,7 +111,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.awv_pop_out_many.restype = ctypes.c_int
     lib.awv_pop_out_many.argtypes = [ctypes.c_void_p, ctypes.c_int, i32p,
                                      f32p, ctypes.c_int]
-    return lib
 
 
 _lib = _load()

@@ -188,6 +188,33 @@ def eq_apply_folded(params: EqParams, state: EqState, fir: jax.Array,
     return EqState(s_from=state.s_from, s_to=s, counter=counter), y
 
 
+def eq_folded_paged_round(conv_params, eq_to: EqParams, conv_state,
+                          eq_state: EqState, x: jax.Array,
+                          acc_chunk: int | None = None,
+                          active_mask: jax.Array | None = None):
+    """One steady-state M-block round with the EQ folded into the
+    synthesis DFT: x [B, S, M, T] -> (conv_state', eq_state', y [B,M,C,T]).
+
+    The single definition of the fold wiring (conv_step_paged_raw -> ONE
+    paged_project pass over the concatenated [Hm^T | G^T] post-matrix so
+    Ykm is read once -> fir/drive split -> eq_apply_folded), shared by the
+    bake chain (models/binaural.chain_step_multi_fn) and the serving
+    pool's multi-block tier (runtime/stream_pool._pool_round_paged) so
+    their math cannot silently diverge. active_mask is the serving pool's
+    idle-lane preservation (see conv_step_paged_raw)."""
+    from airwave_tpu.ops import upols
+
+    conv_state, Ykm = upols.conv_step_paged_raw(
+        conv_params, conv_state, x, acc_chunk, active_mask
+    )
+    T = x.shape[-1]
+    post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
+    both = upols.paged_project(conv_params, Ykm, post=post)
+    fir, drive = both[..., :T], both[..., T:]
+    eq_state, y = eq_apply_folded(eq_to, eq_state, fir, drive)
+    return conv_state, eq_state, y.astype(x.dtype)
+
+
 def eq_begin_transition(state: EqState, stream_mask: Optional[jax.Array] = None) -> EqState:
     """Host-published retarget: 'to' becomes 'from', counter restarts.
 

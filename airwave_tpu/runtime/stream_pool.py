@@ -175,14 +175,9 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
     if variant == "paged":
         mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
     if eq_enabled and not eq_crossfading:
-        conv_state, Ykm = upols.conv_step_paged_raw(
-            conv_params, conv_state, x, active_mask=mask
+        conv_state, new_eq, y = eq_block.eq_folded_paged_round(
+            conv_params, eq_to, conv_state, eq_state, x, active_mask=mask
         )
-        post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
-        both = upols.paged_project(conv_params, Ykm, post=post)
-        fir, drive = both[..., :T], both[..., T:]
-        new_eq, y = eq_block.eq_apply_folded(eq_to, eq_state, fir, drive)
-        y = y.astype(x.dtype)
     else:
         conv_state, y = upols.conv_step_paged(
             conv_params, conv_state, x, active_mask=mask

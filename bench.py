@@ -33,6 +33,20 @@ SAMPLE_RATE = 48_000.0
 BLOCK = 512
 
 
+def _pick_unroll(pages: int, steps: int, max_unroll: int = 0) -> int:
+    """Largest unroll <= min(pages, steps[, max_unroll]) dividing steps.
+
+    Paged scans want unroll == page count (rotation stays SSA renaming —
+    see upols.conv_step_paged); a smaller divisor is a measured
+    compromise only when a cap (memory-planner rung) forces it."""
+    unroll = max(1, min(pages, steps))
+    if max_unroll:
+        unroll = min(unroll, max_unroll)
+    while steps % unroll:
+        unroll -= 1
+    return unroll
+
+
 def _watchdog(seconds: float, message: str,
               metric: str = "realtime-multiple per chip "
                             "(48kHz stereo HRIR+EQ chain)"):
@@ -195,11 +209,7 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
 
             acc0 = jnp.zeros((8, 128), jnp.float32)
             steps = blocks_per_call // M
-            unroll = max(1, min(pages, steps))
-            if max_unroll:
-                unroll = min(unroll, max_unroll)
-            while steps % unroll:
-                unroll -= 1
+            unroll = _pick_unroll(pages, steps, max_unroll)
             (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
                                        length=steps, unroll=unroll)
             return s, acc
@@ -327,11 +337,16 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
         variant = "paged_id" if k == batch else "paged"
         assert blocks_per_call % M == 0, (blocks_per_call, M)
         steps = blocks_per_call // M
-        # Unroll by the page count so the page rotation stays SSA
-        # renaming (see upols.conv_step_paged).
-        unroll = max(1, min(len(conv_state.pages), steps))
-        while steps % unroll:
-            unroll -= 1
+        # Scan macro-iteration boundaries materialize the whole page
+        # carry, so unroll must equal the page count for the rotation to
+        # stay SSA renaming (see upols.conv_step_paged) — round the step
+        # count UP to whole page cycles (the production pump pays no such
+        # boundary: one jitted round per call with a donated carry) and
+        # account for the rounded total below.
+        n_pages = len(conv_state.pages)
+        steps += (-steps) % n_pages
+        blocks_per_call = steps * M
+        unroll = _pick_unroll(n_pages, steps)
     else:
         variant = "ring_id" if k == batch else "ring"
         steps, unroll = blocks_per_call, 1

@@ -65,6 +65,10 @@ def main() -> int:
     )
     eq_params = eq_block.make_eq_params(coeffs, preamp, T)
     B, N = args.batch, args.blocks
+    # Multi-block paths consume whole M-block steps: round the block count
+    # up (same policy as bench.py) instead of dying on an indivisible mix
+    # of --blocks and --blocks-per-step.
+    N += (-N) % args.blocks_per_step
     x = (rng.standard_normal((B, S, N * T)) * 0.3).astype(np.float32)
 
     if args.pool:
@@ -78,7 +82,6 @@ def main() -> int:
         from airwave_tpu.runtime.stream_pool import StreamPool
 
         M = args.blocks_per_step
-        assert N % M == 0, (N, M)
         step_t = M * T
         conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
                                              lookahead=M)
@@ -144,7 +147,6 @@ def main() -> int:
         from airwave_tpu.models.binaural import chain_step_multi_fn
 
         M = args.blocks_per_step
-        assert N % M == 0, (N, M)
         conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
                                              lookahead=M)
         state = ChainState(

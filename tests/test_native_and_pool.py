@@ -1235,3 +1235,27 @@ def test_pump_selects_identity_variant_when_saturated():
     b = np.stack([half.pull(s, n * block) for s in sh])
     np.testing.assert_allclose(a, b, atol=2e-6)
     assert np.any(a != 0)
+
+
+def test_stale_native_library_binds_to_none_not_import_error(tmp_path):
+    """A .so missing newer symbols (stale prebuilt artifact whose mtime
+    passes the rebuild check) must degrade to the NumPy fallback
+    (_bind -> None), never break import with AttributeError."""
+    import subprocess
+    from airwave_tpu import native
+
+    src = tmp_path / "stub.cc"
+    src.write_text('extern "C" int awv_create(int a, int b, int c, int d) '
+                   '{ return 0; }\n')
+    lib = tmp_path / "stub.so"
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", str(src), "-o", str(lib)],
+            check=True, capture_output=True, timeout=60,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("no native toolchain")
+    assert native._bind(str(lib)) is None
+    # And the real library (when built) still binds.
+    if native.native_available():
+        assert native._bind(native._LIB) is not None
