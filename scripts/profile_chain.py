@@ -70,6 +70,9 @@ def main() -> int:
     ap.add_argument("--pool", action="store_true",
                     help="profile the serving pool's ring step instead of "
                          "the bake chain")
+    ap.add_argument("--pool-blocks", type=int, default=1,
+                    help="with --pool: profile the multi-block tier "
+                         "(StreamPool(blocks_per_step=M), paged_id round)")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
@@ -87,35 +90,55 @@ def main() -> int:
         from airwave_tpu.ops import eq_block, upols
         from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
 
-        conv_params, eq_params, _s, x = bench.build(args.batch,
-                                                    hrir_seconds=args.hrir_seconds,
-                                                    speakers=args.speakers)
-        hrir_speakers = conv_params.num_speakers
-        state = PoolState(
-            conv=upols.make_conv_state(args.batch, hrir_speakers,
-                                       conv_params.partition_count, 512),
-            eq=eq_block.make_eq_state(args.batch),
+        M = args.pool_blocks
+        conv_params, eq_params, _s, x = bench.build(
+            args.batch, hrir_seconds=args.hrir_seconds,
+            speakers=args.speakers, lookahead=M,
         )
+        hrir_speakers = conv_params.num_speakers
+        if M > 1:
+            conv_state = upols.make_conv_state_paged(
+                args.batch, hrir_speakers, conv_params.partition_count,
+                512, M)
+            variant = "paged_id"  # production's saturated selection
+            steps = max(1, args.blocks // M)
+            n_pages = len(conv_state.pages)
+            steps += (-steps) % n_pages
+            unroll = bench._pick_unroll(n_pages, steps)
+        else:
+            conv_state = upols.make_conv_state(
+                args.batch, hrir_speakers, conv_params.partition_count, 512)
+            variant = "ring_id"  # production's saturated selection
+            steps, unroll = args.blocks, 1
+        state = PoolState(conv=conv_state,
+                          eq=eq_block.make_eq_state(args.batch))
         idx = jnp.arange(args.batch, dtype=jnp.int32)
-        blocks = args.blocks
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def run(conv_params, eq_params, state, x):
+            if M > 1:
+                xb = jnp.broadcast_to(
+                    x[:, :, None, :], x.shape[:2] + (M,) + x.shape[2:]
+                )
+            else:
+                xb = x
+
             def body(carry, _):
                 s, acc = carry
                 s, y_rows = pool_step_body(
-                    conv_params, eq_params, eq_params, s, x, idx,
+                    conv_params, eq_params, eq_params, s, xb, idx,
                     transition_length=960, eq_enabled=True,
-                    eq_crossfading=False, variant="ring_all",
+                    eq_crossfading=False, variant=variant,
                 )
                 acc = acc + jnp.sum(y_rows.reshape(-1, 8, 128), axis=0)
                 return (s, acc), None
             acc0 = jnp.zeros((8, 128), jnp.float32)
             (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
-                                       length=blocks)
+                                       length=steps, unroll=unroll)
             return s, acc
 
-        args.blocks_per_step = 1
+        args.blocks_per_step = M
+        args.blocks = steps * M  # per-block accounting below
     else:
         conv_params, eq_params, state, x = bench.build(
             args.batch, hrir_seconds=args.hrir_seconds,
