@@ -78,15 +78,24 @@ def _slow_reader_client(address, audio: np.ndarray, pause: float) -> int:
         conn.close()
 
 
+# Both serving tiers share the soak window: the default single-block pool
+# and the multi-block throughput tier (paged line + folded EQ + page-debt
+# rolls under churn).
+_TIERS = (1, 2)
+
+
 @pytest.mark.soak
-def test_render_server_soak():
-    seconds = float(os.environ.get("AIRWAVE_SOAK_SECONDS", "600"))
+@pytest.mark.parametrize("blocks_per_step", _TIERS)
+def test_render_server_soak(blocks_per_step):
+    seconds = (float(os.environ.get("AIRWAVE_SOAK_SECONDS", "600"))
+               / len(_TIERS))
     rng = np.random.default_rng(23)
     hrir = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
     renderer = prepare_renderer(WAVData(48_000.0, hrir), cm.STEREO,
-                                48_000.0, BLOCK)
+                                48_000.0, BLOCK, lookahead=blocks_per_step)
     pool = StreamPool(12, 48_000.0, renderer, eq_definition=_eq(3.0),
-                      block_size=BLOCK, ring_blocks=4)
+                      block_size=BLOCK, ring_blocks=4 * blocks_per_step,
+                      blocks_per_step=blocks_per_step)
     pool.prewarm()
     srv = RenderServer(pool, port=0, client_timeout=60.0)
     srv.start()
