@@ -1259,3 +1259,25 @@ def test_stale_native_library_binds_to_none_not_import_error(tmp_path):
     # And the real library (when built) still binds.
     if native.native_available():
         assert native._bind(native._LIB) is not None
+
+
+def test_restore_rejects_cross_tier_snapshot():
+    """A snapshot taken on one tier must not restore into a pool of the
+    other (the carry pytrees differ structurally) — and the failed
+    restore leaves the target pool fully usable."""
+    block, M = 64, 2
+    renderer1, _ = make_renderer(block=block)
+    rendererM, _ = make_renderer(block=block, lookahead=M)
+    p1 = StreamPool(2, 48_000.0, renderer1, block_size=block)
+    pM = StreamPool(2, 48_000.0, rendererM, block_size=block,
+                    blocks_per_step=M)
+    snap1 = p1.snapshot()
+    with pytest.raises(ValueError):
+        pM.restore(snap1)
+    with pytest.raises(ValueError):
+        p1.restore(pM.snapshot())
+    # The rejected pool still serves.
+    s = pM.attach()
+    pM.push(s, np.zeros((2, pM.step_frames), np.float32))
+    pM.pump()
+    assert pM.pull(s, pM.step_frames).shape == (2, pM.step_frames)
