@@ -250,29 +250,20 @@ def _reference_hrir_wav():
         return WAVData(SAMPLE_RATE, synthesize_hrir("neutral", 4320))
 
 
-def measure_pool(batch: int, blocks_per_call: int, calls: int,
-                 hrir_seconds: float = None, speakers: int = 2,
-                 active_fraction: float = 1.0, blocks_per_step: int = 1):
-    """Serving-path device number: the StreamPool's jitted round
-    (shared-cursor ring step + device scatter/gather of the harvested
-    rows, in the unmasked ring_all variant pump selects when every
-    attached lane is harvested) scanned sync-proof with every lane active
-    — the steady-state cost the production pool pays per block. Exact
-    partitions, matching the renderer default (pow2 measured +23%).
-
-    blocks_per_step=M > 1 benches the multi-block THROUGHPUT tier
-    (StreamPool(blocks_per_step=M)): the paged lookahead round with the
-    EQ folded into the synthesis DFT."""
+def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
+               blocks_per_step: int = 1):
+    """Pool-bench fixture: (conv_params, eq_params, PoolState, x) for the
+    StreamPool's jitted round at the bench shapes (exact partitions, the
+    renderer default). Shared by measure_pool and scripts/profile_chain so
+    the profiler always profiles exactly what the bench measures."""
     import jax
     import jax.numpy as jnp
-
-    _enable_compile_cache()
 
     from airwave_tpu.io.apo import (EqualizerDefinition, EqualizerFilter,
                                     FilterType)
     from airwave_tpu.ops import biquad_design as bd
     from airwave_tpu.ops import eq_block, upols
-    from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
+    from airwave_tpu.runtime.stream_pool import PoolState
 
     filters = tuple(
         EqualizerFilter(i + 1, i + 1, True,
@@ -320,21 +311,17 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
             batch, speakers, conv_params.partition_count, BLOCK
         )
     state = PoolState(conv=conv_state, eq=eq_block.make_eq_state(batch))
-    if not (0.0 < active_fraction <= 1.0):
-        raise ValueError(
-            f"active_fraction must be in (0, 1], got {active_fraction}"
-        )
-    k = max(1, int(round(batch * active_fraction)))
-    idx = jnp.arange(k, dtype=jnp.int32)
-    if k != batch:
-        x = x[:k]
-    # Full harvest == the saturated steady state, where pump selects the
-    # identity-harvest ring_id/paged_id variant (idx == arange: no input
-    # scatter, no output gather); a partial harvest exercises the masked
-    # variant (paused lanes preserved by the slot read-back / oldest-page
-    # recycle).
+    return conv_params, eq_params, state, x
+
+
+def plan_pool_schedule(blocks_per_step: int, blocks_per_call: int,
+                       n_pages: int, identity: bool):
+    """Variant selection + page-cycle rounding + unroll for a pool scan:
+    returns (variant, steps, unroll, blocks_per_call). `identity` = every
+    lane harvested (pump's saturated ring_id/paged_id fast round)."""
+    M = int(blocks_per_step)
     if M > 1:
-        variant = "paged_id" if k == batch else "paged"
+        variant = "paged_id" if identity else "paged"
         assert blocks_per_call % M == 0, (blocks_per_call, M)
         steps = blocks_per_call // M
         # Scan macro-iteration boundaries materialize the whole page
@@ -342,14 +329,23 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
         # stay SSA renaming (see upols.conv_step_paged) — round the step
         # count UP to whole page cycles (the production pump pays no such
         # boundary: one jitted round per call with a donated carry) and
-        # account for the rounded total below.
-        n_pages = len(conv_state.pages)
+        # account for the rounded total in the returned blocks_per_call.
         steps += (-steps) % n_pages
         blocks_per_call = steps * M
         unroll = _pick_unroll(n_pages, steps)
     else:
-        variant = "ring_id" if k == batch else "ring"
+        variant = "ring_id" if identity else "ring"
         steps, unroll = blocks_per_call, 1
+    return variant, steps, unroll, blocks_per_call
+
+
+def make_pool_runner(variant: str, steps: int, unroll: int):
+    """Jitted sync-proof scan of the pool's real round body
+    (run(conv_params, eq_params, state, x, idx) -> (state, checksum))."""
+    import jax
+    import jax.numpy as jnp
+
+    from airwave_tpu.runtime.stream_pool import pool_step_body
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(conv_params, eq_params, state, x, idx):
@@ -367,6 +363,51 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
         (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
                                    length=steps, unroll=unroll)
         return s, acc
+
+    return run
+
+
+def measure_pool(batch: int, blocks_per_call: int, calls: int,
+                 hrir_seconds: float = None, speakers: int = 2,
+                 active_fraction: float = 1.0, blocks_per_step: int = 1):
+    """Serving-path device number: the StreamPool's jitted round
+    (shared-cursor ring step + device scatter/gather of the harvested
+    rows, in the unmasked ring_all variant pump selects when every
+    attached lane is harvested) scanned sync-proof with every lane active
+    — the steady-state cost the production pool pays per block. Exact
+    partitions, matching the renderer default (pow2 measured +23%).
+
+    blocks_per_step=M > 1 benches the multi-block THROUGHPUT tier
+    (StreamPool(blocks_per_step=M)): the paged lookahead round with the
+    EQ folded into the synthesis DFT."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    conv_params, eq_params, state, x = build_pool(
+        batch, hrir_seconds=hrir_seconds, speakers=speakers,
+        blocks_per_step=blocks_per_step,
+    )
+    M = int(blocks_per_step)
+    if not (0.0 < active_fraction <= 1.0):
+        raise ValueError(
+            f"active_fraction must be in (0, 1], got {active_fraction}"
+        )
+    k = max(1, int(round(batch * active_fraction)))
+    idx = jnp.arange(k, dtype=jnp.int32)
+    if k != batch:
+        x = x[:k]
+    # Full harvest == the saturated steady state, where pump selects the
+    # identity-harvest ring_id/paged_id variant (idx == arange: no input
+    # scatter, no output gather); a partial harvest exercises the masked
+    # variant (paused lanes preserved by the slot read-back / oldest-page
+    # recycle).
+    n_pages = len(state.conv.pages) if M > 1 else 1
+    variant, steps, unroll, blocks_per_call = plan_pool_schedule(
+        M, blocks_per_call, n_pages, identity=(k == batch)
+    )
+    run = make_pool_runner(variant, steps, unroll)
 
     state, acc = run(conv_params, eq_params, state, x, idx)
     warm = np.asarray(acc)

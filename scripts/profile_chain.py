@@ -8,6 +8,10 @@ wall-clock timing needs the fetch-a-checksum pattern — CLAUDE.md gotchas).
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_chain.py \
       [--batch 8192] [--blocks-per-step 8] [--hrir-seconds 1.0] [--blocks 16]
+      [--pool]   # serving-pool round instead of the bake chain; the same
+                 # --blocks-per-step selects its tier (default 1; the
+                 # multi-block throughput tier at M>1 — fixture, schedule
+                 # and scan body are bench.measure_pool's own helpers)
 """
 
 from __future__ import annotations
@@ -63,19 +67,32 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--blocks", type=int, default=16,
                     help="blocks per traced call")
-    ap.add_argument("--blocks-per-step", type=int, default=8)
+    ap.add_argument("--blocks-per-step", type=int, default=None,
+                    help="lookahead M (bake chain default 8; with --pool "
+                         "it selects the serving tier, default 1)")
     ap.add_argument("--hrir-seconds", type=float, default=None)
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--calls", type=int, default=2, help="traced calls")
     ap.add_argument("--pool", action="store_true",
                     help="profile the serving pool's ring step instead of "
                          "the bake chain")
-    ap.add_argument("--pool-blocks", type=int, default=1,
-                    help="with --pool: profile the multi-block tier "
+    ap.add_argument("--pool-blocks", type=int, default=None,
+                    help="alias for --blocks-per-step in --pool mode "
                          "(StreamPool(blocks_per_step=M), paged_id round)")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
+
+    if args.pool_blocks is not None:
+        if not args.pool:
+            ap.error("--pool-blocks requires --pool")
+        if (args.blocks_per_step is not None
+                and args.blocks_per_step != args.pool_blocks):
+            ap.error(f"--pool-blocks {args.pool_blocks} conflicts with "
+                     f"--blocks-per-step {args.blocks_per_step}")
+        args.blocks_per_step = args.pool_blocks
+    if args.blocks_per_step is None:
+        args.blocks_per_step = 1 if args.pool else 8
 
     import jax
     import numpy as np
@@ -83,62 +100,27 @@ def main() -> int:
     import bench
 
     if args.pool:
-        import functools
-
         import jax.numpy as jnp
 
-        from airwave_tpu.ops import eq_block, upols
-        from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
-
-        M = args.pool_blocks
-        conv_params, eq_params, _s, x = bench.build(
+        M = args.blocks_per_step
+        # The exact fixture + schedule + scan body the bench measures
+        # (bench.measure_pool) — shared helpers, no drift.
+        conv_params, eq_params, state, x = bench.build_pool(
             args.batch, hrir_seconds=args.hrir_seconds,
-            speakers=args.speakers, lookahead=M,
+            speakers=args.speakers, blocks_per_step=M,
         )
-        hrir_speakers = conv_params.num_speakers
-        if M > 1:
-            conv_state = upols.make_conv_state_paged(
-                args.batch, hrir_speakers, conv_params.partition_count,
-                512, M)
-            variant = "paged_id"  # production's saturated selection
-            steps = max(1, args.blocks // M)
-            n_pages = len(conv_state.pages)
-            steps += (-steps) % n_pages
-            unroll = bench._pick_unroll(n_pages, steps)
-        else:
-            conv_state = upols.make_conv_state(
-                args.batch, hrir_speakers, conv_params.partition_count, 512)
-            variant = "ring_id"  # production's saturated selection
-            steps, unroll = args.blocks, 1
-        state = PoolState(conv=conv_state,
-                          eq=eq_block.make_eq_state(args.batch))
+        n_pages = len(state.conv.pages) if M > 1 else 1
+        blocks = args.blocks + (-args.blocks) % M
+        variant, steps, unroll, blocks = bench.plan_pool_schedule(
+            M, blocks, n_pages, identity=True
+        )
+        pool_run = bench.make_pool_runner(variant, steps, unroll)
         idx = jnp.arange(args.batch, dtype=jnp.int32)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
         def run(conv_params, eq_params, state, x):
-            if M > 1:
-                xb = jnp.broadcast_to(
-                    x[:, :, None, :], x.shape[:2] + (M,) + x.shape[2:]
-                )
-            else:
-                xb = x
+            return pool_run(conv_params, eq_params, state, x, idx)
 
-            def body(carry, _):
-                s, acc = carry
-                s, y_rows = pool_step_body(
-                    conv_params, eq_params, eq_params, s, xb, idx,
-                    transition_length=960, eq_enabled=True,
-                    eq_crossfading=False, variant=variant,
-                )
-                acc = acc + jnp.sum(y_rows.reshape(-1, 8, 128), axis=0)
-                return (s, acc), None
-            acc0 = jnp.zeros((8, 128), jnp.float32)
-            (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
-                                       length=steps, unroll=unroll)
-            return s, acc
-
-        args.blocks_per_step = M
-        args.blocks = steps * M  # per-block accounting below
+        args.blocks = blocks  # per-block accounting below
     else:
         conv_params, eq_params, state, x = bench.build(
             args.batch, hrir_seconds=args.hrir_seconds,

@@ -502,19 +502,19 @@ def test_render_cli_unparseable_eq_is_nonfatal(tmp_path, capsys):
 def test_serve_cli_builds_multiblock_pool(tmp_path):
     """--blocks-per-step wiring: the CLI prepares the renderer with the
     matching lookahead and the pool serves a loopback client through the
-    throughput tier."""
-    import argparse
-
+    throughput tier. Args come through the REAL argparse parser so the
+    flag registration itself is covered."""
     from airwave_tpu.assets.bundled import synthesize_hrir
     from airwave_tpu.io import wav
-    from airwave_tpu.shell.app import build_serve_pool
+    from airwave_tpu.shell.app import build_parser, build_serve_pool
     from airwave_tpu.shell.serve import RenderServer, render_via_server
 
     hrir_path = str(tmp_path / "h.wav")
     wav.save(hrir_path, synthesize_hrir("neutral", 1024), 48_000)
-    args = argparse.Namespace(hrir=hrir_path, eq=None, layout="stereo",
-                              sample_rate=48_000.0, max_streams=4,
-                              mesh_devices=0, blocks_per_step=2)
+    args = build_parser().parse_args([
+        "serve", "--hrir", hrir_path, "--max-streams", "4",
+        "--blocks-per-step", "2",
+    ])
     pool, _layout = build_serve_pool(args)
     assert pool.blocks_per_step == 2
     assert pool.renderer.lookahead == 2
