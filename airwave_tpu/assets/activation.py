@@ -64,4 +64,19 @@ class PresetActivationCoordinator:
             for resolve in completions:
                 resolve(result)
 
-        self._run_async(lambda: work(key, token, done))
+        def run() -> None:
+            try:
+                work(key, token, done)
+            except BaseException:
+                # work escaped without resolving: clear the in-flight entry
+                # (generation-guarded — a newer request may own it by now)
+                # so later same-key requests dispatch fresh work instead of
+                # coalescing forever behind a completion that cannot fire.
+                with self._lock:
+                    if generation == self._generation:
+                        self._completions = []
+                        self._inflight_key = None
+                        self._inflight_token = None
+                raise
+
+        self._run_async(run)

@@ -95,8 +95,13 @@ def synthesize_hrir(style: str = "neutral", length: int = 4096,
 
     for _, azimuth_deg, left_ch, right_ch, in _DIRECTIONS:
         az = np.deg2rad(azimuth_deg)
-        # Woodworth ITD split symmetrically across the two ears.
-        itd = head_radius / speed_of_sound * (az + np.sin(az))
+        # Woodworth ITD split symmetrically across the two ears. The
+        # formula's domain is |az| <= 90 deg; a spherical head's interaural
+        # geometry depends only on the angle to the interaural axis, so
+        # rear sources mirror (az' = 180 - |az|): ITD shrinks again toward
+        # the back instead of growing past the physical maximum at 90.
+        az_itd = np.sign(az) * (np.pi - abs(az)) if abs(az) > np.pi / 2 else az
+        itd = head_radius / speed_of_sound * (az_itd + np.sin(az_itd))
         half = itd * sample_rate / 2.0
         base_delay = 24.0
 

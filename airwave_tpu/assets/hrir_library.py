@@ -225,7 +225,15 @@ class HRIRManager:
         stem, ext = os.path.splitext(basename)
         candidate = basename
         counter = 2
-        while os.path.exists(os.path.join(self.directory, candidate)):
+        # Like the EQ library's: a metadata row whose file vanished
+        # externally must keep its filename reserved — rebinding it to a
+        # fresh import would resurrect the old preset over the new file
+        # (and make deleting one unlink the other).
+        existing = {p.filename for p in self._presets.values()}
+        while (
+            candidate in existing
+            or os.path.exists(os.path.join(self.directory, candidate))
+        ):
             candidate = f"{stem} {counter}{ext}"
             counter += 1
         return candidate

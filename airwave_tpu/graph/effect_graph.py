@@ -322,7 +322,16 @@ class AudioEffectGraph:
                 runnable.add(EQUALIZER)
             return AudioEffectPreparationResult(frozenset(runnable), None)
         except Exception as err:  # noqa: BLE001
-            self._equalizer_active = True
+            # Keep the EQ in the callback for the unity ramp (swift
+            # :147-151) — but only if it was ever prepared. set_target on a
+            # never-prepared equalizer raises without installing any
+            # target; arming the active flag then would send process()
+            # into an assert on the missing processors/runtime.
+            prepared = bool(
+                getattr(self.equalizer, "processors", None)
+                or getattr(self.equalizer, "runtime", None)
+            )
+            self._equalizer_active = prepared
             return AudioEffectPreparationResult(
                 frozenset(runnable), _warning_from_error(definition, err)
             )

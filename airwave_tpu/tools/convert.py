@@ -149,7 +149,11 @@ def _shift_channel(samples: np.ndarray, delay: float,
     delay = float(delay)
     pad = int(math.floor(delay + 1e-12))
     if use_kernel:
-        fraction = delay - math.floor(delay)
+        # Against PAD, not floor(delay): for a delay sitting within the
+        # 1e-12 epsilon below an integer, floor(delay) is one less than
+        # pad and the kernel would re-add the whole sample the epsilon
+        # just rounded away (fraction ~ 1.0 -> a full extra sample).
+        fraction = delay - pad
         samples = np.convolve(samples, fractional_delay_kernel(fraction))
     return np.concatenate([np.zeros(pad), samples]) if pad else samples
 

@@ -98,17 +98,55 @@ def _spherical_to_cartesian(positions: np.ndarray) -> np.ndarray:
     )
 
 
+def _dataset(f, name: str):
+    """A required SOFA variable, as a ConversionError (not KeyError) when
+    absent so batch conversion reports the file and moves on."""
+    if name not in f:
+        raise ConversionError(f"missing required SOFA variable {name}")
+    return f[name]
+
+
+def _orientation_vector(raw: np.ndarray, kind: str, name: str) -> np.ndarray:
+    """A ListenerView/ListenerUp row as a cartesian direction. Spherical
+    orientations ([azimuth, elevation, radius] in degrees) are legal SOFA
+    (AES69 §4.4.2: the Type attribute on ListenerView governs both) and
+    must be converted, not reinterpreted component-wise; a zero radius
+    still encodes a direction, so it is normalized to 1 before the
+    conversion."""
+    if kind == "cartesian":
+        return raw
+    if kind == "spherical":
+        row = np.array(raw, np.float64)
+        if abs(row[2]) <= EPSILON:
+            row[2] = 1.0
+        return _spherical_to_cartesian(row.reshape(1, 3))[0]
+    raise ConversionError(f"unhandled {name} type {kind!r}")
+
+
 def _listener_frame(f) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Gram-Schmidt the listener's (view, up) into an orthonormal
-    (position, forward, left, up) frame."""
-    lp_var = f["ListenerPosition"]
+    (position, forward, left, up) frame. ListenerView/ListenerUp are
+    optional in AES69 and default to +x forward / +z up."""
+    lp_var = _dataset(f, "ListenerPosition")
     if _attr(lp_var, "Type", "cartesian").lower() != "cartesian":
         raise ConversionError("only cartesian ListenerPosition is handled")
     position = _single_position(lp_var[()], "ListenerPosition")
-    forward = _unit(
-        _single_position(f["ListenerView"][()], "ListenerView"), "ListenerView"
-    )
-    raw_up = _single_position(f["ListenerUp"][()], "ListenerUp")
+    if "ListenerView" in f:
+        lv_var = f["ListenerView"]
+        # Per AES69 the coordinate Type/Units attached to ListenerView
+        # apply to ListenerUp as well (ListenerUp carries no attributes).
+        kind = _attr(lv_var, "Type", "cartesian").lower()
+        raw_view = _single_position(lv_var[()], "ListenerView")
+        view = _orientation_vector(raw_view, kind, "ListenerView")
+        if "ListenerUp" in f:
+            raw_up = _single_position(f["ListenerUp"][()], "ListenerUp")
+            raw_up = _orientation_vector(raw_up, kind, "ListenerUp")
+        else:
+            raw_up = np.array([0.0, 0.0, 1.0])
+    else:
+        view = np.array([1.0, 0.0, 0.0])
+        raw_up = np.array([0.0, 0.0, 1.0])
+    forward = _unit(view, "ListenerView")
     up = _unit(
         raw_up - np.dot(raw_up, forward) * forward,
         "ListenerUp (after removing the ListenerView component)",
@@ -129,7 +167,7 @@ def _source_geometry(f, frame_axes):
     """Source directions as unit vectors in the listener frame, plus the
     derived azimuth (+ = listener-left) and elevation angles in degrees."""
     position, forward, left, up = frame_axes
-    var = f["SourcePosition"]
+    var = _dataset(f, "SourcePosition")
     positions = _coord_matrix(var[()], "SourcePosition")
     kind = _attr(var, "Type").lower()
     if kind == "spherical":
@@ -161,7 +199,7 @@ def _receivers(f, frame_axes) -> Tuple[int, int]:
     """Identify (left_ear_index, right_ear_index) from receiver geometry:
     the ear with positive lateral offset along the listener's left axis is
     the left ear."""
-    var = f["ReceiverPosition"]
+    var = _dataset(f, "ReceiverPosition")
     if _attr(var, "Type").lower() != "cartesian":
         raise ConversionError("only cartesian ReceiverPosition is handled")
     _require_units(var, ("metre", "meter"), "ReceiverPosition")
@@ -212,7 +250,7 @@ def read_sofa_hrir(path: str) -> SofaHRIR:
         if data_type != "FIR":
             raise ConversionError(f"data type {data_type!r} is not FIR")
 
-        impulses = np.asarray(f["Data.IR"][()], np.float64)
+        impulses = np.asarray(_dataset(f, "Data.IR")[()], np.float64)
         if impulses.ndim != 3 or impulses.shape[1] != 2 or impulses.shape[2] == 0:
             raise ConversionError(
                 f"Data.IR shape {impulses.shape} is not [M, 2, N>0]"
@@ -220,7 +258,8 @@ def read_sofa_hrir(path: str) -> SofaHRIR:
         if not np.all(np.isfinite(impulses)):
             raise ConversionError("Data.IR has NaN/inf samples")
 
-        rates = np.asarray(f["Data.SamplingRate"][()], np.float64).reshape(-1)
+        rates = np.asarray(_dataset(f, "Data.SamplingRate")[()],
+                           np.float64).reshape(-1)
         if rates.size != 1 or not np.isfinite(rates[0]) or rates[0] <= 0:
             raise ConversionError("Data.SamplingRate is not a single positive value")
         rate = int(round(float(rates[0])))

@@ -89,28 +89,31 @@ def _validate_bank(samples: np.ndarray, channels: int = 14) -> np.ndarray:
 # --- metrics ----------------------------------------------------------------------
 
 
-def third_octave_magnitude_db(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+def _band_mean_powers(samples: np.ndarray, sample_rate: int) -> List[float]:
+    """Mean rfft power per third-octave band — the ONE fft-size and
+    band-edge policy shared by the dB-magnitude and normalized-distribution
+    metrics (they must never drift apart; interchangeable metrics JSON)."""
     fft_size = max(16_384, 1 << max(int(samples.size) - 1, 1).bit_length())
     power = np.abs(np.fft.rfft(samples, fft_size)) ** 2
     freqs = np.fft.rfftfreq(fft_size, 1.0 / sample_rate)
     values = []
     for center in THIRD_OCTAVE_CENTERS:
         band = power[(freqs >= center / 2 ** (1 / 6)) & (freqs < center * 2 ** (1 / 6))]
-        mean = float(np.mean(band)) if band.size else 0.0
-        values.append(10.0 * math.log10(max(mean, 1e-30)))
-    return np.asarray(values)
+        values.append(float(np.mean(band)) if band.size else 0.0)
+    return values
+
+
+def third_octave_magnitude_db(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    return np.asarray([
+        10.0 * math.log10(max(mean, 1e-30))
+        for mean in _band_mean_powers(samples, sample_rate)
+    ])
 
 
 def _band_energy_distribution(samples: np.ndarray, sample_rate: int) -> List[float]:
     if samples.size == 0 or not np.any(samples):
         return [0.0] * len(THIRD_OCTAVE_CENTERS)
-    fft_size = max(16_384, 1 << (samples.size - 1).bit_length())
-    power = np.abs(np.fft.rfft(samples, fft_size)) ** 2
-    freqs = np.fft.rfftfreq(fft_size, 1.0 / sample_rate)
-    values = []
-    for center in THIRD_OCTAVE_CENTERS:
-        band = power[(freqs >= center / 2 ** (1 / 6)) & (freqs < center * 2 ** (1 / 6))]
-        values.append(float(np.mean(band)) if band.size else 0.0)
+    values = _band_mean_powers(samples, sample_rate)
     total = sum(values)
     return [v / total for v in values] if total > 1e-30 else [0.0] * len(values)
 

@@ -276,6 +276,33 @@ def test_activation_coalesces_duplicate_keys():
     assert resolved == [1, 2]
 
 
+def test_activation_raising_work_does_not_wedge_the_key():
+    """Regression: work that escapes without calling done() used to leave
+    the in-flight entry set forever — every later same-key request
+    coalesced behind a completion that could never fire. The dispatch
+    wrapper must clear the jam (and still propagate the error)."""
+    c = PresetActivationCoordinator()
+    resolved = []
+
+    def broken_work(key, token, done):
+        raise RuntimeError("exploded before done()")
+
+    with pytest.raises(RuntimeError):
+        c.request("k", broken_work, lambda r: resolved.append(("dead", r)))
+    assert resolved == []
+
+    done_box = {}
+
+    def good_work(key, token, done):
+        done_box["done"] = done
+
+    # The key must accept fresh work, and only ITS completion fires.
+    c.request("k", good_work, lambda r: resolved.append(("ok", r)))
+    assert "done" in done_box
+    done_box["done"]("r")
+    assert resolved == [("ok", "r")]
+
+
 # --- HRIR library -----------------------------------------------------------------------
 
 
@@ -284,6 +311,23 @@ def make_hrir_file(path, channels=14, frames=256, rate=48_000):
     audio = (rng.standard_normal((channels, frames)) * 0.1).astype(np.float32)
     wav.save(str(path), audio, rate)
     return str(path)
+
+
+def test_hrir_import_never_rebinds_a_vanished_presets_filename(tmp_path):
+    """A metadata row whose WAV was deleted externally (no reload yet)
+    keeps its filename reserved: a new import with the same basename must
+    pick a fresh name, not write into the dangling row's slot (which would
+    resurrect the old preset over the new file and cross-wire deletion)."""
+    m = HRIRManager(str(tmp_path / "hrir"), clock=make_clock())
+    a = m.import_preset(make_hrir_file(tmp_path / "Set.wav"))
+    os.unlink(os.path.join(m.directory, a.filename))  # external deletion
+    (tmp_path / "src").mkdir()
+    b = m.import_preset(make_hrir_file(tmp_path / "src" / "Set.wav"))
+    assert b.filename != a.filename
+    m.delete_preset(a.id)  # must not unlink b's file
+    assert os.path.exists(os.path.join(m.directory, b.filename))
+    m.reload()
+    assert {p.id for p in m.presets()} == {b.id}
 
 
 def test_hrir_import_activate_publish_deactivate(tmp_path):
@@ -366,6 +410,17 @@ def test_synthetic_hrir_properties():
     assert np.max(np.abs(fl_left)) > np.max(np.abs(fl_right))
     # Center channels are symmetric in arrival time.
     assert abs(int(np.argmax(np.abs(bank[6]))) - int(np.argmax(np.abs(bank[13])))) <= 1
+    # Physical ITD ordering: rear (135 deg) never exceeds side (90 deg) —
+    # Woodworth mirrored beyond its 90-degree domain. Peak-lag ITD via
+    # cross-correlation of the direct/cross pair per direction.
+    def peak_itd(direct, cross):
+        xc = np.correlate(np.abs(direct), np.abs(cross), "full")
+        return abs(int(np.argmax(xc)) - (len(direct) - 1))
+    itd_side = peak_itd(bank[2], bank[3])    # SL at 90
+    itd_back = peak_itd(bank[4], bank[5])    # BL at 135
+    itd_front = peak_itd(bank[0], bank[1])   # FL at 30
+    assert itd_back <= itd_side
+    assert itd_front < itd_side
     # Room/Stage have progressively more tail energy.
     room = bundled.synthesize_hrir("room", length=2048)
     stage = bundled.synthesize_hrir("stage", length=2048)

@@ -221,6 +221,21 @@ def test_graph_update_to_none_keeps_processor_for_unity_ramp():
     assert abs(y[0, 0, -1] - 1.0) < 1e-5
 
 
+@pytest.mark.parametrize("batch", [1, 2])
+def test_graph_update_before_prepare_does_not_arm_missing_eq(batch):
+    """Regression: update_equalizer on a never-prepared graph must stay a
+    non-fatal warning — the except path used to force equalizer_active=True
+    (the unity-ramp retention), which armed an assert-crash in process()
+    on the missing processors/runtime. Retention applies only when an EQ
+    was ever prepared."""
+    graph = AudioEffectGraph(FakeSpatial(ready=False), batch=batch)
+    result = graph.update_equalizer(EqualizerDefinition(preamp_db=3.0))
+    assert result.equalizer_warning is not None
+    assert not graph.equalizer_active
+    x = np.ones((batch, 2, 64), np.float32)
+    np.testing.assert_array_equal(graph.process(x), x)  # passthrough, no crash
+
+
 def test_graph_batched_eq_state_is_per_stream():
     """Regression: with B>1, EQ filter state and crossfade progress must be
     per-stream (a shared processor would advance stream 1's ramp while

@@ -111,6 +111,76 @@ def test_cartesian_and_spherical_sources_agree(tmp_path):
     np.testing.assert_allclose(a.source_azimuths, b.source_azimuths, atol=1e-9)
 
 
+def test_spherical_listener_view_matches_cartesian(tmp_path):
+    """A spherical-Type ListenerView ([az, el, r] degrees) must rotate the
+    frame exactly as its cartesian equivalent — not be read component-wise
+    as a cartesian vector."""
+    pa = write_sofa(tmp_path / "a.sofa", FULL_RING)
+    with h5py.File(pa, "r+") as f:
+        del f["ListenerView"]
+        lv = f.create_dataset(
+            "ListenerView", data=np.array([[90.0, 0.0, 0.0]])
+        )  # facing +y; zero radius still encodes the direction
+        lv.attrs["Type"] = "spherical"
+        lv.attrs["Units"] = "degree, degree, metre"
+        # ListenerUp shares ListenerView's coordinate system: +z is
+        # elevation 90 in spherical degrees.
+        del f["ListenerUp"]
+        f.create_dataset("ListenerUp", data=np.array([[0.0, 90.0, 1.0]]))
+    pb = write_sofa(tmp_path / "b.sofa", FULL_RING)
+    with h5py.File(pb, "r+") as f:
+        del f["ListenerView"]
+        f.create_dataset("ListenerView", data=np.array([[0.0, 1.0, 0.0]]))
+        # Receivers must straddle the new left axis (-x when facing +y).
+        del f["ReceiverPosition"]
+        rp = f.create_dataset(
+            "ReceiverPosition",
+            data=np.array([[-0.09, 0.0, 0.0], [0.09, 0.0, 0.0]]),
+        )
+        rp.attrs["Type"] = "cartesian"
+        rp.attrs["Units"] = "metre"
+    with h5py.File(pa, "r+") as f:
+        del f["ReceiverPosition"]
+        rp = f.create_dataset(
+            "ReceiverPosition",
+            data=np.array([[-0.09, 0.0, 0.0], [0.09, 0.0, 0.0]]),
+        )
+        rp.attrs["Type"] = "cartesian"
+        rp.attrs["Units"] = "metre"
+    a, b = read_sofa_hrir(pa), read_sofa_hrir(pb)
+    np.testing.assert_allclose(a.source_azimuths, b.source_azimuths,
+                               atol=1e-9)
+    # Sanity: the 90-degree source is now dead ahead in the rotated frame.
+    assert abs(a.source_azimuths[3]) < 1e-9
+    assert (a.left_receiver, a.right_receiver) == (0, 1)
+
+
+def test_missing_listener_view_defaults_forward(tmp_path):
+    """ListenerView/ListenerUp are optional in AES69 (defaults +x / +z):
+    omitting them must read identically to writing the defaults."""
+    pa = write_sofa(tmp_path / "a.sofa", FULL_RING)
+    pb = write_sofa(tmp_path / "b.sofa", FULL_RING)
+    with h5py.File(pb, "r+") as f:
+        del f["ListenerView"]
+        del f["ListenerUp"]
+    a, b = read_sofa_hrir(pa), read_sofa_hrir(pb)
+    np.testing.assert_allclose(a.source_azimuths, b.source_azimuths,
+                               atol=1e-12)
+    assert (b.left_receiver, b.right_receiver) == (0, 1)
+
+
+def test_missing_required_variable_is_conversion_error(tmp_path):
+    """A missing required variable must surface as ConversionError (so the
+    batch CLI prints FAIL and continues), not a bare KeyError."""
+    from airwave_tpu.tools.sofa import ConversionError
+
+    path = write_sofa(tmp_path / "a.sofa", FULL_RING)
+    with h5py.File(path, "r+") as f:
+        del f["SourcePosition"]
+    with pytest.raises(ConversionError, match="SourcePosition"):
+        read_sofa_hrir(path)
+
+
 def test_receiver_order_identified_from_positions(tmp_path):
     data = read_sofa_hrir(write_sofa(tmp_path / "r.sofa", FULL_RING,
                                      receiver_order="rl"))
@@ -154,6 +224,20 @@ def test_fractional_delay_preserves_group_delay_and_energy():
     lag_idx = int(np.argmax(np.roll(xc, n * pad // 2))) - n * pad // 2
     lag = lag_idx / pad
     assert abs(lag + 0.5) < 0.1, lag
+
+
+def test_near_integer_delay_rounds_with_epsilon_not_up_a_sample():
+    """A delay a hair below an integer (float noise — exactly what the
+    1e-12 epsilon is for) must land on the integer, not one sample later:
+    the fractional part must be computed against the padded integer."""
+    rng = np.random.default_rng(1)
+    ir = rng.standard_normal(128)
+    # One channel fractional so every channel runs through the kernel.
+    out = convert.materialize_delays([ir, ir], [5.0 - 5e-13, 3.5])
+    n = out.shape[0]
+    ref = convert.materialize_delays([ir, ir], [5.0, 3.5])[:n]
+    # Identical to an exact 5-sample delay (both pass the same kernel).
+    np.testing.assert_allclose(out[:, 0], ref[:, 0], atol=1e-9)
 
 
 def test_integer_only_delays_skip_interpolation():
