@@ -28,8 +28,9 @@ import numpy as np
 
 # Matmul precision for the numerics-bearing contractions. HIGHEST (bf16x6
 # passes) holds the 1e-5 chain contract with ~50x margin; HIGH (bf16x3) is
-# ~2x faster and still passes (see BENCH_NOTES.md); DEFAULT (single bf16
-# pass) fails it outright. Override via AIRWAVE_MATMUL_PRECISION.
+# faster but FAILS it (4.2e-5 chain rel RMS on-chip); DEFAULT (single bf16
+# pass) fails it outright (4.9e-3). See BENCH_NOTES.md for the measured
+# ladder. Override via AIRWAVE_MATMUL_PRECISION.
 import os as _os
 
 PRECISION = {
