@@ -130,7 +130,20 @@ class EqualizerRuntime:
         control action. Definitions are stored, not params: `prepare` is
         deterministic, so restore rebuilds bit-identical cascades."""
         def pack(p: Optional[PreparedEq]):
-            return None if p is None else ("prepared", p.definition)
+            # The design (preamp, coeffs) is packed too: a PreparedEq built
+            # directly (definition=None, custom params via publish()) has no
+            # definition to re-derive from, and must NOT silently restore as
+            # unity.
+            if p is None:
+                return None
+            if (p.definition is None and p is not self.unity
+                    and p.design == ((), ())):
+                raise ValueError(
+                    "cannot snapshot a definition-less PreparedEq with no "
+                    "design — construct targets via prepare() or carry the "
+                    "(preamp, coeffs) design"
+                )
+            return ("prepared", p.definition, p.design)
 
         return {
             "active": pack(self.active),
@@ -144,10 +157,20 @@ class EqualizerRuntime:
         def mk(item) -> Optional[PreparedEq]:
             if item is None:
                 return None
-            _, definition = item
-            return self.unity if definition is None else self.prepare(
-                definition
+            _, definition, *rest = item
+            if definition is not None:
+                return self.prepare(definition)
+            design = rest[0] if rest else self.unity.design
+            if tuple(design) == tuple(self.unity.design):
+                return self.unity
+            # Definition-less custom cascade (published directly): rebuild
+            # its params from the packed design.
+            preamp, coeffs = design
+            params = eq_block.make_eq_params(
+                coeffs, preamp, self.block_size, self.state_dim
             )
+            return PreparedEq(params, None, self.sample_rate,
+                              (preamp, coeffs))
 
         self.active = mk(snap["active"]) or self.unity
         self.transition_from = mk(snap["transition_from"])

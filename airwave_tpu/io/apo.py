@@ -72,13 +72,25 @@ def _finite_float(token: str) -> Optional[float]:
     # Python's float() is wider than Swift's Double(_:): it accepts
     # underscore digit separators ("1_000") and surrounding whitespace.
     # Hold the strict-parse parity contract by allowing only plain
-    # decimal/scientific characters before conversion.
-    if not token or not all(c in "0123456789.+-eE" for c in token):
+    # decimal/scientific characters before conversion — plus hex-float
+    # literals ("0x1.f4p9"), which Swift's Double(_:) accepts and Python
+    # only parses via float.fromhex.
+    if not token:
         return None
-    try:
-        value = float(token)
-    except ValueError:
+    if token.lstrip("+-")[:2] in ("0x", "0X"):
+        if not all(c in "0123456789abcdefABCDEF.+-pPxX" for c in token):
+            return None
+        try:
+            value = float.fromhex(token)
+        except ValueError:
+            return None
+    elif not all(c in "0123456789.+-eE" for c in token):
         return None
+    else:
+        try:
+            value = float(token)
+        except ValueError:
+            return None
     # Swift's Double("inf") parses but isFinite rejects; Python float("inf")
     # parses too — reject the same way.
     if not math.isfinite(value):

@@ -243,13 +243,25 @@ VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
 def auto_batch_tile(batch: int, sp_rows: int, block_size: int,
-                    itemsize: int, requested: int) -> int:
-    """Largest divisor of `batch` <= requested whose FDL blocks fit VMEM.
+                    itemsize: int, requested: int, ears: int = 2) -> int:
+    """Largest divisor of `batch` <= requested whose working set fits VMEM.
 
     Per tile the pipeline holds 2 planes x 2 double-buffered blocks of
-    [tile, sp_rows, block_size]; long IRs shrink the tile automatically."""
-    per_row = 4 * sp_rows * block_size * itemsize
-    cap = max(1, VMEM_BUDGET_BYTES // per_row)
+    [tile, sp_rows, block_size] FDL plus [tile, ears, block_size] outputs;
+    the rotated HRIR planes (2 x ears x sp_rows x block_size) stay resident
+    whole for every tile. Long IRs shrink the tile automatically; a shape
+    whose resident HRIR alone exceeds the budget cannot run this kernel at
+    any tile and raises rather than letting Mosaic fail opaquely."""
+    resident_h = 2 * ears * sp_rows * block_size * itemsize
+    if resident_h >= VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"packed Pallas kernel cannot fit {sp_rows} HRIR rows "
+            f"({resident_h / 2**20:.1f} MiB resident) in VMEM at any batch "
+            "tile — use the XLA conv_step path for this speakers/IR-length "
+            "combination"
+        )
+    per_row = (4 * sp_rows + 4 * ears) * block_size * itemsize
+    cap = max(1, (VMEM_BUDGET_BYTES - resident_h) // per_row)
     tile = min(requested, cap, batch)
     while batch % tile != 0:
         tile -= 1
@@ -269,7 +281,8 @@ def conv_step_packed(params: PackedConvParams, state: PackedConvState,
     B, S, T = x.shape
     P = params.partition_count
     batch_tile = auto_batch_tile(
-        B, state.fdl_re.shape[1], T, state.fdl_re.dtype.itemsize, batch_tile
+        B, state.fdl_re.shape[1], T, state.fdl_re.dtype.itemsize, batch_tile,
+        ears=params.h_re.shape[0],
     )
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)

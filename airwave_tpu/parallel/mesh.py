@@ -133,8 +133,6 @@ def stream_sharded_bake(mesh: Mesh, transition_length: int = 960,
     """Sharded offline bake: lax.scan over blocks, streams sharded over the
     mesh (BASELINE config 5 on a slice). x_blocks [N, B, S, T] with B sharded;
     returns (state', y_blocks [N, B, 2, T])."""
-    import jax.numpy as jnp
-
     blocks_sharded = NamedSharding(mesh, P(None, "streams"))
     conv_shardings, eq_shardings = _param_shardings(mesh)
     state_shardings = chain_state_shardings(mesh)

@@ -52,23 +52,38 @@ class HostShardSpec:
         return slice(self.local_start, self.local_start + self.local_count)
 
 
+def _axis_index(mesh: Mesh, axis_name: str) -> int:
+    names = list(mesh.axis_names)
+    assert axis_name in names, (axis_name, names)
+    return names.index(axis_name)
+
+
+def _local_axis_coords(mesh: Mesh, axis_name: str) -> list:
+    """Sorted coordinates along `axis_name` that this process's devices
+    cover (on a multi-axis mesh the batch is sharded over this axis only
+    and replicated over the others)."""
+    ax = _axis_index(mesh, axis_name)
+    coords = sorted({
+        idx[ax] for idx, d in np.ndenumerate(mesh.devices)
+        if d.process_index == jax.process_index()
+    })
+    assert coords, "mesh contains no local devices"
+    # Contiguity assumption: a host's axis coordinates are consecutive.
+    assert coords[-1] - coords[0] + 1 == len(coords), coords
+    return coords
+
+
 def host_shard_spec(global_batch: int, mesh: Mesh,
                     axis_name: str = "streams") -> HostShardSpec:
-    """Rows this host feeds: the contiguous block mapped to its addressable
-    devices (global sharding is row-contiguous over the device order)."""
-    devices = list(mesh.devices.flat)
-    n_devices = len(devices)
-    assert global_batch % n_devices == 0, (global_batch, n_devices)
-    per_device = global_batch // n_devices
-    local_indices = [
-        i for i, d in enumerate(devices) if d.process_index == jax.process_index()
-    ]
-    assert local_indices, "mesh contains no local devices"
-    start = min(local_indices) * per_device
-    count = len(local_indices) * per_device
-    # Contiguity assumption: a host's devices are consecutive in the mesh.
-    assert max(local_indices) - min(local_indices) + 1 == len(local_indices)
-    return HostShardSpec(global_batch, start, count)
+    """Rows this host feeds: the contiguous block mapped to its devices'
+    coordinates along `axis_name` (global sharding is row-contiguous over
+    that axis; other mesh axes replicate)."""
+    axis_size = mesh.shape[axis_name]
+    assert global_batch % axis_size == 0, (global_batch, axis_size)
+    per_coord = global_batch // axis_size
+    coords = _local_axis_coords(mesh, axis_name)
+    return HostShardSpec(global_batch, coords[0] * per_coord,
+                         len(coords) * per_coord)
 
 
 def make_global_array(local_rows: np.ndarray, spec: HostShardSpec,
@@ -81,13 +96,16 @@ def make_global_array(local_rows: np.ndarray, spec: HostShardSpec,
     """
     assert local_rows.shape[0] == spec.local_count
     sharding = NamedSharding(mesh, P(axis_name))
-    per_device = spec.global_batch // len(list(mesh.devices.flat))
-    local_devices = [
-        d for d in mesh.devices.flat if d.process_index == jax.process_index()
-    ]
+    ax = _axis_index(mesh, axis_name)
+    per_coord = spec.global_batch // mesh.shape[axis_name]
     shards = []
-    for j, device in enumerate(local_devices):
-        rows = local_rows[j * per_device:(j + 1) * per_device]
+    for idx, device in np.ndenumerate(mesh.devices):
+        if device.process_index != jax.process_index():
+            continue
+        # Each device holds the row block of its axis coordinate (replicas
+        # along other mesh axes receive the same block).
+        off = idx[ax] * per_coord - spec.local_start
+        rows = local_rows[off:off + per_coord]
         shards.append(jax.device_put(rows, device))
     global_shape = (spec.global_batch,) + tuple(local_rows.shape[1:])
     return jax.make_array_from_single_device_arrays(

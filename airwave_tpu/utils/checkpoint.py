@@ -23,12 +23,48 @@ def _normalized(path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def _is_extension_dtype(dtype: np.dtype) -> bool:
+    # Extension dtypes (ml_dtypes bfloat16 & friends) survive np.asarray but
+    # np.savez serializes them as raw void ("|V2"), which load_pytree could
+    # never match back to the true dtype. Detect them by the round-trip of
+    # the dtype's serialized descriptor.
+    try:
+        return np.dtype(dtype.str) != dtype
+    except TypeError:
+        return True
+
+
+def _resolve_dtype(name: str) -> np.dtype:
+    try:
+        import ml_dtypes
+
+        if hasattr(ml_dtypes, name):
+            return np.dtype(getattr(ml_dtypes, name))
+    except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+        pass
+    return np.dtype(name)
+
+
 def save_pytree(path: str, tree: Any) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays = {}
+    ext_dtypes = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        key = f"leaf_{i}"
+        if _is_extension_dtype(arr.dtype):
+            # Store raw bytes; record the true dtype so load_pytree can
+            # reinterpret (np.savez would silently write void "|V2").
+            ext_dtypes[key] = {"dtype": arr.dtype.name, "shape": arr.shape}
+            arr = np.frombuffer(arr.tobytes(), dtype=np.uint8)
+        arrays[key] = arr
     arrays["__treedef__"] = np.frombuffer(
         json.dumps(_treedef_repr(tree)).encode(), dtype=np.uint8
     )
+    if ext_dtypes:
+        arrays["__ext_dtypes__"] = np.frombuffer(
+            json.dumps(ext_dtypes).encode(), dtype=np.uint8
+        )
     np.savez(_normalized(path), **arrays)
 
 
@@ -46,6 +82,9 @@ def load_pytree(path: str, like: Any) -> Any:
                     "checkpoint structure mismatch: saved "
                     f"{saved_structure!r} != expected {_treedef_repr(like)!r}"
                 )
+        ext_dtypes = {}
+        if "__ext_dtypes__" in data:
+            ext_dtypes = json.loads(bytes(data["__ext_dtypes__"]).decode())
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
         leaves = []
         for i, ref in enumerate(leaves_like):
@@ -53,6 +92,11 @@ def load_pytree(path: str, like: Any) -> Any:
             if key not in data:
                 raise ValueError(f"checkpoint missing {key}")
             loaded = data[key]
+            if key in ext_dtypes:
+                meta = ext_dtypes[key]
+                loaded = np.frombuffer(
+                    loaded.tobytes(), dtype=_resolve_dtype(meta["dtype"])
+                ).reshape(tuple(meta["shape"]))
             ref_arr = np.asarray(ref)
             if loaded.shape != ref_arr.shape:
                 raise ValueError(

@@ -132,9 +132,14 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
                                block, c.lookahead,
                                c.acc_chunk).total_bytes <= budget
     ]
-    kept = fits if fits else []
+    # If NO attempt is predicted to fit, the coarse estimates have nothing
+    # to choose between — keep the whole ladder and let the runtime OOM
+    # judge (the estimator doesn't model max_unroll, and skipping straight
+    # to the half-batch terminal rung would silently halve throughput on a
+    # shape that actually fits a faster rung).
+    kept = fits if fits else list(candidates)
     # Always keep the final fallback: estimates are coarse by design.
-    if not kept or kept[-1] != candidates[-1]:
+    if kept[-1] != candidates[-1]:
         kept = kept + [candidates[-1]]
     return kept
 

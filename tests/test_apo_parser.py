@@ -86,3 +86,20 @@ def test_rejects_oversized_and_non_utf8():
         apo.parse(b"x" * (apo.MAX_DATA_SIZE + 1), "big.txt")
     with pytest.raises(EqualizerParseError):
         apo.parse(b"Preamp: -1 dB\n\xff\xfe", "bin.txt")
+
+
+def test_hex_float_literals_parse_like_swift_double():
+    """Swift's Double(_:) accepts hex-float literals; the strict-parity
+    parser must too (0x1.f4p9 == 1000.0). Underscore separators stay
+    rejected in both grammars."""
+    text = "Preamp: -0x1.8p1 dB\nFilter 1: ON PK Fc 0x1.f4p9 Hz Gain 3 dB Q 1\n"
+    definition = apo.parse(text.encode(), "hex.txt")
+    assert definition.preamp_db == -3.0
+    assert definition.filters[0].frequency_hz == 1000.0
+
+    with pytest.raises(EqualizerParseError):
+        apo.parse(b"Preamp: -1_0 dB\nFilter 1: ON PK Fc 100 Hz Gain 3 dB Q 1\n",
+                  "underscore.txt")
+    with pytest.raises(EqualizerParseError):
+        apo.parse(b"Preamp: 0x1_0p0 dB\nFilter 1: ON PK Fc 100 Hz Gain 3 dB Q 1\n",
+                  "hex_underscore.txt")

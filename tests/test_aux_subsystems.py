@@ -177,3 +177,32 @@ def test_device_complex_helpers():
     z = complex_zeros((4, 5))
     assert z.shape == (4, 5) and z.dtype.name == "complex64"
     np.testing.assert_array_equal(np.asarray(z), 0)
+
+
+def test_checkpoint_bf16_round_trip(tmp_path):
+    """Extension dtypes (the bf16 fast-mode carry) must round-trip: np.savez
+    writes ml_dtypes bfloat16 as raw void, so save_pytree records the true
+    dtype and load_pytree reinterprets."""
+    import jax
+
+    state = eq_block.make_eq_state(2)
+    bf = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.bfloat16), state)
+    path = str(tmp_path / "bf.npz")
+    checkpoint.save_pytree(path, bf)
+    like = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), eq_block.make_eq_state(2)
+    )
+    restored = checkpoint.load_pytree(path, like=like)
+    for got, want in zip(jax.tree_util.tree_leaves(restored),
+                         jax.tree_util.tree_leaves(bf)):
+        got = np.asarray(got)
+        assert got.dtype == np.asarray(want).dtype
+        np.testing.assert_array_equal(got.astype(np.float32),
+                                      np.asarray(want).astype(np.float32))
+
+    # Precision-policy mismatch still refuses: a bf16 checkpoint into an
+    # f32 carry is an error, never a silent cast.
+    import pytest
+
+    with pytest.raises(ValueError, match="dtype"):
+        checkpoint.load_pytree(path, like=eq_block.make_eq_state(2))

@@ -157,3 +157,33 @@ def test_canaries_and_finiteness_at_max_callback():
     out_l, out_r = p.process(left, right)
     assert out_l.shape == (size,) and out_r.shape == (size,)
     assert np.all(np.isfinite(out_l)) and np.all(np.isfinite(out_r))
+
+
+def test_eq_runtime_snapshot_restores_definition_less_custom_target():
+    """A custom cascade published directly (definition=None, params built
+    from a hand-made design) must survive snapshot/restore — never silently
+    restore as unity."""
+    from airwave_tpu.graph.eq_runtime import EqualizerRuntime, PreparedEq
+    from airwave_tpu.ops import biquad_design as bd
+    from airwave_tpu.ops import eq_block
+
+    rt = EqualizerRuntime(48_000.0, block_size=64)
+    coeffs = [bd.make_biquad(FilterType.PEAKING, 4.0, 1000.0, 1.2, 48_000.0)]
+    preamp = 0.5
+    params = eq_block.make_eq_params(coeffs, preamp, rt.block_size,
+                                     rt.state_dim)
+    custom = PreparedEq(params, None, 48_000.0, (preamp, coeffs))
+    rt.publish(custom)
+    state = eq_block.make_eq_state(1)
+    state, _, _, _ = rt.begin_block(state)
+    rt.after_block(rt.transition_length)  # finish the activation ramp
+    state, _, _, _ = rt.begin_block(state)
+    assert rt.active is custom
+
+    snap = rt.snapshot()
+    rt2 = EqualizerRuntime(48_000.0, block_size=64)
+    rt2.restore(snap)
+    assert rt2.active.definition is None
+    assert rt2.active.design == custom.design
+    for got, want in zip(rt2.active.params, custom.params):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -125,3 +125,14 @@ def test_env_flag_paged_variants_match_default(tmp_path, env):
     # is relative RMS (same as the chain accuracy gate).
     rel = np.sqrt(np.mean((got - base) ** 2)) / np.sqrt(np.mean(base**2))
     assert rel < 1e-6, rel
+
+
+def test_plan_keeps_full_ladder_when_nothing_is_predicted_to_fit():
+    """When NO attempt passes the coarse pre-flight estimate, nothing is
+    pruned: the runtime OOM stays the authoritative judge (the estimator
+    doesn't model max_unroll, and skipping straight to the half-batch rung
+    would silently halve throughput on a shape that actually fits)."""
+    tiny_budget = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8,
+                                     hbm_bytes=1e9)
+    full = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8)
+    assert tiny_budget == full

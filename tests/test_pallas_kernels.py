@@ -157,3 +157,24 @@ def test_mac_impl_variants_agree():
     for impl in ("dot", "pallas"):
         rel = np.sqrt(np.mean((outs[impl] - outs["einsum"]) ** 2)) / scale
         assert rel < 1e-6, (impl, rel)
+
+
+def test_auto_batch_tile_accounts_for_resident_hrir_planes():
+    """The rotated HRIR planes stay whole in VMEM for every tile; a
+    speakers x partitions shape whose resident planes alone exceed the
+    budget must raise (instead of an opaque Mosaic VMEM overflow), and a
+    fitting shape's tile must leave room for them."""
+    # 8 speakers x 288 partitions (7.1 with ~3 s IRs): ~18.9 MB resident
+    # HRIR alone — impossible at any tile.
+    with pytest.raises(ValueError, match="VMEM"):
+        kp.auto_batch_tile(1024, 8 * 288, 512, 4, requested=8)
+    # 8 speakers x 94 partitions: resident planes eat most of the budget,
+    # so the tile clamps all the way down to 1.
+    assert kp.auto_batch_tile(1024, 8 * 94, 512, 4, requested=8) == 1
+    # 2 speakers x 94 partitions fits, with the resident planes counted.
+    rows = 2 * 94
+    tile = kp.auto_batch_tile(1024, rows, 512, 4, requested=1024)
+    resident = 2 * 2 * rows * 512 * 4
+    per_row = (4 * rows + 4 * 2) * 512 * 4
+    assert resident + tile * per_row <= kp.VMEM_BUDGET_BYTES
+    assert 1024 % tile == 0

@@ -268,3 +268,29 @@ def test_two_process_multihost_parity(tmp_path):
             eq_crossfading=False,
         )
         np.testing.assert_allclose(got[i], np.asarray(y), atol=1e-5)
+
+
+def test_host_shard_spec_multi_axis_mesh():
+    """On a 2-D (streams x speakers) mesh the batch divides by the STREAMS
+    axis only; make_global_array replicates each row block across the
+    speakers axis."""
+    import jax
+    import numpy as np
+    from airwave_tpu.parallel import multihost as mh
+
+    devices = jax.devices()[:8]
+    mesh = pmesh.make_mesh(devices, ("streams", "speakers"), shape=(4, 2))
+    spec = mh.host_shard_spec(16, mesh)
+    # 16 rows over 4 streams coordinates, not over 8 devices.
+    assert spec.local_count == 16 and spec.local_start == 0
+
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((16, 3)).astype(np.float32)
+    arr = mh.make_global_array(rows, spec, mesh)
+    assert arr.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(arr), rows)
+    # Every device's shard is the row block of its streams coordinate.
+    for shard in arr.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), rows[shard.index[0]]
+        )
