@@ -186,9 +186,15 @@ class EqualizerRuntime:
 
     # --- render-side protocol (called by the engine per block) ---------------
 
-    def begin_block(self, eq_state: eq_block.EqState):
+    def begin_block(self, eq_state: eq_block.EqState,
+                    stream_mask=None):
         """Run the control protocol; returns (eq_state', params_from, params_to,
-        reset_mask_applied: bool)."""
+        reset_mask_applied: bool).
+
+        `stream_mask` [B] bool (optional): restrict this runtime's state
+        mutations (reset, transition begin) to the masked lanes — used by
+        the grouped StreamPool, where each profile group's runtime owns a
+        contiguous lane segment of one shared EqState."""
         self._observe_published_target()
         self._flush_pending_retirement()
 
@@ -196,7 +202,7 @@ class EqualizerRuntime:
         if self._reset_requested:
             self._reset_requested = False
             reset_now = True
-            eq_state = eq_block.eq_reset(eq_state)
+            eq_state = eq_block.eq_reset(eq_state, stream_mask)
 
         # Finish a transition that completed in previous blocks.
         if (
@@ -213,7 +219,8 @@ class EqualizerRuntime:
         ):
             pending, self.pending_target = self.pending_target, None
             if pending is not self.active:
-                eq_state = self._begin_transition(eq_state, pending)
+                eq_state = self._begin_transition(eq_state, pending,
+                                                  stream_mask)
 
         params_from = (
             self.transition_from.params
@@ -246,11 +253,12 @@ class EqualizerRuntime:
         elif target is not self.active:
             self.pending_target = target  # started in begin_block
 
-    def _begin_transition(self, eq_state, target: PreparedEq):
+    def _begin_transition(self, eq_state, target: PreparedEq,
+                          stream_mask=None):
         self.transition_from = self.active
         self.active = target
         self._samples_into_transition = 0
-        return eq_block.eq_begin_transition(eq_state)
+        return eq_block.eq_begin_transition(eq_state, stream_mask)
 
     def _finish_transition(self, eq_state):
         outgoing = self.transition_from

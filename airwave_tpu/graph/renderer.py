@@ -134,6 +134,7 @@ def prepare_renderer(
     resampler=resample.resample_linear,
     partition_bucketing: str = "exact",
     lookahead: int = 1,
+    partitions: Optional[int] = None,
 ) -> RendererState:
     """partition_bucketing: "exact" (default) uses the HRIR's true partition
     count — with the shared-cursor ring step the FDL read dominates the
@@ -144,14 +145,18 @@ def prepare_renderer(
     of many different lengths faster than the persistent jit cache warms.
 
     lookahead=M builds conv params for the M-block paged paths (M-1 zero
-    tail partitions; adds up to M-block latency — throughput tiers only)."""
+    tail partitions; adds up to M-block latency — throughput tiers only).
+
+    partitions=N forces the delay-line partition count (zero-padded tail) —
+    use it to align renderers of different HRIR lengths onto ONE shared
+    shape for a grouped multi-profile StreamPool (upols.make_conv_params)."""
     hrir_td, speakers, layout_indices = build_hrir_time_domain(
         wav, input_layout, output_sample_rate, channel_map, resampler,
         with_speakers=True,
     )
     params = upols.make_conv_params(
         hrir_td, block_size, pad_to_pow2=(partition_bucketing == "pow2"),
-        lookahead=lookahead,
+        lookahead=lookahead, partitions=partitions,
     )
     return RendererState(
         conv_params=params,

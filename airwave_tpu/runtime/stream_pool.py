@@ -21,11 +21,25 @@ Two serving tiers share this class:
     recycling their oldest page; alignment debt is page-granular and
     repaid by upols.conv_roll_lanes_paged at rejoin.
 
-EQ semantics: retargets are pool-wide (one preset set per pool). Streams
-actively rendering during the 20 ms ramp crossfade per-sample exactly; a
-stream that is idle across the entire ramp hears the new target directly when
-it resumes (its own carry never blended — the ramp is a wall-clock event, and
-an idle stream has no samples to blend).
+EQ semantics: retargets are pool-wide (one preset set per pool) unless the
+pool is GROUPED. Streams actively rendering during the 20 ms ramp crossfade
+per-sample exactly; a stream that is idle across the entire ramp hears the
+new target directly when it resumes (its own carry never blended — the ramp
+is a wall-clock event, and an idle stream has no samples to blend).
+
+PROFILE GROUPS (multi-tenant serving, beyond the reference's one-profile-at-
+a-time model): `StreamPool(profiles=[PoolProfile(renderer, eq), ...])`
+serves G distinct (HRIR, EQ) profiles out of ONE pool and ONE device step
+per round. The lane space splits into G contiguous equal segments (attach
+takes `group=`); the G HRIR banks and EQ cascades enter the step stacked on
+a leading group axis that rides the MAC/matmul k-batch dims
+(ops/upols.stack_conv_params, ops/eq_block.stack_eq_params) — same FLOPs,
+same delay-line traffic, one dispatch, vs G separate pools paying G
+dispatches and G partial-utilization steps. Per-group live retargets
+(set_equalizer(.., group=g) crossfades only that group's lanes;
+set_renderer(.., group=g) restarts only that group's conv history). All
+profiles must share speaker count, block size, and partition count — align
+HRIR lengths with prepare_renderer(..., partitions=N).
 """
 
 from __future__ import annotations
@@ -63,6 +77,15 @@ if _POOL_STEP not in ("ring", "rolled"):
 class PoolState(NamedTuple):
     conv: upols.ConvState
     eq: eq_block.EqState
+
+
+class PoolProfile(NamedTuple):
+    """One tenant profile of a grouped pool: a prepared renderer plus an
+    optional EQ preset (None = unity). All profiles of one pool must share
+    (speaker count, block size, partition count, lookahead)."""
+
+    renderer: RendererState
+    eq_definition: Optional[EqualizerDefinition] = None
 
 
 def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
@@ -231,13 +254,14 @@ class StreamPool:
         self,
         max_streams: int,
         sample_rate: float,
-        renderer: RendererState,
+        renderer: Optional[RendererState] = None,
         eq_definition: Optional[EqualizerDefinition] = None,
         block_size: int = 512,
         ring_blocks: int = 16,
         config: AirwaveConfig = DEFAULT_CONFIG,
         mesh=None,
         blocks_per_step: int = 1,
+        profiles=None,
     ) -> None:
         """`mesh`: an optional 1-D `jax.sharding.Mesh` whose single axis is
         named "streams". The pool's lane state (FDL, overlap, EQ state)
@@ -257,18 +281,59 @@ class StreamPool:
         tolerant workloads only; the default M=1 keeps the reference
         adapter's one-block contract. Requires a renderer prepared with
         `lookahead=M` (prepare_renderer) so the partition tail carries the
-        M-1 zero partitions the lookahead math needs."""
+        M-1 zero partitions the lookahead math needs.
+
+        `profiles`: a sequence of PoolProfile (mutually exclusive with
+        renderer/eq_definition) turns this into a GROUPED multi-tenant
+        pool: G profiles, lane space split into G contiguous equal
+        segments, one grouped device step per round (module docstring)."""
         self.max_streams = int(max_streams)
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
         self.blocks_per_step = int(blocks_per_step)
-        self.renderer = renderer
         self.config = config
         self.mesh = mesh
         if self.blocks_per_step < 1:
             raise ValueError(f"blocks_per_step must be >= 1, got "
                              f"{blocks_per_step}")
-        self._check_renderer_lookahead(renderer)
+        if profiles is not None:
+            if renderer is not None or eq_definition is not None:
+                raise ValueError(
+                    "pass either renderer/eq_definition or profiles, not "
+                    "both"
+                )
+            profiles = [p if isinstance(p, PoolProfile) else PoolProfile(*p)
+                        for p in profiles]
+            if not profiles:
+                raise ValueError("profiles must be non-empty")
+        else:
+            if renderer is None:
+                raise TypeError("renderer is required (or pass profiles=)")
+            profiles = [PoolProfile(renderer, eq_definition)]
+        self.groups = len(profiles)
+        if self.max_streams % self.groups:
+            raise ValueError(
+                f"max_streams ({self.max_streams}) must divide by the "
+                f"profile-group count ({self.groups})"
+            )
+        self.group_size = self.max_streams // self.groups
+        self.renderers = [p.renderer for p in profiles]
+        self.renderer = self.renderers[0]
+        first = self.renderers[0]
+        for g, r in enumerate(self.renderers):
+            self._check_renderer_lookahead(r)
+            if (r.num_speakers != first.num_speakers
+                    or r.partition_count != first.partition_count
+                    or r.block_size != first.block_size):
+                raise ValueError(
+                    f"grouped profiles must share (speakers, partitions, "
+                    f"block): group 0 has ({first.num_speakers}, "
+                    f"{first.partition_count}, {first.block_size}), group "
+                    f"{g} has ({r.num_speakers}, {r.partition_count}, "
+                    f"{r.block_size}) — align HRIR lengths with "
+                    f"prepare_renderer(partitions=N)"
+                )
+        self._rebuild_conv_params()
         if mesh is not None:
             if tuple(mesh.axis_names) != ("streams",):
                 raise ValueError(
@@ -279,7 +344,7 @@ class StreamPool:
                     f"max_streams ({self.max_streams}) must divide by the "
                     f"mesh size ({mesh.size})"
                 )
-        speakers = renderer.num_speakers
+        speakers = self.renderer.num_speakers
 
         # Rings must hold at least two full steps so a lane can buffer the
         # next round while one is in flight.
@@ -291,18 +356,32 @@ class StreamPool:
         self._out = RaggedAssembler(
             max_streams, 2, block_size, capacity=capacity
         )
-        self.eq_runtime = EqualizerRuntime(
-            sample_rate, block_size, config.eq_state_dim, config
-        )
-        self._eq_enabled = eq_definition is not None
-        if eq_definition is not None:
-            self.eq_runtime.set_target(eq_definition)
+        self.eq_runtimes = [
+            EqualizerRuntime(sample_rate, block_size, config.eq_state_dim,
+                             config)
+            for _ in profiles
+        ]
+        # Compatibility alias: the single-profile pool's EQ machine.
+        self.eq_runtime = self.eq_runtimes[0]
+        self._eq_enabled = any(p.eq_definition is not None for p in profiles)
+        for rt, p in zip(self.eq_runtimes, profiles):
+            if p.eq_definition is not None:
+                rt.set_target(p.eq_definition)
+        # Stacked [G, ...] EqParams for the grouped step, rebuilt only when
+        # some group's (from, to) identity changes (retargets are rare).
+        self._eq_stack_key = None
+        self._eq_stack = None
+        self._group_masks = None  # lazy [B] bool device masks, G > 1 only
 
         self._state = self._place(self._fresh_state())
         self._attached: Dict[int, bool] = {}
         self._attached_mask = np.zeros(max_streams, bool)
         self._identity_idx = np.arange(max_streams, dtype=np.int32)
-        self._free = list(range(max_streams - 1, -1, -1))
+        q = self.group_size
+        self._free_by_group = [
+            list(range((g + 1) * q - 1, g * q - 1, -1))
+            for g in range(self.groups)
+        ]
         # Shared-cursor ring bookkeeping: debt[b] counts cursor advances a
         # lane sat out since it last stepped; a harvested lane with
         # debt % P2 != 0 is rolled back into alignment first (see
@@ -320,6 +399,25 @@ class StreamPool:
         self.rounds = 0
         self.blocks_rendered = 0
         self.render_errors = 0
+
+    def _rebuild_conv_params(self) -> None:
+        """Device conv params for the round step: the single renderer's, or
+        the G profiles' banks stacked on a leading group axis."""
+        if self.groups == 1:
+            self._conv_params = self.renderers[0].conv_params
+        else:
+            self._conv_params = upols.stack_conv_params(
+                [r.conv_params for r in self.renderers]
+            )
+
+    def group_of(self, stream: int) -> int:
+        """Profile group owning a lane (contiguous equal segments)."""
+        return int(stream) // self.group_size
+
+    @property
+    def _free(self):
+        """Flat free-lane view (leak checks, diagnostics)."""
+        return [s for fl in self._free_by_group for s in fl]
 
     @property
     def step_frames(self) -> int:
@@ -411,10 +509,18 @@ class StreamPool:
 
     # --- stream lifecycle -----------------------------------------------------------
 
-    def attach(self) -> int:
-        if not self._free:
-            raise RuntimeError("pool is full")
-        stream = self._free.pop()
+    def attach(self, group: int = 0) -> int:
+        """Claim a free lane (in `group`'s segment for a grouped pool)."""
+        if not (0 <= group < self.groups):
+            raise ValueError(
+                f"group {group} out of range for {self.groups} profiles"
+            )
+        if not self._free_by_group[group]:
+            raise RuntimeError(
+                "pool is full" if self.groups == 1
+                else f"profile group {group} is full"
+            )
+        stream = self._free_by_group[group].pop()
         self._attached[stream] = True
         self._attached_mask[stream] = True
         self.assembler.reset_stream(stream)
@@ -428,7 +534,7 @@ class StreamPool:
     def detach(self, stream: int) -> None:
         if self._attached.pop(stream, None):
             self._attached_mask[stream] = False
-            self._free.append(stream)
+            self._free_by_group[self.group_of(stream)].append(stream)
             self._pending_out.pop(stream, None)
             self.assembler.reset_stream(stream)
             self._out.reset_stream(stream)
@@ -446,29 +552,86 @@ class StreamPool:
 
     # --- control ----------------------------------------------------------------------
 
-    def set_equalizer(self, definition: Optional[EqualizerDefinition]) -> None:
+    def set_equalizer(self, definition: Optional[EqualizerDefinition],
+                      group: Optional[int] = None) -> None:
         """Retarget the pool EQ. `None` on an EQ-less pool stays a no-op
         (symmetric with the constructor); `None` on an active pool crossfades
         to unity and keeps the EQ in the step for the ramp (the reference
         keeps the EQ in the callback after removal for exactly this,
-        AudioEffectGraph.swift:147-151)."""
+        AudioEffectGraph.swift:147-151).
+
+        On a grouped pool, `group=g` retargets only that profile group's
+        lanes (their 20 ms crossfade runs on their segment alone); the
+        default `group=None` retargets every group."""
+        if group is not None and not (0 <= group < self.groups):
+            raise ValueError(
+                f"group {group} out of range for {self.groups} profiles"
+            )
         if definition is None and not self._eq_enabled:
             return
-        self.eq_runtime.set_target(definition)
+        targets = self.eq_runtimes if group is None else (
+            self.eq_runtimes[group],
+        )
+        for rt in targets:
+            rt.set_target(definition)
         self._eq_enabled = True
 
-    def set_renderer(self, renderer: RendererState) -> None:
-        """Pool-wide HRIR hot-swap: conv history restarts for every stream
+    def set_renderer(self, renderer: RendererState,
+                     group: Optional[int] = None) -> None:
+        """HRIR hot-swap: conv history restarts for the affected streams
         (the reference builds fresh engines per activation). A speaker- or
-        partition-count change reallocates the conv carry."""
-        old = self.renderer
+        partition-count change reallocates the conv carry.
+
+        On a grouped pool, `group=g` swaps only that profile group's bank
+        and restarts only its lanes' conv history (a zeroed lane is
+        rotation-invariant, so the segment rejoins the shared cursor with
+        no alignment work). Grouped swaps must keep the shared delay-line
+        shape — prepare the renderer with matching partitions
+        (prepare_renderer(partitions=N))."""
         self._check_renderer_lookahead(renderer)
+        if self.groups > 1:
+            if group is None:
+                raise ValueError(
+                    "a grouped pool needs set_renderer(..., group=g)"
+                )
+            if not (0 <= group < self.groups):
+                raise ValueError(
+                    f"group {group} out of range for {self.groups} profiles"
+                )
+            cur = self.renderers[0]
+            if (renderer.num_speakers != cur.num_speakers
+                    or renderer.partition_count != cur.partition_count
+                    or renderer.block_size != cur.block_size):
+                raise ValueError(
+                    f"grouped swap must keep the shared shape (speakers "
+                    f"{cur.num_speakers}, partitions {cur.partition_count},"
+                    f" block {cur.block_size}) — align with "
+                    f"prepare_renderer(partitions=N)"
+                )
+            self.renderers[group] = renderer
+            if group == 0:
+                self.renderer = renderer
+            self._rebuild_conv_params()
+            lo, hi = group * self.group_size, (group + 1) * self.group_size
+            mask = np.zeros(self.max_streams, bool)
+            mask[lo:hi] = True
+            m = jnp.asarray(mask)
+            reset = (upols.conv_reset_paged if self.blocks_per_step > 1
+                     else upols.conv_reset)
+            self._state = PoolState(
+                conv=reset(self._state.conv, m), eq=self._state.eq
+            )
+            self._debt[lo:hi] = 0
+            return
+        old = self.renderer
         self.renderer = renderer
+        self.renderers[0] = renderer
         same_shape = (
             old.num_speakers == renderer.num_speakers
             and old.partition_count == renderer.partition_count
         )
         if same_shape:
+            self._rebuild_conv_params()
             reset = (upols.conv_reset_paged if self.blocks_per_step > 1
                      else upols.conv_reset)
             self._state = PoolState(
@@ -480,6 +643,7 @@ class StreamPool:
             raise ValueError(
                 "renderer speaker count must match the pool's input layout"
             )
+        self._rebuild_conv_params()
         self._state = PoolState(
             conv=self._place(self._fresh_state()).conv,
             eq=self._state.eq,
@@ -501,13 +665,17 @@ class StreamPool:
         captured, matching the reference's reset-on-reconfigure stance for
         in-flight audio. Feed to `restore` on a pool with identical
         max_streams/renderer shape for bit-identical resume."""
-        return {
+        snap = {
             "state": jax.tree_util.tree_map(np.asarray, self._state),
             "debt": self._debt.copy(),
             "attached": sorted(self._attached),
             "eq_runtime": self.eq_runtime.snapshot(),
             "eq_enabled": self._eq_enabled,
+            "groups": self.groups,
         }
+        if self.groups > 1:
+            snap["eq_runtimes"] = [rt.snapshot() for rt in self.eq_runtimes]
+        return snap
 
     def restore(self, snap: dict) -> None:
         # Validate EVERYTHING before mutating anything, so a bad snapshot
@@ -532,19 +700,35 @@ class StreamPool:
                 f"snapshot attached streams out of range for "
                 f"max_streams={self.max_streams}: {attached}"
             )
+        snap_groups = int(snap.get("groups", 1))
+        if snap_groups != self.groups:
+            raise ValueError(
+                f"snapshot has {snap_groups} profile groups, pool has "
+                f"{self.groups}"
+            )
 
         self._state = self._place(state)
         self._debt[:] = debt
         self._attached = {s: True for s in attached}
         self._attached_mask[:] = False
         self._attached_mask[attached] = True
-        self._free = [s for s in range(self.max_streams - 1, -1, -1)
-                      if s not in self._attached]
+        q = self.group_size
+        self._free_by_group = [
+            [s for s in range((g + 1) * q - 1, g * q - 1, -1)
+             if s not in self._attached]
+            for g in range(self.groups)
+        ]
         self._pending_out.clear()
         for s in range(self.max_streams):
             self.assembler.reset_stream(s)
             self._out.reset_stream(s)
-        if "eq_runtime" in snap:
+        if self.groups > 1 and "eq_runtimes" in snap:
+            for rt, rt_snap in zip(self.eq_runtimes, snap["eq_runtimes"]):
+                rt.restore(rt_snap)
+            self._eq_enabled = bool(snap.get("eq_enabled",
+                                             self._eq_enabled))
+            self._eq_stack_key = None
+        elif "eq_runtime" in snap:
             self.eq_runtime.restore(snap["eq_runtime"])
             self._eq_enabled = bool(snap.get("eq_enabled",
                                              self._eq_enabled))
@@ -554,15 +738,18 @@ class StreamPool:
     def push(self, stream: int, chunk: np.ndarray) -> None:
         """chunk: [speakers, n], [layout_channels, n] (unmapped layout
         channels — e.g. 7.1.4 heights through a height-less HRIR map —
-        are dropped, reference semantics), or [1, n] mono, duplicated."""
+        are dropped, reference semantics), or [1, n] mono, duplicated.
+        A grouped pool resolves layout channels through the stream's own
+        profile group's renderer."""
         chunk = np.asarray(chunk, np.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
-        speakers = self.renderer.num_speakers
+        renderer = self.renderers[self.group_of(stream)]
+        speakers = renderer.num_speakers
         if chunk.shape[0] == 1 and speakers > 1:
             chunk = np.repeat(chunk, speakers, axis=0)
         else:
-            chunk = self.renderer.select_input(chunk)
+            chunk = renderer.select_input(chunk)
         self.assembler.push(stream, chunk)
 
     def _bucket(self, k: int) -> int:
@@ -600,7 +787,12 @@ class StreamPool:
             k <<= 1
         buckets = sorted(set(buckets))
         speakers = self.renderer.num_speakers
-        eq_p = self.eq_runtime.active.params
+        if self.groups == 1:
+            eq_p = self.eq_runtime.active.params
+        else:
+            eq_p = eq_block.stack_eq_params(
+                [rt.active.params for rt in self.eq_runtimes]
+            )
         crossfades = (False, True) if self._eq_enabled else (False,)
         paged = self.blocks_per_step > 1
         if paged:
@@ -632,7 +824,7 @@ class StreamPool:
             for crossfading in crossfades:
                 for variant in variants:
                     _pool_step(
-                        self.renderer.conv_params, eq_p, eq_p, throwaway(),
+                        self._conv_params, eq_p, eq_p, throwaway(),
                         blocks, idx,
                         transition_length=self.eq_runtime.transition_length,
                         eq_enabled=self._eq_enabled,
@@ -650,11 +842,25 @@ class StreamPool:
         """Batch ingest: chunks [k, C, n] onto k streams in ONE native
         call (all-or-nothing on ring space). C may be the resolved
         speaker count or the full layout channel count (unmapped
-        channels drop, as in push)."""
+        channels drop, as in push). A grouped pool maps layout channels
+        per stream through its own group's renderer (one batched gather)."""
         chunks = np.asarray(chunks, np.float32)
         speakers = self.renderer.num_speakers
         if chunks.shape[1] == 1 and speakers > 1:
             chunks = np.repeat(chunks, speakers, axis=1)
+        elif chunks.shape[1] != speakers and self.groups > 1:
+            idx_rows = []
+            for s in streams:
+                r = self.renderers[self.group_of(int(s))]
+                if chunks.shape[1] != r.layout_channels:
+                    raise ValueError(
+                        f"chunk channel count {chunks.shape[1]} matches "
+                        f"neither the speaker count ({speakers}) nor stream "
+                        f"{int(s)}'s group layout ({r.layout_channels})"
+                    )
+                idx_rows.append(r.input_indices)
+            chunks = chunks[np.arange(len(idx_rows))[:, None],
+                            np.asarray(idx_rows, np.int64)]
         elif (chunks.shape[1] == self.renderer.layout_channels
               and chunks.shape[1] != speakers):
             chunks = chunks[:, list(self.renderer.input_indices)]
@@ -667,6 +873,44 @@ class StreamPool:
         if not self._pending_out:
             return self._out.pop_many(streams, frames)
         return np.stack([self.pull(int(s), frames) for s in streams])
+
+    def _begin_eq_round(self, eq_state):
+        """Run every group's EQ control protocol for one round; returns
+        (eq_state', params_from, params_to, crossfading). Grouped pools
+        stack the G (from, to) cascades for the grouped step, rebuilding
+        the stack only when some group's target identity changed (the
+        crossfade flag stays ONE static jit arg — a group not mid-ramp
+        blends from == to, which the per-lane clipped counters make exact,
+        so per-group flags would only multiply compiled variants)."""
+        if self.groups == 1:
+            rt = self.eq_runtimes[0]
+            eq_state, p_from, p_to, _ = rt.begin_block(eq_state)
+            crossfading = (rt.is_transitioning
+                           or rt.pending_target is not None)
+            return eq_state, p_from, p_to, crossfading
+        if self._group_masks is None:
+            masks = []
+            for g in range(self.groups):
+                m = np.zeros(self.max_streams, bool)
+                m[g * self.group_size:(g + 1) * self.group_size] = True
+                masks.append(jnp.asarray(m))
+            self._group_masks = masks
+        froms, tos = [], []
+        crossfading = False
+        for g, rt in enumerate(self.eq_runtimes):
+            eq_state, pf, pt, _ = rt.begin_block(eq_state,
+                                                 self._group_masks[g])
+            froms.append(pf)
+            tos.append(pt)
+            crossfading = (crossfading or rt.is_transitioning
+                           or rt.pending_target is not None)
+        key = tuple(id(p) for p in froms) + tuple(id(p) for p in tos)
+        if key != self._eq_stack_key:
+            self._eq_stack = (eq_block.stack_eq_params(froms),
+                              eq_block.stack_eq_params(tos))
+            self._eq_stack_key = key
+        p_from, p_to = self._eq_stack
+        return eq_state, p_from, p_to, crossfading
 
     def pump(self, max_rounds: int = 64) -> int:
         """Render while any stream has a full block. Returns rounds run.
@@ -736,12 +980,8 @@ class StreamPool:
                     )
                     blocks = np.concatenate([blocks, pad], axis=0)
 
-                eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(
+                eq_state, p_from, p_to, crossfading = self._begin_eq_round(
                     self._state.eq
-                )
-                crossfading = (
-                    self.eq_runtime.is_transitioning
-                    or self.eq_runtime.pending_target is not None
                 )
                 if paged:
                     variant = ("paged_all" if k == len(self._attached)
@@ -762,7 +1002,7 @@ class StreamPool:
                     # (two full-batch layout passes).
                     variant = variant[:-3] + "id"
                 state, y_rows = _pool_step(
-                    self.renderer.conv_params, p_from, p_to,
+                    self._conv_params, p_from, p_to,
                     PoolState(self._state.conv, eq_state),
                     jnp.asarray(blocks), jnp.asarray(idx_up),
                     transition_length=self.eq_runtime.transition_length,
@@ -771,7 +1011,8 @@ class StreamPool:
                     variant=variant,
                 )
                 self._state = state
-                self.eq_runtime.after_block(step_frames)
+                for rt in self.eq_runtimes:
+                    rt.after_block(step_frames)
                 self._debt[self._debt_targets(indices)] += 1
                 self._debt[indices] = 0
 

@@ -244,3 +244,304 @@ def test_grouped_paged_step_plain_projection_matches():
                 singles[g], sconv[g], jnp.asarray(x[t, sl])
             )
             np.testing.assert_allclose(yg[sl], np.asarray(ys), atol=2e-5)
+
+
+# --- grouped StreamPool --------------------------------------------------
+
+from airwave_tpu.assets import channel_maps as cm
+from airwave_tpu.graph.renderer import prepare_renderer
+from airwave_tpu.io.wav import WAVData
+from airwave_tpu.runtime.stream_pool import PoolProfile, StreamPool
+
+
+def _renderer(frames, seed, block=BLOCK, lookahead=1, partitions=None,
+              layout=cm.STEREO):
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal((14, frames)) * 0.2).astype(np.float32)
+    return prepare_renderer(WAVData(48_000.0, audio), layout, 48_000.0,
+                            block, lookahead=lookahead,
+                            partitions=partitions)
+
+
+def _eq_def(kind):
+    if kind == 0:
+        return None
+    if kind == 1:
+        return EqualizerDefinition(-1.5, (
+            EqualizerFilter(1, 1, True, FilterType.PEAKING, 700.0, 2.5,
+                            1.0),
+        ))
+    return EqualizerDefinition(2.0, (
+        EqualizerFilter(1, 1, True, FilterType.HIGH_SHELF, 6000.0, -3.0,
+                        0.8),
+    ))
+
+
+def _run_schedule(pools_and_streams, signal, schedule, step_frames):
+    """Drive (pool, stream) lanes with a shared push schedule; returns
+    per-lane concatenated pulls. pools may repeat (grouped pool)."""
+    fed = [0] * len(pools_and_streams)
+    rounds = len(schedule)
+    for rnd in range(rounds):
+        for i, (pool, stream) in enumerate(pools_and_streams):
+            if schedule[rnd][i] and fed[i] < signal.shape[-1] // step_frames:
+                lo = fed[i] * step_frames
+                pool.push(stream, signal[i][:, lo:lo + step_frames])
+                fed[i] += 1
+        for pool in dict.fromkeys(p for p, _ in pools_and_streams):
+            pool.pump()
+    outs = []
+    for i, (pool, stream) in enumerate(pools_and_streams):
+        outs.append(pool.pull(stream, fed[i] * step_frames))
+    return outs
+
+
+def test_grouped_pool_matches_independent_pools_ragged():
+    """G=2 grouped pool == 2 single-profile pools, ragged pauses, steady
+    EQ (one group EQ'd, one unity)."""
+    r0 = _renderer(2 * BLOCK, 20, partitions=4)
+    r1 = _renderer(4 * BLOCK, 21, partitions=4)
+    gpool = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(r0, _eq_def(1)), PoolProfile(r1, None),
+    ])
+    p0 = StreamPool(2, 48_000.0, r0, eq_definition=_eq_def(1),
+                    block_size=BLOCK)
+    p1 = StreamPool(2, 48_000.0, r1, block_size=BLOCK)
+    lanes = [(gpool, gpool.attach(0)), (gpool, gpool.attach(0)),
+             (gpool, gpool.attach(1)), (gpool, gpool.attach(1))]
+    ref = [(p0, p0.attach()), (p0, p0.attach()),
+           (p1, p1.attach()), (p1, p1.attach())]
+    assert [s for _, s in lanes] == [0, 1, 2, 3]
+
+    rng = np.random.default_rng(30)
+    signal = (rng.standard_normal((4, 2, 6 * BLOCK)) * 0.4).astype(
+        np.float32)
+    schedule = (rng.random((9, 4)) < 0.7)
+    schedule[0] = True
+    got = _run_schedule(lanes, signal, schedule, BLOCK)
+    want = _run_schedule(ref, signal, schedule, BLOCK)
+    for g, w in zip(got, want):
+        assert w.shape == g.shape and np.abs(w).max() > 1e-3
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
+
+
+def test_grouped_pool_per_group_eq_retarget_crossfades_one_segment():
+    """A group=1 retarget ramps only group 1's lanes; all-active schedule
+    keeps the grouped pool's shared round clock == each ref pool's."""
+    r0 = _renderer(2 * BLOCK, 22)
+    r1 = _renderer(2 * BLOCK, 23)
+    gpool = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(r0, _eq_def(1)), PoolProfile(r1, _eq_def(2)),
+    ])
+    p0 = StreamPool(2, 48_000.0, r0, eq_definition=_eq_def(1),
+                    block_size=BLOCK)
+    p1 = StreamPool(2, 48_000.0, r1, eq_definition=_eq_def(2),
+                    block_size=BLOCK)
+    lanes = [(gpool, gpool.attach(0)), (gpool, gpool.attach(0)),
+             (gpool, gpool.attach(1)), (gpool, gpool.attach(1))]
+    ref = [(p0, p0.attach()), (p0, p0.attach()),
+           (p1, p1.attach()), (p1, p1.attach())]
+    rng = np.random.default_rng(31)
+    signal = (rng.standard_normal((4, 2, 8 * BLOCK)) * 0.4).astype(
+        np.float32)
+    fed = 0
+    outs_g = [[] for _ in range(4)]
+    outs_r = [[] for _ in range(4)]
+    for rnd in range(8):
+        if rnd == 3:
+            gpool.set_equalizer(_eq_def(2), group=1)
+            p1.set_equalizer(_eq_def(2))
+        if rnd == 5:
+            gpool.set_equalizer(None, group=0)  # unity ramp, group 0 only
+            p0.set_equalizer(None)
+        for i, (pool, stream) in enumerate(lanes):
+            pool.push(stream, signal[i][:, fed * BLOCK:(fed + 1) * BLOCK])
+        for i, (pool, stream) in enumerate(ref):
+            pool.push(stream, signal[i][:, fed * BLOCK:(fed + 1) * BLOCK])
+        fed += 1
+        gpool.pump()
+        p0.pump()
+        p1.pump()
+        for i, (pool, stream) in enumerate(lanes):
+            outs_g[i].append(pool.pull(stream, BLOCK))
+        for i, (pool, stream) in enumerate(ref):
+            outs_r[i].append(pool.pull(stream, BLOCK))
+    for i in range(4):
+        g = np.concatenate(outs_g[i], axis=1)
+        w = np.concatenate(outs_r[i], axis=1)
+        assert np.abs(w).max() > 1e-3
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
+
+
+def test_grouped_pool_multi_block_tier_matches_independent():
+    """blocks_per_step=2 grouped (paged line + folded per-group EQ) == 2
+    single-profile multi-block pools under step-granular pauses."""
+    M = 2
+    r0 = _renderer(2 * BLOCK, 24, lookahead=M, partitions=4)
+    r1 = _renderer(3 * BLOCK, 25, lookahead=M, partitions=4)
+    gpool = StreamPool(4, 48_000.0, block_size=BLOCK, blocks_per_step=M,
+                       profiles=[PoolProfile(r0, _eq_def(1)),
+                                 PoolProfile(r1, _eq_def(2))])
+    p0 = StreamPool(2, 48_000.0, r0, eq_definition=_eq_def(1),
+                    block_size=BLOCK, blocks_per_step=M)
+    p1 = StreamPool(2, 48_000.0, r1, eq_definition=_eq_def(2),
+                    block_size=BLOCK, blocks_per_step=M)
+    lanes = [(gpool, gpool.attach(0)), (gpool, gpool.attach(0)),
+             (gpool, gpool.attach(1)), (gpool, gpool.attach(1))]
+    ref = [(p0, p0.attach()), (p0, p0.attach()),
+           (p1, p1.attach()), (p1, p1.attach())]
+    rng = np.random.default_rng(32)
+    step = M * BLOCK
+    signal = (rng.standard_normal((4, 2, 4 * step)) * 0.4).astype(
+        np.float32)
+    schedule = (rng.random((7, 4)) < 0.7)
+    schedule[0] = True
+    got = _run_schedule(lanes, signal, schedule, step)
+    want = _run_schedule(ref, signal, schedule, step)
+    for g, w in zip(got, want):
+        assert np.abs(w).max() > 1e-3
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
+
+
+def test_grouped_pool_bookkeeping_and_validation():
+    r0 = _renderer(2 * BLOCK, 26)
+    r1 = _renderer(2 * BLOCK, 27)
+    with pytest.raises(ValueError, match="divide"):
+        StreamPool(5, 48_000.0, block_size=BLOCK,
+                   profiles=[PoolProfile(r0), PoolProfile(r1)])
+    with pytest.raises(ValueError, match="not both"):
+        StreamPool(4, 48_000.0, r0, block_size=BLOCK,
+                   profiles=[PoolProfile(r0)])
+    with pytest.raises(TypeError, match="renderer is required"):
+        StreamPool(4, 48_000.0, block_size=BLOCK)
+    mismatched = _renderer(5 * BLOCK, 28)  # different partition count
+    with pytest.raises(ValueError, match="share"):
+        StreamPool(4, 48_000.0, block_size=BLOCK,
+                   profiles=[PoolProfile(r0), PoolProfile(mismatched)])
+
+    pool = StreamPool(4, 48_000.0, block_size=BLOCK,
+                      profiles=[PoolProfile(r0), PoolProfile(r1)])
+    assert pool.groups == 2 and pool.group_size == 2
+    a = pool.attach(0)
+    b = pool.attach(0)
+    assert {pool.group_of(a), pool.group_of(b)} == {0}
+    with pytest.raises(RuntimeError, match="group 0 is full"):
+        pool.attach(0)
+    c = pool.attach(1)
+    assert pool.group_of(c) == 1
+    with pytest.raises(ValueError, match="out of range"):
+        pool.attach(2)
+    pool.detach(b)
+    assert pool.attach(0) == b
+    with pytest.raises(ValueError, match="group"):
+        pool.set_renderer(r0)  # grouped pool needs group=
+    with pytest.raises(ValueError, match="shared shape"):
+        pool.set_renderer(mismatched, group=1)
+    with pytest.raises(ValueError, match="out of range"):
+        pool.set_equalizer(_eq_def(1), group=7)
+
+
+def test_grouped_pool_set_renderer_resets_only_that_group():
+    r0 = _renderer(2 * BLOCK, 33)
+    r1 = _renderer(2 * BLOCK, 34)
+    r1b = _renderer(2 * BLOCK, 35)
+    gpool = StreamPool(4, 48_000.0, block_size=BLOCK,
+                       profiles=[PoolProfile(r0), PoolProfile(r1)])
+    # Reference: group 0 keeps streaming continuously; group 1 restarts on
+    # a fresh pool with the new bank at the swap point.
+    p0 = StreamPool(2, 48_000.0, r0, block_size=BLOCK)
+    s_g0, s_g1 = gpool.attach(0), gpool.attach(1)
+    s_r0 = p0.attach()
+    rng = np.random.default_rng(36)
+    sig = (rng.standard_normal((2, 2, 6 * BLOCK)) * 0.4).astype(np.float32)
+    for t in range(3):
+        sl = np.s_[:, t * BLOCK:(t + 1) * BLOCK]
+        gpool.push(s_g0, sig[0][sl])
+        gpool.push(s_g1, sig[1][sl])
+        p0.push(s_r0, sig[0][sl])
+        gpool.pump()
+        p0.pump()
+    gpool.set_renderer(r1b, group=1)
+    p1b = StreamPool(2, 48_000.0, r1b, block_size=BLOCK)
+    s_r1 = p1b.attach()
+    for t in range(3, 6):
+        sl = np.s_[:, t * BLOCK:(t + 1) * BLOCK]
+        gpool.push(s_g0, sig[0][sl])
+        gpool.push(s_g1, sig[1][sl])
+        p0.push(s_r0, sig[0][sl])
+        p1b.push(s_r1, sig[1][sl])
+        gpool.pump()
+        p0.pump()
+        p1b.pump()
+    # Group 0: uninterrupted parity across the swap.
+    np.testing.assert_allclose(
+        gpool.pull(s_g0, 6 * BLOCK), p0.pull(s_r0, 6 * BLOCK),
+        rtol=1e-4, atol=5e-5,
+    )
+    # Group 1 after the swap: fresh history through the new bank.
+    got1 = gpool.pull(s_g1, 6 * BLOCK)[:, 3 * BLOCK:]
+    want1 = p1b.pull(s_r1, 3 * BLOCK)
+    assert np.abs(want1).max() > 1e-3
+    np.testing.assert_allclose(got1, want1, rtol=1e-4, atol=5e-5)
+
+
+def test_grouped_pool_snapshot_restore():
+    r0 = _renderer(2 * BLOCK, 40)
+    r1 = _renderer(2 * BLOCK, 41)
+    profiles = [PoolProfile(r0, _eq_def(1)), PoolProfile(r1, _eq_def(2))]
+    a = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=profiles)
+    s0, s1 = a.attach(0), a.attach(1)
+    rng = np.random.default_rng(42)
+    sig = (rng.standard_normal((2, 2, 4 * BLOCK)) * 0.4).astype(np.float32)
+    for t in range(2):
+        sl = np.s_[:, t * BLOCK:(t + 1) * BLOCK]
+        a.push(s0, sig[0][sl])
+        a.push(s1, sig[1][sl])
+        a.pump()
+        a.pull(s0, BLOCK)
+        a.pull(s1, BLOCK)
+    a.set_equalizer(_eq_def(2), group=0)  # mid-flight retarget captured
+    snap = a.snapshot()
+
+    b = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=profiles)
+    b.restore(snap)
+    outs = []
+    for pool in (a, b):
+        for t in range(2, 4):
+            sl = np.s_[:, t * BLOCK:(t + 1) * BLOCK]
+            pool.push(s0, sig[0][sl])
+            pool.push(s1, sig[1][sl])
+            pool.pump()
+        outs.append(np.stack([pool.pull(s0, 2 * BLOCK),
+                              pool.pull(s1, 2 * BLOCK)]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    single = StreamPool(4, 48_000.0, r0, block_size=BLOCK)
+    with pytest.raises(ValueError, match="profile groups"):
+        single.restore(snap)
+
+
+def test_grouped_pool_over_mesh_matches_unsharded():
+    import jax
+    from airwave_tpu.parallel import mesh as pmesh
+
+    r0 = _renderer(2 * BLOCK, 50)
+    r1 = _renderer(2 * BLOCK, 51)
+    profiles = [PoolProfile(r0, _eq_def(1)), PoolProfile(r1, None)]
+    mesh = pmesh.make_mesh(jax.devices("cpu")[:4], ("streams",))
+    sharded = StreamPool(8, 48_000.0, block_size=BLOCK, profiles=profiles,
+                         mesh=mesh)
+    plain = StreamPool(8, 48_000.0, block_size=BLOCK, profiles=profiles)
+    lanes_s = [sharded.attach(g) for g in (0, 0, 1, 1)]
+    lanes_p = [plain.attach(g) for g in (0, 0, 1, 1)]
+    rng = np.random.default_rng(52)
+    sig = (rng.standard_normal((4, 2, 4 * BLOCK)) * 0.4).astype(np.float32)
+    schedule = (rng.random((6, 4)) < 0.75)
+    schedule[0] = True
+    got = _run_schedule(list(zip([sharded] * 4, lanes_s)), sig, schedule,
+                        BLOCK)
+    want = _run_schedule(list(zip([plain] * 4, lanes_p)), sig, schedule,
+                         BLOCK)
+    for g, w in zip(got, want):
+        assert np.abs(w).max() > 1e-3
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
