@@ -251,11 +251,15 @@ def _reference_hrir_wav():
 
 
 def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
-               blocks_per_step: int = 1):
+               blocks_per_step: int = 1, groups: int = 1):
     """Pool-bench fixture: (conv_params, eq_params, PoolState, x) for the
     StreamPool's jitted round at the bench shapes (exact partitions, the
     renderer default). Shared by measure_pool and scripts/profile_chain so
-    the profiler always profiles exactly what the bench measures."""
+    the profiler always profiles exactly what the bench measures.
+
+    groups=G builds the GROUPED multi-profile fixture (G distinct HRIR
+    banks + G distinct EQ cascades stacked on the group axis — the
+    StreamPool(profiles=[...]) round)."""
     import jax
     import jax.numpy as jnp
 
@@ -265,16 +269,24 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
     from airwave_tpu.ops import eq_block, upols
     from airwave_tpu.runtime.stream_pool import PoolState
 
-    filters = tuple(
-        EqualizerFilter(i + 1, i + 1, True,
-                        (FilterType.PEAKING, FilterType.LOW_SHELF,
-                         FilterType.HIGH_SHELF)[i % 3],
-                        100.0 * (i + 1) + 60.0, (-1.0) ** i * 2.0, 0.9)
-        for i in range(10)
-    )
-    preamp, coeffs = bd.design_cascade(EqualizerDefinition(-2.5, filters),
-                                       SAMPLE_RATE)
-    eq_params = eq_block.make_eq_params(coeffs, preamp, BLOCK)
+    groups = int(groups)
+    assert batch % groups == 0, (batch, groups)
+    eq_singles = []
+    for g in range(groups):
+        filters = tuple(
+            EqualizerFilter(i + 1, i + 1, True,
+                            (FilterType.PEAKING, FilterType.LOW_SHELF,
+                             FilterType.HIGH_SHELF)[i % 3],
+                            100.0 * (i + 1) + 60.0 + 13.0 * g,
+                            (-1.0) ** i * (2.0 + 0.3 * g), 0.9)
+            for i in range(10)
+        )
+        preamp, coeffs = bd.design_cascade(
+            EqualizerDefinition(-2.5 + 0.5 * g, filters), SAMPLE_RATE
+        )
+        eq_singles.append(eq_block.make_eq_params(coeffs, preamp, BLOCK))
+    eq_params = (eq_singles[0] if groups == 1
+                 else eq_block.stack_eq_params(eq_singles))
     M = int(blocks_per_step)
     x_shape = ((batch, speakers, M, BLOCK) if M > 1
                else (batch, speakers, BLOCK))
@@ -302,6 +314,18 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
             hrir[:, :, 0] += 0.8
     conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
                                          lookahead=M)
+    if groups > 1:
+        # G distinct banks, same length (one shared delay-line shape).
+        conv_singles = [conv_params]
+        for g in range(1, groups):
+            rg = np.random.default_rng(100 + g)
+            hg = (rg.standard_normal(hrir.shape) * 0.05).astype(np.float32)
+            hg[:, :, 0] += 0.8
+            conv_singles.append(
+                upols.make_conv_params(hg, BLOCK, pad_to_pow2=False,
+                                       lookahead=M)
+            )
+        conv_params = upols.stack_conv_params(conv_singles)
     if M > 1:
         conv_state = upols.make_conv_state_paged(
             batch, speakers, conv_params.partition_count, BLOCK, M
@@ -369,7 +393,8 @@ def make_pool_runner(variant: str, steps: int, unroll: int):
 
 def measure_pool(batch: int, blocks_per_call: int, calls: int,
                  hrir_seconds: float = None, speakers: int = 2,
-                 active_fraction: float = 1.0, blocks_per_step: int = 1):
+                 active_fraction: float = 1.0, blocks_per_step: int = 1,
+                 groups: int = 1):
     """Serving-path device number: the StreamPool's jitted round
     (shared-cursor ring step + device scatter/gather of the harvested
     rows, in the unmasked ring_all variant pump selects when every
@@ -387,7 +412,7 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
 
     conv_params, eq_params, state, x = build_pool(
         batch, hrir_seconds=hrir_seconds, speakers=speakers,
-        blocks_per_step=blocks_per_step,
+        blocks_per_step=blocks_per_step, groups=groups,
     )
     M = int(blocks_per_step)
     if not (0.0 < active_fraction <= 1.0):
@@ -721,6 +746,11 @@ def main():
                              "(StreamPool(blocks_per_step=M) — paged line "
                              "+ folded EQ, +up to M blocks latency, ~M× "
                              "fewer host rounds per block)")
+    parser.add_argument("--pool-groups", type=int, default=1,
+                        help="with --pool: bench the grouped multi-profile "
+                             "round (StreamPool(profiles=[...]) — G "
+                             "distinct HRIR banks + EQ cascades in one "
+                             "step)")
     parser.add_argument("--pool-host", action="store_true",
                         help="end-to-end host serving loop through the real "
                              "StreamPool (rings + transfers + pulls)")
@@ -805,7 +835,8 @@ def main():
                         hrir_seconds=args.hrir_seconds,
                         speakers=args.speakers,
                         active_fraction=args.pool_active_fraction,
-                        blocks_per_step=args.pool_blocks)
+                        blocks_per_step=args.pool_blocks,
+                        groups=args.pool_groups)
                     breakdown = None
                 else:
                     rounds = args.blocks or (4 if args.smoke else 24)
@@ -841,6 +872,8 @@ def main():
         }
         if args.pool and args.pool_active_fraction != 1.0:
             out["active_fraction"] = args.pool_active_fraction
+        if args.pool and args.pool_groups > 1:
+            out["profile_groups"] = args.pool_groups
         if args.pool_blocks > 1:
             out["blocks_per_step"] = args.pool_blocks
         if breakdown:
