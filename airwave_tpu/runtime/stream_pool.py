@@ -545,10 +545,15 @@ class StreamPool:
         m = jnp.asarray(mask)
         reset = (upols.conv_reset_paged if self.blocks_per_step > 1
                  else upols.conv_reset)
-        self._state = PoolState(
-            conv=reset(self._state.conv, m),
-            eq=eq_block.eq_reset(self._state.eq, m),
+        eq = eq_block.eq_reset(self._state.eq, m)
+        # A fresh lane hears the ACTIVE target directly (the reference
+        # prepares new EqualizerState at the current target — no ramp
+        # replay): idle its counter so any in-flight pool ramp blends to
+        # weight 1.0 on the 'to' cascade for this lane.
+        eq = eq._replace(
+            counter=jnp.where(m, eq_block.COUNTER_IDLE, eq.counter)
         )
+        self._state = PoolState(conv=reset(self._state.conv, m), eq=eq)
 
     # --- control ----------------------------------------------------------------------
 

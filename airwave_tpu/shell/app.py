@@ -307,12 +307,45 @@ def build_serve_pool(args):
     from airwave_tpu.io import wav as wav_io
     from airwave_tpu.runtime.stream_pool import StreamPool
 
-    hrir = wav_io.load(args.hrir)
     layout = {"stereo": cm.STEREO, "7.1": cm.SURROUND_7_1,
               "7.1.4": cm.ATMOS_7_1_4}[args.layout]
     blocks_per_step = getattr(args, "blocks_per_step", 1) or 1
-    renderer = prepare_renderer(hrir, layout, args.sample_rate,
-                                lookahead=blocks_per_step)
+    profile_specs = getattr(args, "profile", None) or []
+    if profile_specs and args.hrir:
+        raise SystemExit("pass either --hrir/--eq or --profile, not both")
+    if not profile_specs and not args.hrir:
+        raise SystemExit("one of --hrir or --profile is required")
+    profiles = None
+    if profile_specs:
+        from airwave_tpu.runtime.stream_pool import PoolProfile
+
+        parsed = []
+        for spec in profile_specs:
+            hrir_path, _, eq_path = spec.partition(":")
+            parsed.append((hrir_path, eq_path or None))
+        rends = [
+            prepare_renderer(wav_io.load(h), layout, args.sample_rate,
+                             lookahead=blocks_per_step)
+            for h, _ in parsed
+        ]
+        # Align differing HRIR lengths onto one shared delay-line shape.
+        max_p = max(r.partition_count for r in rends)
+        rends = [
+            r if r.partition_count == max_p else prepare_renderer(
+                wav_io.load(parsed[i][0]), layout, args.sample_rate,
+                lookahead=blocks_per_step, partitions=max_p,
+            )
+            for i, r in enumerate(rends)
+        ]
+        profiles = [
+            PoolProfile(r, _load_equalizer(eq_path))
+            for r, (_, eq_path) in zip(rends, parsed)
+        ]
+        renderer = None
+    else:
+        hrir = wav_io.load(args.hrir)
+        renderer = prepare_renderer(hrir, layout, args.sample_rate,
+                                    lookahead=blocks_per_step)
     mesh = None
     if args.mesh_devices:
         from jax.sharding import Mesh
@@ -334,9 +367,10 @@ def build_serve_pool(args):
         max_streams=args.max_streams,
         sample_rate=args.sample_rate,
         renderer=renderer,
-        eq_definition=_load_equalizer(args.eq),
+        eq_definition=(None if profiles else _load_equalizer(args.eq)),
         mesh=mesh,
         blocks_per_step=blocks_per_step,
+        profiles=profiles,
     )
     pool.prewarm()  # compile every bucket shape before accepting traffic
     return pool, layout
@@ -357,7 +391,8 @@ def cmd_serve(args) -> int:
                       "max_streams": args.max_streams,
                       "layout": layout.name,
                       "mesh_devices": args.mesh_devices or 1,
-                      "blocks_per_step": pool.blocks_per_step}), flush=True)
+                      "blocks_per_step": pool.blocks_per_step,
+                      "profile_groups": pool.groups}), flush=True)
     try:
         while True:
             time.sleep(1.0)
@@ -425,8 +460,14 @@ def build_parser() -> argparse.ArgumentParser:
     demo.set_defaults(fn=cmd_demo)
 
     serve = sub.add_parser("serve", help="TCP streaming render server")
-    serve.add_argument("--hrir", required=True)
+    serve.add_argument("--hrir", help="HRIR WAV (single-profile pool)")
     serve.add_argument("--eq")
+    serve.add_argument("--profile", action="append",
+                       help="HRIR.wav[:EQ.txt] — repeat for a grouped "
+                            "multi-tenant pool (per-group HRIR + EQ, one "
+                            "shared device step; clients pick a group via "
+                            'the {"group": G} header field). Mutually '
+                            "exclusive with --hrir/--eq.")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=7711)
     serve.add_argument("--sample-rate", type=float, default=48_000.0)

@@ -13,10 +13,13 @@ serializing N separate steps (the pool's whole purpose). A short batch
 window lets concurrent pushes coalesce before the pump fires.
 
 Wire protocol (little-endian):
-  client -> server:  one JSON line {"channels": C}\n
+  client -> server:  one JSON line {"channels": C[, "group": G]}\n
                      then frames: uint32 n | float32 data[C*n]  (n == 0: EOF)
   server -> client:  frames: uint32 n | float32 data[2*n]
-Wire limits: C must be 1 (mono duplicated) or the pool's speaker count, and
+"group" (default 0) selects the client's profile group on a grouped
+multi-tenant pool (StreamPool(profiles=[...]): per-group HRIR + EQ, one
+shared device step).
+Wire limits: C must be 1 (mono duplicated) or the group's speaker count, and
 each message's n is capped at ring capacity minus (step - 1) frames by
 default — the largest size guaranteed to eventually fit past any
 un-harvestable sub-step residue (step = block, or M blocks on a
@@ -113,23 +116,27 @@ class RenderServer:
                                                daemon=True)
         self._accept_thread.start()
 
-    def set_equalizer(self, definition) -> None:
-        """Live pool-wide EQ retarget, serialized against the pump thread
-        (the reference's no-restart live-EQ fast path,
+    def set_equalizer(self, definition, group: Optional[int] = None) -> None:
+        """Live EQ retarget, serialized against the pump thread (the
+        reference's no-restart live-EQ fast path,
         AudioRuntimeController.swift:154-158). Streams mid-render crossfade
-        per the pool's ramp semantics."""
+        per the pool's ramp semantics. On a grouped pool, `group=g`
+        retargets only that profile group's clients."""
         with self._lock:
-            self.pool.set_equalizer(definition)
+            self.pool.set_equalizer(definition, group=group)
 
-    def set_renderer(self, renderer, prewarm: bool = True) -> None:
-        """Live pool-wide HRIR swap (the reference's full-reprepare path:
-        conv history restarts for every stream). Serving pauses under the
-        lock for the swap — and, by default, for a prewarm when the new
-        renderer's partition/speaker shape differs (otherwise the first
-        rounds after the swap would stall on jit compiles instead)."""
+    def set_renderer(self, renderer, prewarm: bool = True,
+                     group: Optional[int] = None) -> None:
+        """Live HRIR swap (the reference's full-reprepare path: conv
+        history restarts for the affected streams). Serving pauses under
+        the lock for the swap — and, by default, for a prewarm when the
+        new renderer's partition/speaker shape differs (otherwise the
+        first rounds after the swap would stall on jit compiles instead).
+        On a grouped pool pass `group=g` (grouped swaps keep the shared
+        shape, so no re-prewarm is needed)."""
         with self._lock:
             old = self.pool.renderer
-            self.pool.set_renderer(renderer)
+            self.pool.set_renderer(renderer, group=group)
             shape_changed = (
                 old.partition_count != renderer.partition_count
                 or old.num_speakers != renderer.num_speakers
@@ -249,17 +256,22 @@ class RenderServer:
                 return  # finally sends the clean EOF frame
             try:
                 channels = int(header.get("channels", 2))
+                group = int(header.get("group", 0))
             except (TypeError, ValueError):
                 self.protocol_errors += 1
                 return
-            if channels not in (1, self.pool.renderer.num_speakers,
-                                self.pool.renderer.layout_channels):
+            if not (0 <= group < self.pool.groups):
+                self.protocol_errors += 1
+                return
+            renderer = self.pool.renderers[group]
+            if channels not in (1, renderer.num_speakers,
+                                renderer.layout_channels):
                 self.protocol_errors += 1
                 return
 
             with self._lock:
                 try:
-                    stream = self.pool.attach()
+                    stream = self.pool.attach(group)
                 except RuntimeError:
                     # Pool at max_streams: refuse THIS client cleanly
                     # instead of killing its serving thread.
@@ -344,12 +356,16 @@ class RenderServer:
 
 
 def render_via_server(address, audio: np.ndarray,
-                      chunk: int = 1024) -> np.ndarray:
-    """Reference client: stream [C, n] audio, return rendered [2, n]."""
+                      chunk: int = 1024, group: int = 0) -> np.ndarray:
+    """Reference client: stream [C, n] audio, return rendered [2, n].
+    `group` selects the profile group on a grouped (multi-tenant) pool."""
     channels, total = audio.shape
     conn = socket.create_connection(address, timeout=30)
     try:
-        conn.sendall(json.dumps({"channels": channels}).encode() + b"\n")
+        header = {"channels": channels}
+        if group:
+            header["group"] = group
+        conn.sendall(json.dumps(header).encode() + b"\n")
         rendered = []
 
         def reader():

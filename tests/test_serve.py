@@ -378,3 +378,151 @@ def test_roundtrip_through_multiblock_pool_matches_oracle():
         assert srv.truncated_closes == 0 and srv.pump_errors == 0
     finally:
         srv.stop()
+
+
+def test_grouped_server_routes_clients_to_their_profiles():
+    """Two profile groups, concurrent clients in each: every client's
+    render matches a single-profile server running its group's HRIR bank
+    (EQ-less here: the EQ crossfade clock is round-based by design, so
+    concurrent scheduling legitimately varies it — EQ group parity is the
+    sequential test below); a bad group header closes cleanly without
+    killing the server."""
+    import socket
+
+    from airwave_tpu.runtime.stream_pool import PoolProfile
+
+    rng = np.random.default_rng(7)
+    banks = [(rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+             for _ in range(2)]
+    rends = [prepare_renderer(WAVData(48_000.0, a), cm.STEREO, 48_000.0,
+                              BLOCK) for a in banks]
+    grouped = StreamPool(8, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(rends[0], None), PoolProfile(rends[1], None),
+    ])
+    srv = RenderServer(grouped, port=0)
+    srv.start()
+    singles = []
+    for g in (0, 1):
+        p = StreamPool(4, 48_000.0, rends[g], block_size=BLOCK)
+        s = RenderServer(p, port=0)
+        s.start()
+        singles.append(s)
+    try:
+        n = 5 * BLOCK
+        x = (rng.standard_normal((4, 2, n)) * 0.3).astype(np.float32)
+        got = [None] * 4
+        groups = [0, 1, 0, 1]
+
+        def client(i):
+            got[i] = render_via_server(srv.address, x[i], chunk=97,
+                                       group=groups[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(4):
+            want = render_via_server(singles[groups[i]].address, x[i],
+                                     chunk=97)
+            assert np.abs(want).max() > 1e-3
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=5e-5)
+
+        # Out-of-range group: clean protocol error, server stays up.
+        errs = srv.protocol_errors
+        conn = socket.create_connection(srv.address, timeout=10)
+        conn.sendall(b'{"channels": 2, "group": 9}\n')
+        assert conn.recv(16) in (b"\x00\x00\x00\x00", b"")
+        conn.close()
+        assert srv.protocol_errors == errs + 1
+        y = render_via_server(srv.address, x[0], group=1)
+        assert y.shape == (2, n)
+    finally:
+        srv.stop()
+        for s in singles:
+            s.stop()
+
+
+def test_grouped_server_eq_groups_match_single_profile_sequentially():
+    """One client at a time (deterministic round clock): a grouped
+    server's EQ'd group matches a single-profile EQ server, and its
+    unity group stays EQ-free."""
+    from airwave_tpu.io.apo import (EqualizerDefinition, EqualizerFilter,
+                                    FilterType)
+    from airwave_tpu.runtime.stream_pool import PoolProfile
+
+    rng = np.random.default_rng(8)
+    bank = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    rend = prepare_renderer(WAVData(48_000.0, bank), cm.STEREO, 48_000.0,
+                            BLOCK)
+    eq1 = EqualizerDefinition(-1.0, (
+        EqualizerFilter(1, 1, True, FilterType.PEAKING, 800.0, 6.0, 1.0),
+    ))
+    grouped = StreamPool(8, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(rend, None), PoolProfile(rend, eq1),
+    ])
+    srv = RenderServer(grouped, port=0)
+    srv.start()
+    p_eq = StreamPool(4, 48_000.0, rend, eq_definition=eq1,
+                      block_size=BLOCK)
+    srv_eq = RenderServer(p_eq, port=0)
+    srv_eq.start()
+    p_plain = StreamPool(4, 48_000.0, rend, block_size=BLOCK)
+    srv_plain = RenderServer(p_plain, port=0)
+    srv_plain.start()
+    try:
+        n = 4 * BLOCK
+        x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+        got1 = render_via_server(srv.address, x, chunk=BLOCK, group=1)
+        want1 = render_via_server(srv_eq.address, x, chunk=BLOCK)
+        np.testing.assert_allclose(got1, want1, rtol=1e-4, atol=5e-5)
+        got0 = render_via_server(srv.address, x, chunk=BLOCK, group=0)
+        want0 = render_via_server(srv_plain.address, x, chunk=BLOCK)
+        np.testing.assert_allclose(got0, want0, rtol=1e-4, atol=5e-5)
+        # The two groups render genuinely different audio (the EQ bites).
+        assert np.sqrt(np.mean((got1 - got0) ** 2)) > 1e-3
+    finally:
+        srv.stop()
+        srv_eq.stop()
+        srv_plain.stop()
+
+
+def test_build_serve_pool_profiles_aligns_partition_counts(tmp_path):
+    """--profile specs with different HRIR lengths build one grouped pool
+    (shorter banks padded onto the shared partition count)."""
+    import argparse
+
+    from airwave_tpu.io import wav as wav_io
+    from airwave_tpu.shell.app import build_serve_pool
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i, frames in enumerate((600, 1500)):  # 2 vs 3 partitions @ 512
+        audio = (rng.standard_normal((14, frames)) * 0.2).astype(np.float32)
+        path = tmp_path / f"bank{i}.wav"
+        wav_io.save(str(path), audio, 48_000.0)
+        paths.append(str(path))
+    eq_path = tmp_path / "p.txt"
+    eq_path.write_text("Preamp: -2 dB\nFilter 1: ON PK Fc 900 Hz Gain 2 dB"
+                       " Q 1.0\n")
+    args = argparse.Namespace(
+        hrir=None, eq=None, layout="stereo", sample_rate=48_000.0,
+        max_streams=4, mesh_devices=0, blocks_per_step=1,
+        profile=[paths[0], f"{paths[1]}:{eq_path}"],
+    )
+    pool, _layout = build_serve_pool(args)
+    assert pool.groups == 2
+    assert (pool.renderers[0].partition_count
+            == pool.renderers[1].partition_count == 3)
+    # Targets are observed at the first pump round; the constructor
+    # publishes them.
+    assert pool.eq_runtimes[0]._published is None
+    assert pool.eq_runtimes[1]._published.definition is not None
+
+    both = argparse.Namespace(**{**vars(args), "hrir": paths[0]})
+    with pytest.raises(SystemExit, match="not both"):
+        build_serve_pool(both)
+    neither = argparse.Namespace(**{**vars(args), "profile": None})
+    with pytest.raises(SystemExit, match="required"):
+        build_serve_pool(neither)
