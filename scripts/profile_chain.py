@@ -76,6 +76,9 @@ def main() -> int:
     ap.add_argument("--pool", action="store_true",
                     help="profile the serving pool's ring step instead of "
                          "the bake chain")
+    ap.add_argument("--pool-groups", type=int, default=1,
+                    help="with --pool: profile the grouped multi-profile "
+                         "round (bench --pool-groups)")
     ap.add_argument("--pool-blocks", type=int, default=None,
                     help="alias for --blocks-per-step in --pool mode "
                          "(StreamPool(blocks_per_step=M), paged_id round)")
@@ -108,6 +111,7 @@ def main() -> int:
         conv_params, eq_params, state, x = bench.build_pool(
             args.batch, hrir_seconds=args.hrir_seconds,
             speakers=args.speakers, blocks_per_step=M,
+            groups=args.pool_groups,
         )
         n_pages = len(state.conv.pages) if M > 1 else 1
         blocks = args.blocks + (-args.blocks) % M

@@ -34,7 +34,16 @@ def main() -> int:
                         help="validate the serving pool's ring step "
                              "(shared cursor + masked writes + debt rolls "
                              "under a ragged pause schedule)")
+    parser.add_argument("--pool-groups", type=int, default=1,
+                        help="with --pool: validate the grouped "
+                             "multi-profile pool (G distinct HRIR banks + "
+                             "EQ cascades, each lane vs its own group's "
+                             "f64 oracle)")
     args = parser.parse_args()
+    if args.pool_groups > 1 and not args.pool:
+        parser.error("--pool-groups requires --pool")
+    if args.batch % args.pool_groups:
+        parser.error("--batch must divide by --pool-groups")
 
     import jax
 
@@ -51,18 +60,25 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     T, S = 512, 2
-    hrir = (rng.standard_normal((S, 2, 4320)) * 0.05).astype(np.float32)
-    hrir[:, :, 0] += 0.8
-    filters = tuple(
-        EqualizerFilter(i + 1, i + 1, True,
-                        (FilterType.PEAKING, FilterType.LOW_SHELF,
-                         FilterType.HIGH_SHELF)[i % 3],
-                        100.0 * (i + 1) + 60.0, (-1.0) ** i * 2.0, 0.9)
-        for i in range(10)
-    )
-    preamp, coeffs = bd.design_cascade(
-        EqualizerDefinition(-2.5, filters), 48_000.0
-    )
+    G = args.pool_groups
+    hrirs, eq_defs, designs = [], [], []
+    for g in range(G):
+        h = (np.random.default_rng(g).standard_normal((S, 2, 4320))
+             * 0.05).astype(np.float32)
+        h[:, :, 0] += 0.8
+        hrirs.append(h)
+        filt = tuple(
+            EqualizerFilter(i + 1, i + 1, True,
+                            (FilterType.PEAKING, FilterType.LOW_SHELF,
+                             FilterType.HIGH_SHELF)[i % 3],
+                            100.0 * (i + 1) + 60.0 + 11.0 * g,
+                            (-1.0) ** i * (2.0 + 0.25 * g), 0.9)
+            for i in range(10)
+        )
+        eq_defs.append(EqualizerDefinition(-2.5 + 0.4 * g, filt))
+        designs.append(bd.design_cascade(eq_defs[-1], 48_000.0))
+    hrir = hrirs[0]
+    preamp, coeffs = designs[0]
     eq_params = eq_block.make_eq_params(coeffs, preamp, T)
     B, N = args.batch, args.blocks
     # Multi-block paths consume whole M-block steps: round the block count
@@ -79,21 +95,34 @@ def main() -> int:
         # validates the multi-block throughput tier instead (paged line +
         # folded EQ + page-granular debt rolls).
         from airwave_tpu.graph.renderer import RendererState
-        from airwave_tpu.runtime.stream_pool import StreamPool
+        from airwave_tpu.runtime.stream_pool import PoolProfile, StreamPool
 
         M = args.blocks_per_step
         step_t = M * T
-        conv_params = upols.make_conv_params(hrir, T, pad_to_pow2=False,
-                                             lookahead=M)
-        renderer = RendererState(
-            conv_params=conv_params, speakers=("FL", "FR"),
-            sample_rate=48_000.0, block_size=T, lookahead=M,
-        )
-        pool = StreamPool(B, 48_000.0, renderer,
-                          eq_definition=EqualizerDefinition(-2.5, filters),
-                          block_size=T, ring_blocks=max(N + 2, 4),
-                          blocks_per_step=M)
-        streams = [pool.attach() for _ in range(B)]
+
+        def mk_renderer(h):
+            return RendererState(
+                conv_params=upols.make_conv_params(h, T, pad_to_pow2=False,
+                                                   lookahead=M),
+                speakers=("FL", "FR"),
+                sample_rate=48_000.0, block_size=T, lookahead=M,
+            )
+
+        if G > 1:
+            pool = StreamPool(
+                B, 48_000.0, block_size=T, ring_blocks=max(N + 2, 4),
+                blocks_per_step=M,
+                profiles=[PoolProfile(mk_renderer(hrirs[g]), eq_defs[g])
+                          for g in range(G)],
+            )
+            streams = [pool.attach(g) for g in range(G)
+                       for _ in range(B // G)]
+        else:
+            pool = StreamPool(B, 48_000.0, mk_renderer(hrir),
+                              eq_definition=eq_defs[0],
+                              block_size=T, ring_blocks=max(N + 2, 4),
+                              blocks_per_step=M)
+            streams = [pool.attach() for _ in range(B)]
         # Let the activation unity->target ramp finish on silence so the
         # steady state matches the oracle's immediate-target application.
         ramp_rounds = -(-960 // step_t) + 1
@@ -190,15 +219,17 @@ def main() -> int:
 
     worst = 0.0
     for b in range(B):
+        g = b // (B // G)  # lane's profile group (contiguous segments)
         ref = np.zeros((2, N * T))
         for s in range(S):
             for e in range(2):
-                oracle = UPOLSOracle(hrir[s, e], T)
+                oracle = UPOLSOracle(hrirs[g][s, e], T)
                 ref[e] += np.concatenate(
                     [oracle.process(x[b, s, i * T:(i + 1) * T])
                      for i in range(N)]
                 )
-        eq_oracle = EqCascadeOracle(coeffs, preamp, 48_000.0)
+        g_preamp, g_coeffs = designs[g]
+        eq_oracle = EqCascadeOracle(g_coeffs, g_preamp, 48_000.0)
         rl, rr = eq_oracle.process(ref[0].astype(np.float32),
                                    ref[1].astype(np.float32))
         ref = np.stack([rl, rr])
@@ -217,6 +248,7 @@ def main() -> int:
         "device": str(_jax.devices()[0]),
         "pallas": bool(args.pallas),
         "pool": bool(args.pool),
+        "pool_groups": args.pool_groups,
         "blocks_per_step": args.blocks_per_step,
         "batch": B,
         "blocks": N,
