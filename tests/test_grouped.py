@@ -545,3 +545,63 @@ def test_grouped_pool_over_mesh_matches_unsharded():
     for g, w in zip(got, want):
         assert np.abs(w).max() > 1e-3
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
+
+
+def test_grouped_server_churn_across_groups():
+    """CI-scale churn: waves of clients across both groups with live
+    per-group retargets between waves; no slot leaks, per-group free
+    lists intact, every render finite and shape-correct."""
+    import time
+
+    from airwave_tpu.shell.serve import RenderServer, render_via_server
+
+    rng = np.random.default_rng(60)
+    banks = [(rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+             for _ in range(2)]
+    rends = [prepare_renderer(WAVData(48_000.0, a), cm.STEREO, 48_000.0,
+                              BLOCK) for a in banks]
+    pool = StreamPool(6, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(rends[0], _eq_def(1)), PoolProfile(rends[1], None),
+    ])
+    srv = RenderServer(pool, port=0)
+    srv.start()
+    try:
+        import threading
+
+        for wave in range(4):
+            if wave == 2:
+                srv.set_equalizer(_eq_def(2), group=1)
+            k = 2 + wave % 2
+            signals = [
+                (rng.standard_normal(
+                    (2, (1 + wave % 3) * BLOCK + wave % 13)) * 0.3
+                 ).astype(np.float32)
+                for _ in range(k)
+            ]
+            results = [None] * k
+            threads = [
+                threading.Thread(
+                    target=lambda i=i: results.__setitem__(
+                        i, render_via_server(srv.address, signals[i],
+                                             chunk=83, group=i % 2)
+                    )
+                )
+                for i in range(k)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            for i, r in enumerate(results):
+                assert r is not None and r.shape == signals[i].shape, (
+                    wave, i)
+                assert np.all(np.isfinite(r))
+        deadline = time.monotonic() + 5
+        while pool._attached and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert not pool._attached
+        for g, fl in enumerate(pool._free_by_group):
+            assert sorted(fl) == list(range(g * 3, (g + 1) * 3)), (g, fl)
+        assert srv.pump_errors == 0 and pool.render_errors == 0
+    finally:
+        srv.stop()
