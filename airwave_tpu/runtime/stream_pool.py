@@ -628,6 +628,10 @@ class StreamPool:
             )
             self._debt[lo:hi] = 0
             return
+        if group not in (None, 0):
+            raise ValueError(
+                f"group {group} out of range for a single-profile pool"
+            )
         old = self.renderer
         self.renderer = renderer
         self.renderers[0] = renderer

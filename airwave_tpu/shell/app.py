@@ -311,7 +311,7 @@ def build_serve_pool(args):
               "7.1.4": cm.ATMOS_7_1_4}[args.layout]
     blocks_per_step = getattr(args, "blocks_per_step", 1) or 1
     profile_specs = getattr(args, "profile", None) or []
-    if profile_specs and args.hrir:
+    if profile_specs and (args.hrir or args.eq):
         raise SystemExit("pass either --hrir/--eq or --profile, not both")
     if not profile_specs and not args.hrir:
         raise SystemExit("one of --hrir or --profile is required")
@@ -323,16 +323,18 @@ def build_serve_pool(args):
         for spec in profile_specs:
             hrir_path, _, eq_path = spec.partition(":")
             parsed.append((hrir_path, eq_path or None))
+        banks = [wav_io.load(h) for h, _ in parsed]  # one load per path
         rends = [
-            prepare_renderer(wav_io.load(h), layout, args.sample_rate,
+            prepare_renderer(bank, layout, args.sample_rate,
                              lookahead=blocks_per_step)
-            for h, _ in parsed
+            for bank in banks
         ]
-        # Align differing HRIR lengths onto one shared delay-line shape.
+        # Align differing HRIR lengths onto one shared delay-line shape
+        # (re-prepare only the shorter banks, from the cached WAVData).
         max_p = max(r.partition_count for r in rends)
         rends = [
             r if r.partition_count == max_p else prepare_renderer(
-                wav_io.load(parsed[i][0]), layout, args.sample_rate,
+                banks[i], layout, args.sample_rate,
                 lookahead=blocks_per_step, partitions=max_p,
             )
             for i, r in enumerate(rends)

@@ -263,13 +263,16 @@ class RenderServer:
             if not (0 <= group < self.pool.groups):
                 self.protocol_errors += 1
                 return
-            renderer = self.pool.renderers[group]
-            if channels not in (1, renderer.num_speakers,
-                                renderer.layout_channels):
-                self.protocol_errors += 1
-                return
 
             with self._lock:
+                # The group's renderer is read under the pool lock so a
+                # concurrent set_renderer(group=...) cannot race the
+                # admission check against a stale layout.
+                renderer = self.pool.renderers[group]
+                if channels not in (1, renderer.num_speakers,
+                                    renderer.layout_channels):
+                    self.protocol_errors += 1
+                    return
                 try:
                     stream = self.pool.attach(group)
                 except RuntimeError:

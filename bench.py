@@ -270,7 +270,11 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
     from airwave_tpu.runtime.stream_pool import PoolState
 
     groups = int(groups)
-    assert batch % groups == 0, (batch, groups)
+    if groups < 1 or batch % groups:
+        raise ValueError(
+            f"batch ({batch}) must divide by the profile-group count "
+            f"({groups})"
+        )
     eq_singles = []
     for g in range(groups):
         filters = tuple(
@@ -762,6 +766,10 @@ def main():
                         help="exit nonzero when only an error JSON could "
                              "be produced (CI release gates)")
     args = parser.parse_args()
+    if args.pool_groups < 1:
+        parser.error("--pool-groups must be >= 1")
+    if args.pool_groups > 1 and not args.pool:
+        parser.error("--pool-groups requires --pool")
     if args.pallas:
         args.blocks_per_step = 1  # the fused kernel path is single-block
 
@@ -824,6 +832,9 @@ def main():
             batch = args.batch or 8
         else:
             batch = args.batch or 8192
+        if batch % args.pool_groups:
+            parser.error(f"--batch {batch} must divide by --pool-groups "
+                         f"{args.pool_groups}")
         last_error = None
         for _attempt in range(4):
             try:

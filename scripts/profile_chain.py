@@ -94,6 +94,14 @@ def main() -> int:
             ap.error(f"--pool-blocks {args.pool_blocks} conflicts with "
                      f"--blocks-per-step {args.blocks_per_step}")
         args.blocks_per_step = args.pool_blocks
+    if args.pool_groups < 1:
+        ap.error("--pool-groups must be >= 1")
+    if args.pool_groups > 1:
+        if not args.pool:
+            ap.error("--pool-groups requires --pool")
+        if args.batch % args.pool_groups:
+            ap.error(f"--batch {args.batch} must divide by --pool-groups "
+                     f"{args.pool_groups}")
     if args.blocks_per_step is None:
         args.blocks_per_step = 1 if args.pool else 8
 

@@ -40,6 +40,8 @@ def main() -> int:
                              "EQ cascades, each lane vs its own group's "
                              "f64 oracle)")
     args = parser.parse_args()
+    if args.pool_groups < 1:
+        parser.error("--pool-groups must be >= 1")
     if args.pool_groups > 1 and not args.pool:
         parser.error("--pool-groups requires --pool")
     if args.batch % args.pool_groups:
