@@ -1117,3 +1117,32 @@ class StreamPool:
         return self._out.out_available(stream) + sum(
             b.shape[1] for b in self._pending_out.get(stream, ())
         )
+
+    def stats(self) -> dict:
+        """Operational snapshot (host-side counters only — reading it
+        never touches the device or blocks the pump): occupancy, work
+        done, error counts, per-group attachment, and the EQ machines'
+        transition states. The serving frontend merges this into its own
+        stats line (RenderServer.stats)."""
+        per_group = None
+        if self.groups > 1:
+            q = self.group_size
+            per_group = [
+                int(self._attached_mask[g * q:(g + 1) * q].sum())
+                for g in range(self.groups)
+            ]
+        return {
+            "max_streams": self.max_streams,
+            "attached": len(self._attached),
+            "attached_per_group": per_group,
+            "groups": self.groups,
+            "blocks_per_step": self.blocks_per_step,
+            "rounds": self.rounds,
+            "blocks_rendered": self.blocks_rendered,
+            "render_errors": self.render_errors,
+            "stashed_streams": len(self._pending_out),
+            "lanes_in_debt": int((self._debt[self._attached_mask]
+                                  % self._cycle() != 0).sum()),
+            "eq_transitioning": [rt.is_transitioning
+                                 for rt in self.eq_runtimes],
+        }

@@ -395,9 +395,14 @@ def cmd_serve(args) -> int:
                       "mesh_devices": args.mesh_devices or 1,
                       "blocks_per_step": pool.blocks_per_step,
                       "profile_groups": pool.groups}), flush=True)
+    interval = getattr(args, "stats_interval", 0.0) or 0.0
+    next_stats = time.monotonic() + interval if interval > 0 else None
     try:
         while True:
             time.sleep(1.0)
+            if next_stats is not None and time.monotonic() >= next_stats:
+                print(json.dumps({"stats": server.stats()}), flush=True)
+                next_stats = time.monotonic() + interval
     except KeyboardInterrupt:
         server.stop()
     return 0
@@ -485,6 +490,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "round on the paged lookahead path (~1.3x "
                             "aggregate at M=8, +up to M blocks of latency; "
                             "1 = the zero-added-latency default)")
+    serve.add_argument("--stats-interval", type=float, default=0.0,
+                       help="seconds between JSON stats lines on stdout "
+                            "(0 = off): server counters + pool occupancy/"
+                            "rounds/errors")
     serve.add_argument("--cpu", action="store_true")
     serve.set_defaults(fn=cmd_serve)
 

@@ -144,6 +144,24 @@ class RenderServer:
             if prewarm and shape_changed:
                 self.pool.prewarm()
 
+    def stats(self) -> dict:
+        """Operational snapshot: server counters + the pool's (host-side
+        only, safe to poll — serialized against the pump so the pool's
+        counters are round-consistent)."""
+        with self._lock:
+            pool = self.pool.stats()
+        with self._threads_lock:
+            live = sum(t.is_alive() for t in self._threads)
+        return {
+            "connections_served": self.connections_served,
+            "connections_live": live,
+            "protocol_errors": self.protocol_errors,
+            "pump_errors": self.pump_errors,
+            "rejected_full": self.rejected_full,
+            "truncated_closes": self.truncated_closes,
+            "pool": pool,
+        }
+
     def stop(self) -> None:
         self._stopping = True
         try:

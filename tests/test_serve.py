@@ -526,3 +526,33 @@ def test_build_serve_pool_profiles_aligns_partition_counts(tmp_path):
     neither = argparse.Namespace(**{**vars(args), "profile": None})
     with pytest.raises(SystemExit, match="required"):
         build_serve_pool(neither)
+
+
+def test_server_stats_surface(server):
+    """stats() reports server counters + a round-consistent pool snapshot
+    without touching the device; grouped pools report per-group
+    occupancy."""
+    srv, _ = server
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((2, 3 * BLOCK)) * 0.3).astype(np.float32)
+    before = srv.stats()
+    assert before["pool"]["attached"] == 0
+    assert before["pool"]["attached_per_group"] is None
+    y = render_via_server(srv.address, x)
+    assert y.shape == x.shape
+    after = srv.stats()
+    assert after["connections_served"] == before["connections_served"] + 1
+    assert after["pool"]["rounds"] >= before["pool"]["rounds"] + 3
+    assert after["pool"]["blocks_rendered"] >= 3
+    assert after["pump_errors"] == 0 and after["pool"]["render_errors"] == 0
+
+    from airwave_tpu.runtime.stream_pool import PoolProfile
+
+    rend = srv.pool.renderer
+    gpool = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(rend, None), PoolProfile(rend, None),
+    ])
+    gpool.attach(1)
+    s = gpool.stats()
+    assert s["groups"] == 2 and s["attached_per_group"] == [0, 1]
+    assert s["lanes_in_debt"] == 0
