@@ -40,12 +40,14 @@ def _eq(gain_db: float) -> EqualizerDefinition:
     ))
 
 
-def _slow_reader_client(address, audio: np.ndarray, pause: float) -> int:
+def _slow_reader_client(address, audio: np.ndarray, pause: float,
+                        group: int = 0) -> int:
     """Send everything up front, then drain slowly — exercises the output
     ring's gated-harvest backpressure. Returns frames received."""
     conn = socket.create_connection(address, timeout=60)
     try:
-        conn.sendall(json.dumps({"channels": audio.shape[0]}).encode() + b"\n")
+        conn.sendall(json.dumps({"channels": audio.shape[0],
+                                 "group": group}).encode() + b"\n")
         chunk = 3 * BLOCK
         for start in range(0, audio.shape[1], chunk):
             piece = np.ascontiguousarray(audio[:, start:start + chunk])
@@ -79,14 +81,16 @@ def _slow_reader_client(address, audio: np.ndarray, pause: float) -> int:
 
 
 # Both serving tiers share the soak window: the default single-block pool
-# and the multi-block throughput tier (paged line + folded EQ + page-debt
-# rolls under churn).
-_TIERS = (1, 2)
+# (as a GROUPED 2-profile pool, so multi-tenant churn soaks too) and the
+# multi-block throughput tier (paged line + folded EQ + page-debt rolls
+# under churn, single-profile). Between them every serving design axis
+# (ring vs paged, grouped vs single) gets a long-run window.
+_TIERS = ((1, 2), (2, 1))
 
 
 @pytest.mark.soak
-@pytest.mark.parametrize("blocks_per_step", _TIERS)
-def test_render_server_soak(blocks_per_step):
+@pytest.mark.parametrize("blocks_per_step,groups", _TIERS)
+def test_render_server_soak(blocks_per_step, groups):
     # Per-TIER window (NOT divided by the tier count): selecting a single
     # parametrization with -k still soaks the full requested window. The
     # default full matrix = 300 s x 2 tiers = the release gate's 10 min.
@@ -95,9 +99,23 @@ def test_render_server_soak(blocks_per_step):
     hrir = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
     renderer = prepare_renderer(WAVData(48_000.0, hrir), cm.STEREO,
                                 48_000.0, BLOCK, lookahead=blocks_per_step)
-    pool = StreamPool(12, 48_000.0, renderer, eq_definition=_eq(3.0),
-                      block_size=BLOCK, ring_blocks=4 * blocks_per_step,
-                      blocks_per_step=blocks_per_step)
+    if groups > 1:
+        from airwave_tpu.runtime.stream_pool import PoolProfile
+
+        hrir_b = (np.random.default_rng(24).standard_normal((14, 300))
+                  * 0.2).astype(np.float32)
+        renderer_b = prepare_renderer(WAVData(48_000.0, hrir_b), cm.STEREO,
+                                      48_000.0, BLOCK,
+                                      lookahead=blocks_per_step)
+        pool = StreamPool(12, 48_000.0, block_size=BLOCK,
+                          ring_blocks=4 * blocks_per_step,
+                          blocks_per_step=blocks_per_step,
+                          profiles=[PoolProfile(renderer, _eq(3.0)),
+                                    PoolProfile(renderer_b, _eq(-2.0))])
+    else:
+        pool = StreamPool(12, 48_000.0, renderer, eq_definition=_eq(3.0),
+                          block_size=BLOCK, ring_blocks=4 * blocks_per_step,
+                          blocks_per_step=blocks_per_step)
     pool.prewarm()
     srv = RenderServer(pool, port=0, client_timeout=60.0)
     srv.start()
@@ -114,7 +132,8 @@ def test_render_server_soak(blocks_per_step):
         try:
             # Stay under the wire cap (ring capacity - block + 1 frames).
             out = render_via_server(srv.address, audio,
-                                    chunk=int(trng.integers(17, 3 * BLOCK)))
+                                    chunk=int(trng.integers(17, 3 * BLOCK)),
+                                    group=i % groups)
             assert out.shape == (2, n), (out.shape, n)
             assert np.all(np.isfinite(out))
             with lock:
@@ -129,7 +148,8 @@ def test_render_server_soak(blocks_per_step):
         audio = (np.random.default_rng(10_000 + i).standard_normal((2, n))
                  * 0.3).astype(np.float32)
         try:
-            got = _slow_reader_client(srv.address, audio, pause=0.05)
+            got = _slow_reader_client(srv.address, audio, pause=0.05,
+                                      group=i % groups)
             assert got == n, (got, n)
             with lock:
                 stats["clients"] += 1
@@ -153,7 +173,12 @@ def test_render_server_soak(blocks_per_step):
             for t in threads:
                 t.start()
             if wave % 5 == 0:  # live EQ retarget mid-traffic
-                srv.set_equalizer(_eq(float(rng.uniform(-6, 6))))
+                # Grouped tiers alternate per-group and pool-wide targets.
+                target_group = ((wave // 5) % (groups + 1)) - 1
+                srv.set_equalizer(
+                    _eq(float(rng.uniform(-6, 6))),
+                    group=None if target_group < 0 else target_group,
+                )
             for t in threads:
                 t.join(timeout=90)
             assert srv._pump_thread.is_alive(), "pump thread died mid-soak"
