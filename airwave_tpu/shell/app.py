@@ -7,6 +7,8 @@ framework exposes as subcommands over the same layers:
   presets  seed / list / import the managed preset libraries
   demo     run the FULL runtime (controller + verification + recovery) on a
            synthetic transport and report the status trail
+  serve    TCP streaming render server (single- or multi-profile pool)
+  client   stream a WAV through a running server (deployment smoke check)
   status   environment and device summary
 
 `python -m airwave_tpu <command> ...`
@@ -408,6 +410,35 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_client(args) -> int:
+    """Stream a WAV through a running RenderServer and write the result.
+
+    The ops-side counterpart of `serve`: smoke-checks a deployment end to
+    end (socket -> rings -> device -> socket) without any JAX in this
+    process. Exit 1 if the server truncated the stream (its EOF frame is
+    the completion guarantee, shell/serve.py)."""
+    from airwave_tpu.io import wav as wav_io
+    from airwave_tpu.shell.serve import render_via_server
+
+    data = wav_io.load(args.input)
+    audio = data.audio.astype(np.float32)
+    out = render_via_server((args.host, args.port), audio,
+                            chunk=args.chunk, group=args.group)
+    truncated = out.shape[1] < audio.shape[1]
+    if out.shape[1]:
+        wav_io.save(args.output, out, data.sample_rate)
+    print(json.dumps({
+        "input_frames": int(audio.shape[1]),
+        "rendered_frames": int(out.shape[1]),
+        "sample_rate": data.sample_rate,
+        "channels_in": int(audio.shape[0]),
+        "group": args.group,
+        "truncated": truncated,
+        "output": args.output if out.shape[1] else None,
+    }))
+    return 1 if truncated else 0
+
+
 def cmd_status(args) -> int:
     import jax
 
@@ -496,6 +527,19 @@ def build_parser() -> argparse.ArgumentParser:
                             "rounds/errors")
     serve.add_argument("--cpu", action="store_true")
     serve.set_defaults(fn=cmd_serve)
+
+    client = sub.add_parser("client",
+                            help="stream a WAV through a running render "
+                                 "server (deployment smoke check)")
+    client.add_argument("--input", required=True, help="input WAV path")
+    client.add_argument("--output", required=True, help="rendered WAV path")
+    client.add_argument("--host", default="127.0.0.1")
+    client.add_argument("--port", type=int, default=7711)
+    client.add_argument("--group", type=int, default=0,
+                        help="profile group on a grouped pool")
+    client.add_argument("--chunk", type=int, default=1024,
+                        help="frames per wire message")
+    client.set_defaults(fn=cmd_client)
 
     status = sub.add_parser("status")
     status.add_argument("--cpu", action="store_true")

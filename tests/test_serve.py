@@ -556,3 +556,25 @@ def test_server_stats_surface(server):
     s = gpool.stats()
     assert s["groups"] == 2 and s["attached_per_group"] == [0, 1]
     assert s["lanes_in_debt"] == 0
+
+
+def test_client_cli_roundtrip(server, tmp_path):
+    """The `client` subcommand streams a WAV through a live server and
+    writes the rendered stereo WAV (exit 0, frames preserved)."""
+    from airwave_tpu.io import wav as wav_io
+    from airwave_tpu.shell.app import main as cli_main
+
+    srv, _ = server
+    rng = np.random.default_rng(17)
+    n = 3 * BLOCK + 7
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    inp, outp = tmp_path / "in.wav", tmp_path / "out.wav"
+    wav_io.save(str(inp), x, 48_000.0)
+    host, port = srv.address
+    rc = cli_main(["client", "--input", str(inp), "--output", str(outp),
+                   "--host", host, "--port", str(port), "--chunk", "97"])
+    assert rc == 0
+    rendered = wav_io.load(str(outp))
+    assert rendered.audio.shape == (2, n)
+    direct = render_via_server(srv.address, x, chunk=97)
+    np.testing.assert_allclose(rendered.audio, direct, atol=1e-6)
