@@ -144,6 +144,77 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
     return kept
 
 
+def estimate_pool_lane_bytes(speakers: int, hrir_taps: int, block: int,
+                             lookahead: int = 1, ears: int = 2,
+                             eq_state_dim: int = 128) -> int:
+    """Coarse per-lane HBM cost of a StreamPool slot: the carried state
+    (delay line, overlap, EQ cascades) plus the lane's share of a round's
+    working set (frames in, analysis slot, Ykm, stereo out; doubled for
+    dispatch overlap slack). Same ~2x fidelity contract as
+    estimate_paged_bake — sizing guidance, not an allocator."""
+    kp = _padded_bins(block)
+    if lookahead > 1:
+        est = estimate_paged_bake(1, speakers, hrir_taps, block, lookahead,
+                                  ears=ears)
+        carry = est.fdl_bytes + speakers * block * F32
+        working = est.live_term_bytes + est.working_bytes
+    else:
+        p2 = max(1, math.ceil(hrir_taps / block))
+        carry = kp * speakers * p2 * 2 * F32 + speakers * block * F32
+        working = 2 * (
+            speakers * block * F32          # harvested frames up
+            + kp * speakers * 2 * F32       # analysis slot (+ read-back)
+            + kp * ears * 2 * F32           # Ykm columns
+            + ears * block * F32            # rendered rows down
+        )
+    eq = 2 * 2 * eq_state_dim * F32 + F32  # s_from + s_to [2, N] + counter
+    return int(carry + working + eq)
+
+
+def pool_capacity(speakers: int, hrir_taps: int, block: int,
+                  lookahead: int = 1, groups: int = 1,
+                  hbm_bytes: Optional[float] = None,
+                  headroom: float = 0.85, ears: int = 2,
+                  eq_state_dim: int = 128, mesh_devices: int = 1) -> dict:
+    """Recommend max_streams for a pool on a given HBM budget.
+
+    Returns a dict with the per-lane cost, the (group-shared) parameter
+    footprint, and `max_streams` = the largest lane count fitting
+    `headroom * hbm_bytes * mesh_devices`, rounded down to a multiple of
+    groups * mesh_devices (grouped pools need equal segments; meshes need
+    even shards). Serving throughput guidance lives in docs/serving.md
+    ("provision max_streams near expected concurrency" — every round
+    steps ALL lanes)."""
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
+    kp = _padded_bins(block)
+    k = block + 1
+    if lookahead > 1:
+        p2 = paged_partitions(hrir_taps, block, lookahead)
+    else:
+        p2 = max(1, math.ceil(hrir_taps / block))
+    n = eq_state_dim
+    params = (
+        groups * speakers * ears * 2 * p2 * k * 2 * F32   # Hflip2 banks
+        + 2 * block * k * 2 * F32 + k * 2 * block * F32    # DFT weights
+        + 2 * groups * (block * block + 2 * block * n + n * n) * F32  # EQ
+    )
+    lane = estimate_pool_lane_bytes(speakers, hrir_taps, block, lookahead,
+                                    ears, eq_state_dim)
+    budget = headroom * float(hbm_bytes) * max(1, int(mesh_devices))
+    granularity = max(1, groups) * max(1, int(mesh_devices))
+    raw = max(0, int((budget - params) // lane))
+    max_streams = (raw // granularity) * granularity
+    return {
+        "per_lane_bytes": lane,
+        "params_bytes": int(params),
+        "budget_bytes": int(budget),
+        "partitions": p2,
+        "max_streams": max_streams,
+        "granularity": granularity,
+    }
+
+
 def device_hbm_bytes(default: float = 16e9) -> float:
     """Best-effort HBM capacity of the default device."""
     try:

@@ -136,3 +136,35 @@ def test_plan_keeps_full_ladder_when_nothing_is_predicted_to_fit():
                                      hbm_bytes=1e9)
     full = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8)
     assert tiny_budget == full
+
+
+def test_pool_capacity_planner_sizes_and_granularity():
+    from airwave_tpu.utils.memory_planner import (estimate_pool_lane_bytes,
+                                                  pool_capacity)
+
+    # Headline serving shape: the documented ~150 KB/stream at 9
+    # partitions (README/serving guide) within the planner's 2x contract.
+    lane = estimate_pool_lane_bytes(2, 4320, 512)
+    assert 75_000 < lane < 300_000, lane
+
+    plan = pool_capacity(2, 4320, 512, hbm_bytes=16 * 2**30)
+    assert plan["partitions"] == 9
+    assert plan["max_streams"] > 8192  # a 16 GB chip fits the bench shape
+
+    # Grouped + meshed: max_streams rounds to groups * mesh multiples and
+    # the budget scales with the mesh.
+    g = pool_capacity(2, 4320, 512, groups=3, mesh_devices=4,
+                      hbm_bytes=16 * 2**30)
+    assert g["granularity"] == 12
+    assert g["max_streams"] % 12 == 0
+    assert g["max_streams"] > plan["max_streams"]  # 4 devices > 1
+
+    # The paged tier's lane cost dominates via the longer line + Ykm terms.
+    long_ir = pool_capacity(2, 48_000, 512, lookahead=8,
+                            hbm_bytes=16 * 2**30)
+    assert long_ir["per_lane_bytes"] > 4 * lane
+    assert 0 < long_ir["max_streams"] < plan["max_streams"]
+
+    # A hopeless budget reports zero rather than a negative count.
+    tiny = pool_capacity(2, 4320, 512, hbm_bytes=1 * 2**20)
+    assert tiny["max_streams"] == 0
