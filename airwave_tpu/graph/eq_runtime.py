@@ -209,7 +209,7 @@ class EqualizerRuntime:
             self.transition_from is not None
             and self._samples_into_transition >= self.transition_length
         ):
-            eq_state = self._finish_transition(eq_state)
+            eq_state = self._finish_transition(eq_state, stream_mask)
 
         # Start a newly-observed transition if allowed.
         if (
@@ -260,12 +260,16 @@ class EqualizerRuntime:
         self._samples_into_transition = 0
         return eq_block.eq_begin_transition(eq_state, stream_mask)
 
-    def _finish_transition(self, eq_state):
+    def _finish_transition(self, eq_state, stream_mask=None):
         outgoing = self.transition_from
         self.transition_from = None
         self._samples_into_transition = _IDLE
         self._retire(outgoing)
-        return eq_state
+        # Idle the lanes' ramp counters: a lane that paused mid-ramp jumps
+        # to the target now that the wall-clock ramp is over (it must not
+        # resume blending if a later block still runs the crossfading path
+        # for another group's ramp or a queued target).
+        return eq_block.eq_finish_transition(eq_state, stream_mask)
 
     def _retire(self, state: PreparedEq) -> None:
         if self._pending_retirement is not None:

@@ -234,6 +234,11 @@ class BinauralEngine:
                 self.renderer.num_speakers,
             )
 
+        # The engine is its own control thread: drain the retirement
+        # handoff per block, or the single-slot backpressure wedges every
+        # retarget after the second completed transition (see
+        # stream_pool._begin_eq_round).
+        self.eq_runtime.drain_retired_states()
         eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(self._state.eq)
         state = ChainState(self._state.conv, eq_state)
         conv_params = (

@@ -326,6 +326,26 @@ def eq_begin_transition(state: EqState, stream_mask: Optional[jax.Array] = None)
     )
 
 
+def eq_finish_transition(state: EqState,
+                         stream_mask: Optional[jax.Array] = None) -> EqState:
+    """Control-clock transition end: idle the (masked) lanes' counters so
+    any later crossfading block renders them at exactly the 'to' cascade.
+
+    A lane that paused mid-ramp holds a counter < L; once the wall-clock
+    ramp ends it must JUMP to the target (the documented idle-through-ramp
+    contract) rather than resume blending — which it otherwise would
+    whenever the step still runs crossfading for someone else (a grouped
+    pool's other groups, or a queued target blocked on retirement)."""
+    if stream_mask is None:
+        return EqState(s_from=state.s_from, s_to=state.s_to,
+                       counter=jnp.full_like(state.counter, COUNTER_IDLE))
+    m = stream_mask.astype(bool)
+    return EqState(
+        s_from=state.s_from, s_to=state.s_to,
+        counter=jnp.where(m, COUNTER_IDLE, state.counter),
+    )
+
+
 def eq_reset(state: EqState, stream_mask: Optional[jax.Array] = None) -> EqState:
     """Zero filter histories (ref ParametricEqualizerProcessor.swift:341-352)."""
     if stream_mask is None:

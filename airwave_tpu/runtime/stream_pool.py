@@ -891,6 +891,16 @@ class StreamPool:
         crossfade flag stays ONE static jit arg — a group not mid-ramp
         blends from == to, which the per-lane clipped counters make exact,
         so per-group flags would only multiply compiled variants)."""
+        # The pool is its own control thread: drain the retirement handoff
+        # every round (ref: the control-thread housekeeping in
+        # AudioEffectGraph / effect_graph.py:190). Without this the
+        # single-slot retirement backpressure wedges after TWO completed
+        # transitions — the third and every later retarget stays deferred
+        # forever and the step pays dual-cascade cost permanently (found
+        # by the grouped randomized differential; latent in the
+        # single-profile pool too).
+        for rt in self.eq_runtimes:
+            rt.drain_retired_states()
         if self.groups == 1:
             rt = self.eq_runtimes[0]
             eq_state, p_from, p_to, _ = rt.begin_block(eq_state)

@@ -605,3 +605,93 @@ def test_grouped_server_churn_across_groups():
         assert srv.pump_errors == 0 and pool.render_errors == 0
     finally:
         srv.stop()
+
+
+def test_grouped_pool_randomized_differential_with_churn():
+    """Seeded fuzz: grouped pool vs per-group pools under random ragged
+    schedules, detach/attach churn, and per-group EQ retargets. The EQ
+    ramp clock is round-based, so retargets happen at synchronized
+    all-active stretches (short test crossfade) — everything else is
+    random. Every pulled sample must match."""
+    from airwave_tpu.config import AirwaveConfig
+
+    cfg = AirwaveConfig(crossfade_duration_seconds=2 * BLOCK / 48_000.0)
+    G, Bg = 2, 2
+    B = G * Bg
+    for seed in (101, 202):
+        rng = np.random.default_rng(seed)
+        r0 = _renderer(2 * BLOCK, seed)
+        r1 = _renderer(3 * BLOCK, seed + 1, partitions=3)
+        r0 = _renderer(2 * BLOCK, seed, partitions=3)
+        gpool = StreamPool(B, 48_000.0, block_size=BLOCK, config=cfg,
+                           profiles=[PoolProfile(r0, _eq_def(1)),
+                                     PoolProfile(r1, _eq_def(2))])
+        refs = [StreamPool(Bg, 48_000.0, r0, eq_definition=_eq_def(1),
+                           block_size=BLOCK, config=cfg),
+                StreamPool(Bg, 48_000.0, r1, eq_definition=_eq_def(2),
+                           block_size=BLOCK, config=cfg)]
+        # lane i of group g <-> ref pool g lane i; None = detached
+        glanes = [[None] * Bg for _ in range(G)]
+        rlanes = [[None] * Bg for _ in range(G)]
+        pending = {}   # (g, i) -> list of rendered chunks got/want
+        got = {}
+        want = {}
+
+        def attach(g, i):
+            glanes[g][i] = gpool.attach(g)
+            rlanes[g][i] = refs[g].attach()
+            got.setdefault((g, i), [])
+            want.setdefault((g, i), [])
+
+        for g in range(G):
+            for i in range(Bg):
+                attach(g, i)
+
+        ramp_guard = 0
+        for rnd in range(40):
+            if ramp_guard == 0 and rng.random() < 0.15:
+                # Synchronized retarget: all-active rounds for the whole
+                # (short) ramp so both sides' round clocks agree.
+                tg = int(rng.integers(0, G))
+                new = _eq_def(int(rng.integers(0, 3)))
+                gpool.set_equalizer(new, group=tg)
+                refs[tg].set_equalizer(new)
+                ramp_guard = 4
+            active = (rng.random((G, Bg)) < 0.7) | (ramp_guard > 0)
+            ramp_guard = max(0, ramp_guard - 1)
+            for g in range(G):
+                for i in range(Bg):
+                    if glanes[g][i] is None:
+                        if rng.random() < 0.3:
+                            attach(g, i)
+                        continue
+                    if ramp_guard == 0 and rng.random() < 0.05:
+                        gpool.detach(glanes[g][i])
+                        refs[g].detach(rlanes[g][i])
+                        glanes[g][i] = None
+                        continue
+                    if active[g, i]:
+                        chunk = (rng.standard_normal((2, BLOCK)) * 0.4
+                                 ).astype(np.float32)
+                        gpool.push(glanes[g][i], chunk)
+                        refs[g].push(rlanes[g][i], chunk)
+            gpool.pump()
+            for p in refs:
+                p.pump()
+            for g in range(G):
+                for i in range(Bg):
+                    if glanes[g][i] is None:
+                        continue
+                    a = gpool.available(glanes[g][i])
+                    b = refs[g].available(rlanes[g][i])
+                    assert a == b, (rnd, g, i, a, b)
+                    if a:
+                        got[(g, i)].append(gpool.pull(glanes[g][i], a))
+                        want[(g, i)].append(refs[g].pull(rlanes[g][i], a))
+        for key in got:
+            if not got[key]:
+                continue
+            ga = np.concatenate(got[key], axis=1)
+            wa = np.concatenate(want[key], axis=1)
+            np.testing.assert_allclose(ga, wa, rtol=1e-4, atol=5e-5,
+                                       err_msg=str((seed, key)))

@@ -1281,3 +1281,37 @@ def test_restore_rejects_cross_tier_snapshot():
     pM.push(s, np.zeros((2, pM.step_frames), np.float32))
     pM.pump()
     assert pM.pull(s, pM.step_frames).shape == (2, pM.step_frames)
+
+
+def test_pool_eq_retargets_keep_working_past_two_transitions():
+    """Regression: the pool is its own control thread and must drain the
+    EQ retirement handoff per round — without it the single-slot
+    backpressure wedged the THIRD and every later retarget forever
+    (active never reached the target, crossfading stayed latched)."""
+    from airwave_tpu.io.apo import (EqualizerDefinition, EqualizerFilter,
+                                    FilterType)
+
+    def eq(gain):
+        return EqualizerDefinition(-1.0, (
+            EqualizerFilter(1, 1, True, FilterType.PEAKING, 900.0, gain,
+                            1.0),
+        ))
+
+    block = 64
+    renderer, _ = make_renderer(block=block)
+    pool = StreamPool(2, 48_000.0, renderer, eq_definition=eq(1.0),
+                      block_size=block)
+    s = pool.attach()
+    rng = np.random.default_rng(0)
+    rounds_per_ramp = -(-960 // block) + 3
+    for i, gain in enumerate((2.0, 3.0, 4.0, 5.0)):
+        target = eq(gain)
+        pool.set_equalizer(target)
+        for _ in range(rounds_per_ramp):
+            pool.push(s, (rng.standard_normal((2, block)) * 0.3
+                          ).astype(np.float32))
+            pool.pump()
+            pool.pull(s, block)
+        rt = pool.eq_runtime
+        assert rt.active.definition == target, f"retarget {i} wedged"
+        assert rt.pending_target is None and not rt.is_transitioning, i
