@@ -129,3 +129,34 @@ def test_capture_signal_policy_thresholds():
     assert not policy.observe(9e-5, 64)  # below threshold resets the run
     assert not policy.observe(DEFAULT_CONFIG.capture_min_amplitude, 2047)
     assert policy.observe(1.0, 1)
+
+
+def test_engine_eq_retargets_keep_working_past_two_transitions():
+    """Regression (same root as the pool's): the live engine must drain
+    the EQ retirement handoff per block, or the third and every later
+    retarget is deferred forever."""
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.io.wav import WAVData
+    from airwave_tpu.models.binaural import BinauralEngine
+
+    rng = np.random.default_rng(0)
+    block = 64
+    renderer = prepare_renderer(
+        WAVData(48_000.0, (rng.standard_normal((14, 200)) * 0.2)
+                .astype(np.float32)),
+        cm.STEREO, 48_000.0, block,
+    )
+    engine = BinauralEngine(batch=2, sample_rate=48_000.0, block_size=block)
+    engine.set_renderer(renderer)
+    blocks_per_ramp = -(-960 // block) + 3
+    for i in range(5):
+        target = EqualizerDefinition(preamp_db=float(i + 1))
+        engine.set_equalizer(target)
+        for _ in range(blocks_per_ramp):
+            x = (rng.standard_normal((2, 2, block)) * 0.3).astype(
+                np.float32)
+            engine.process_block(x)
+        rt = engine.eq_runtime
+        assert rt.active.definition == target, f"retarget {i} wedged"
+        assert rt.pending_target is None and not rt.is_transitioning, i

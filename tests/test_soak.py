@@ -158,6 +158,7 @@ def test_render_server_soak(blocks_per_step, groups):
             with lock:
                 stats["failures"].append(f"slow[{i}]: {err!r}")
 
+    last_def = {g: None for g in range(groups)}
     try:
         wave = 0
         while time.monotonic() < stop:
@@ -175,10 +176,14 @@ def test_render_server_soak(blocks_per_step, groups):
             if wave % 5 == 0:  # live EQ retarget mid-traffic
                 # Grouped tiers alternate per-group and pool-wide targets.
                 target_group = ((wave // 5) % (groups + 1)) - 1
+                new_def = _eq(float(rng.uniform(-6, 6)))
                 srv.set_equalizer(
-                    _eq(float(rng.uniform(-6, 6))),
+                    new_def,
                     group=None if target_group < 0 else target_group,
                 )
+                for g in range(groups):
+                    if target_group < 0 or target_group == g:
+                        last_def[g] = new_def
             for t in threads:
                 t.join(timeout=90)
             assert srv._pump_thread.is_alive(), "pump thread died mid-soak"
@@ -187,6 +192,21 @@ def test_render_server_soak(blocks_per_step, groups):
         assert stats["clients"] >= 3
         assert srv.pump_errors == 0
         assert pool.render_errors == 0
+        # Retargets actually LAND (regression: the retirement handoff
+        # wedged every retarget after the second completed transition) —
+        # settle the last ramp with a few quiet rounds first.
+        ramp_rounds = -(-960 // pool.step_frames) + 3
+        settle = np.zeros((2, ramp_rounds * pool.step_frames), np.float32)
+        for g, want in last_def.items():
+            if want is None:
+                continue
+            out = render_via_server(srv.address, settle, chunk=BLOCK,
+                                    group=g)
+            assert out.shape == settle.shape
+            rt = pool.eq_runtimes[g]
+            assert rt.active.definition == want, (
+                f"group {g}: last retarget never became active")
+            assert rt.pending_target is None
         # Churn leaves nothing behind once the last EOF lands.
         deadline = time.monotonic() + 10
         while pool._attached and time.monotonic() < deadline:
