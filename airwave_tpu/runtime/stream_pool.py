@@ -25,7 +25,12 @@ EQ semantics: retargets are pool-wide (one preset set per pool) unless the
 pool is GROUPED. Streams actively rendering during the 20 ms ramp crossfade
 per-sample exactly; a stream that is idle across the entire ramp hears the
 new target directly when it resumes (its own carry never blended — the ramp
-is a wall-clock event, and an idle stream has no samples to blend).
+is a wall-clock event, and an idle stream has no samples to blend). The
+wall clock is the pump-round clock; when it ends, lanes that paused
+mid-ramp JUMP to the target (their counters idle at transition end —
+eq_block.eq_finish_transition), so a group's ramp semantics never depend
+on other groups' ramps keeping the crossfading step alive. A lane
+attaching mid-ramp likewise hears the active target directly.
 
 PROFILE GROUPS (multi-tenant serving, beyond the reference's one-profile-at-
 a-time model): `StreamPool(profiles=[PoolProfile(renderer, eq), ...])`
