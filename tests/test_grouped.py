@@ -607,33 +607,34 @@ def test_grouped_server_churn_across_groups():
         srv.stop()
 
 
-def test_grouped_pool_randomized_differential_with_churn():
-    """Seeded fuzz: grouped pool vs per-group pools under random ragged
-    schedules, detach/attach churn, and per-group EQ retargets. The EQ
-    ramp clock is round-based, so retargets happen at synchronized
-    all-active stretches (short test crossfade) — everything else is
-    random. Every pulled sample must match."""
+@pytest.mark.parametrize("M", [1, 2])
+def test_grouped_pool_randomized_differential_with_churn(M):
+    """Seeded fuzz (both serving tiers): grouped pool vs per-group pools
+    under random ragged schedules, detach/attach churn, and per-group EQ
+    retargets. The EQ ramp clock is round-based, so retargets happen at
+    synchronized all-active stretches (short test crossfade) — everything
+    else is random. Every pulled sample must match."""
     from airwave_tpu.config import AirwaveConfig
 
     cfg = AirwaveConfig(crossfade_duration_seconds=2 * BLOCK / 48_000.0)
     G, Bg = 2, 2
     B = G * Bg
+    step = M * BLOCK
     for seed in (101, 202):
         rng = np.random.default_rng(seed)
-        r0 = _renderer(2 * BLOCK, seed)
-        r1 = _renderer(3 * BLOCK, seed + 1, partitions=3)
-        r0 = _renderer(2 * BLOCK, seed, partitions=3)
+        r0 = _renderer(2 * BLOCK, seed, lookahead=M, partitions=4)
+        r1 = _renderer(3 * BLOCK, seed + 1, lookahead=M, partitions=4)
         gpool = StreamPool(B, 48_000.0, block_size=BLOCK, config=cfg,
+                           blocks_per_step=M,
                            profiles=[PoolProfile(r0, _eq_def(1)),
                                      PoolProfile(r1, _eq_def(2))])
         refs = [StreamPool(Bg, 48_000.0, r0, eq_definition=_eq_def(1),
-                           block_size=BLOCK, config=cfg),
+                           block_size=BLOCK, config=cfg, blocks_per_step=M),
                 StreamPool(Bg, 48_000.0, r1, eq_definition=_eq_def(2),
-                           block_size=BLOCK, config=cfg)]
+                           block_size=BLOCK, config=cfg, blocks_per_step=M)]
         # lane i of group g <-> ref pool g lane i; None = detached
         glanes = [[None] * Bg for _ in range(G)]
         rlanes = [[None] * Bg for _ in range(G)]
-        pending = {}   # (g, i) -> list of rendered chunks got/want
         got = {}
         want = {}
 
@@ -671,7 +672,7 @@ def test_grouped_pool_randomized_differential_with_churn():
                         glanes[g][i] = None
                         continue
                     if active[g, i]:
-                        chunk = (rng.standard_normal((2, BLOCK)) * 0.4
+                        chunk = (rng.standard_normal((2, step)) * 0.4
                                  ).astype(np.float32)
                         gpool.push(glanes[g][i], chunk)
                         refs[g].push(rlanes[g][i], chunk)
