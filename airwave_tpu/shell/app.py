@@ -325,25 +325,27 @@ def build_serve_pool(args):
         for spec in profile_specs:
             hrir_path, _, eq_path = spec.partition(":")
             parsed.append((hrir_path, eq_path or None))
-        banks = [wav_io.load(h) for h, _ in parsed]  # one load per path
-        rends = [
-            prepare_renderer(bank, layout, args.sample_rate,
-                             lookahead=blocks_per_step)
-            for bank in banks
-        ]
+        # One load + one preparation per UNIQUE HRIR path (several tenants
+        # commonly share a bank and differ only in EQ).
+        banks = {h: wav_io.load(h) for h, _ in parsed}
+        rend_by_path = {
+            h: prepare_renderer(bank, layout, args.sample_rate,
+                                lookahead=blocks_per_step)
+            for h, bank in banks.items()
+        }
         # Align differing HRIR lengths onto one shared delay-line shape
         # (re-prepare only the shorter banks, from the cached WAVData).
-        max_p = max(r.partition_count for r in rends)
-        rends = [
-            r if r.partition_count == max_p else prepare_renderer(
-                banks[i], layout, args.sample_rate,
+        max_p = max(r.partition_count for r in rend_by_path.values())
+        rend_by_path = {
+            h: (r if r.partition_count == max_p else prepare_renderer(
+                banks[h], layout, args.sample_rate,
                 lookahead=blocks_per_step, partitions=max_p,
-            )
-            for i, r in enumerate(rends)
-        ]
+            ))
+            for h, r in rend_by_path.items()
+        }
         profiles = [
-            PoolProfile(r, _load_equalizer(eq_path))
-            for r, (_, eq_path) in zip(rends, parsed)
+            PoolProfile(rend_by_path[h], _load_equalizer(eq_path))
+            for h, eq_path in parsed
         ]
         renderer = None
     else:
@@ -399,9 +401,10 @@ def cmd_serve(args) -> int:
                       "profile_groups": pool.groups}), flush=True)
     interval = getattr(args, "stats_interval", 0.0) or 0.0
     next_stats = time.monotonic() + interval if interval > 0 else None
+    poll = min(1.0, interval) if interval > 0 else 1.0
     try:
         while True:
-            time.sleep(1.0)
+            time.sleep(poll)
             if next_stats is not None and time.monotonic() >= next_stats:
                 print(json.dumps({"stats": server.stats()}), flush=True)
                 next_stats = time.monotonic() + interval
@@ -418,7 +421,7 @@ def cmd_client(args) -> int:
     process. Exit 1 if the server truncated the stream (its EOF frame is
     the completion guarantee, shell/serve.py)."""
     from airwave_tpu.io import wav as wav_io
-    from airwave_tpu.shell.serve import render_via_server
+    from airwave_tpu.shell.wire_client import render_via_server
 
     data = wav_io.load(args.input)
     audio = data.audio.astype(np.float32)

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import json
 import socket
-import struct
 import threading
 import time
 from typing import Optional
@@ -45,24 +44,13 @@ from typing import Optional
 import numpy as np
 
 from airwave_tpu.runtime.stream_pool import StreamPool
+# The wire helpers + reference client live in a JAX-free module so
+# deployment smoke checks run without the JAX stack; re-exported here for
+# compatibility.
+from airwave_tpu.shell.wire_client import (_LEN, _read_exact, _send_frame,
+                                           render_via_server)
 
-_LEN = struct.Struct("<I")
-
-
-def _read_exact(conn: socket.socket, n: int) -> Optional[bytes]:
-    chunks = []
-    while n > 0:
-        data = conn.recv(min(n, 1 << 16))
-        if not data:
-            return None
-        chunks.append(data)
-        n -= len(data)
-    return b"".join(chunks)
-
-
-def _send_frame(conn: socket.socket, audio: np.ndarray) -> None:
-    payload = np.ascontiguousarray(audio.T, np.float32).tobytes()
-    conn.sendall(_LEN.pack(audio.shape[1]) + payload)
+__all__ = ["RenderServer", "render_via_server"]
 
 
 class RenderServer:
@@ -376,45 +364,3 @@ class RenderServer:
                 pass
 
 
-def render_via_server(address, audio: np.ndarray,
-                      chunk: int = 1024, group: int = 0) -> np.ndarray:
-    """Reference client: stream [C, n] audio, return rendered [2, n].
-    `group` selects the profile group on a grouped (multi-tenant) pool."""
-    channels, total = audio.shape
-    conn = socket.create_connection(address, timeout=30)
-    try:
-        header = {"channels": channels}
-        if group:
-            header["group"] = group
-        conn.sendall(json.dumps(header).encode() + b"\n")
-        rendered = []
-
-        def reader():
-            while True:
-                raw = _read_exact(conn, _LEN.size)
-                if raw is None:
-                    return
-                (n,) = _LEN.unpack(raw)
-                if n == 0:
-                    return
-                payload = _read_exact(conn, n * 2 * 4)
-                if payload is None:
-                    return
-                rendered.append(
-                    np.frombuffer(payload, "<f4").reshape(n, 2).T
-                )
-
-        thread = threading.Thread(target=reader, daemon=True)
-        thread.start()
-        for start in range(0, total, chunk):
-            piece = np.ascontiguousarray(audio[:, start:start + chunk])
-            conn.sendall(
-                _LEN.pack(piece.shape[1])
-                + piece.T.astype("<f4").tobytes()
-            )
-        conn.sendall(_LEN.pack(0))
-        thread.join(timeout=30)
-        return (np.concatenate(rendered, axis=1)
-                if rendered else np.zeros((2, 0), np.float32))
-    finally:
-        conn.close()

@@ -1,0 +1,79 @@
+"""JAX-free wire-protocol client for the render server.
+
+Deliberately imports only numpy + stdlib so deployment smoke checks (the
+`client` subcommand) run on ops boxes with no JAX/TPU stack installed —
+the server side (shell/serve.py) owns the pool and the device. Protocol
+definition lives in shell/serve.py's module docstring.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LEN = struct.Struct("<I")
+
+
+def _read_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+    chunks = []
+    while n > 0:
+        data = conn.recv(min(n, 1 << 16))
+        if not data:
+            return None
+        chunks.append(data)
+        n -= len(data)
+    return b"".join(chunks)
+
+
+def _send_frame(conn: socket.socket, audio: np.ndarray) -> None:
+    payload = np.ascontiguousarray(audio.T, np.float32).tobytes()
+    conn.sendall(_LEN.pack(audio.shape[1]) + payload)
+
+
+def render_via_server(address, audio: np.ndarray,
+                      chunk: int = 1024, group: int = 0) -> np.ndarray:
+    """Reference client: stream [C, n] audio, return rendered [2, n].
+    `group` selects the profile group on a grouped (multi-tenant) pool."""
+    channels, total = audio.shape
+    conn = socket.create_connection(address, timeout=30)
+    try:
+        header = {"channels": channels}
+        if group:
+            header["group"] = group
+        conn.sendall(json.dumps(header).encode() + b"\n")
+        rendered = []
+
+        def reader():
+            while True:
+                raw = _read_exact(conn, _LEN.size)
+                if raw is None:
+                    return
+                (n,) = _LEN.unpack(raw)
+                if n == 0:
+                    return
+                payload = _read_exact(conn, n * 2 * 4)
+                if payload is None:
+                    return
+                rendered.append(
+                    np.frombuffer(payload, "<f4").reshape(n, 2).T
+                )
+
+        thread = threading.Thread(target=reader, daemon=True)
+        thread.start()
+        for start in range(0, total, chunk):
+            piece = np.ascontiguousarray(audio[:, start:start + chunk])
+            conn.sendall(
+                _LEN.pack(piece.shape[1])
+                + piece.T.astype("<f4").tobytes()
+            )
+        conn.sendall(_LEN.pack(0))
+        thread.join(timeout=30)
+        return (np.concatenate(rendered, axis=1)
+                if rendered else np.zeros((2, 0), np.float32))
+    finally:
+        conn.close()

@@ -179,12 +179,13 @@ def pool_capacity(speakers: int, hrir_taps: int, block: int,
     """Recommend max_streams for a pool on a given HBM budget.
 
     Returns a dict with the per-lane cost, the (group-shared) parameter
-    footprint, and `max_streams` = the largest lane count fitting
-    `headroom * hbm_bytes * mesh_devices`, rounded down to a multiple of
-    groups * mesh_devices (grouped pools need equal segments; meshes need
-    even shards). Serving throughput guidance lives in docs/serving.md
-    ("provision max_streams near expected concurrency" — every round
-    steps ALL lanes)."""
+    footprint, and `max_streams` = the largest lane count whose per-device
+    share (lanes plus the REPLICATED params — every device holds the full
+    filter banks/weights) fits `headroom * hbm_bytes`, rounded down to a
+    multiple of groups * mesh_devices (grouped pools need equal segments;
+    meshes need even shards). Serving throughput guidance lives in
+    docs/serving.md ("provision max_streams near expected concurrency" —
+    every round steps ALL lanes)."""
     if hbm_bytes is None:
         hbm_bytes = device_hbm_bytes()
     kp = _padded_bins(block)
@@ -201,14 +202,18 @@ def pool_capacity(speakers: int, hrir_taps: int, block: int,
     )
     lane = estimate_pool_lane_bytes(speakers, hrir_taps, block, lookahead,
                                     ears, eq_state_dim)
-    budget = headroom * float(hbm_bytes) * max(1, int(mesh_devices))
-    granularity = max(1, groups) * max(1, int(mesh_devices))
-    raw = max(0, int((budget - params) // lane))
+    devices = max(1, int(mesh_devices))
+    # Params are REPLICATED (every device holds the full banks/weights),
+    # so they come out of each device's budget, not the pooled one.
+    per_device_budget = headroom * float(hbm_bytes)
+    lanes_per_device = max(0, int((per_device_budget - params) // lane))
+    granularity = max(1, groups) * devices
+    raw = lanes_per_device * devices
     max_streams = (raw // granularity) * granularity
     return {
         "per_lane_bytes": lane,
         "params_bytes": int(params),
-        "budget_bytes": int(budget),
+        "budget_bytes": int(per_device_budget * devices),
         "partitions": p2,
         "max_streams": max_streams,
         "granularity": granularity,
