@@ -112,3 +112,147 @@ def load_pytree(path: str, like: Any) -> Any:
 
 def _treedef_repr(tree: Any) -> str:
     return str(jax.tree_util.tree_structure(tree))
+
+
+# --- pool-snapshot persistence (serving checkpoint across processes) -----
+#
+# StreamPool.snapshot() returns arrays (the device carry + debt) plus
+# control metadata (attached set, EQ crossfade machines with their
+# definitions/designs). The arrays ride save_pytree/load_pytree (same
+# strict structure/shape/dtype validation); the metadata goes to a JSON
+# sidecar with explicit dataclass packing — never pickle.
+
+
+def _pack_eq_definition(definition):
+    if definition is None:
+        return None
+    return {
+        "preamp_db": float(definition.preamp_db),
+        "filters": [
+            {
+                "source_line": f.source_line,
+                "source_number": f.source_number,
+                "is_enabled": bool(f.is_enabled),
+                "type": f.type.value,
+                "frequency_hz": float(f.frequency_hz),
+                "gain_db": float(f.gain_db),
+                "q": float(f.q),
+            }
+            for f in definition.filters
+        ],
+    }
+
+
+def _unpack_eq_definition(packed):
+    if packed is None:
+        return None
+    from airwave_tpu.io.apo import (EqualizerDefinition, EqualizerFilter,
+                                    FilterType)
+
+    return EqualizerDefinition(
+        preamp_db=packed["preamp_db"],
+        filters=tuple(
+            EqualizerFilter(
+                source_line=f["source_line"],
+                source_number=f["source_number"],
+                is_enabled=f["is_enabled"],
+                type=FilterType(f["type"]),
+                frequency_hz=f["frequency_hz"],
+                gain_db=f["gain_db"],
+                q=f["q"],
+            )
+            for f in packed["filters"]
+        ),
+    )
+
+
+def _pack_prepared(item):
+    if item is None:
+        return None
+    _, definition, design = item
+    preamp, coeffs = design
+    return {
+        "definition": _pack_eq_definition(definition),
+        "design": [float(preamp),
+                   [[c.b0, c.b1, c.b2, c.a1, c.a2] for c in coeffs]],
+    }
+
+
+def _unpack_prepared(packed):
+    if packed is None:
+        return None
+    from airwave_tpu.ops.biquad_design import BiquadCoefficients
+
+    preamp, coeffs = packed["design"]
+    return (
+        "prepared",
+        _unpack_eq_definition(packed["definition"]),
+        (preamp, [BiquadCoefficients(*c) for c in coeffs]),
+    )
+
+
+def _pack_eq_runtime(snap: dict) -> dict:
+    return {
+        "active": _pack_prepared(snap["active"]),
+        "transition_from": _pack_prepared(snap["transition_from"]),
+        "pending": _pack_prepared(snap["pending"]),
+        "samples_into_transition": int(snap["samples_into_transition"]),
+        "reset_requested": bool(snap["reset_requested"]),
+    }
+
+
+def _unpack_eq_runtime(packed: dict) -> dict:
+    return {
+        "active": _unpack_prepared(packed["active"]),
+        "transition_from": _unpack_prepared(packed["transition_from"]),
+        "pending": _unpack_prepared(packed["pending"]),
+        "samples_into_transition": packed["samples_into_transition"],
+        "reset_requested": packed["reset_requested"],
+    }
+
+
+def save_pool_snapshot(path: str, snap: dict) -> None:
+    """Persist a StreamPool.snapshot() to disk: arrays to `<path>.npz`,
+    control metadata to `<path>.npz.meta.json`. Pair with
+    load_pool_snapshot on a pool of identical construction for a
+    bit-identical cross-process serving resume."""
+    save_pytree(path, {"state": snap["state"],
+                       "debt": np.asarray(snap["debt"])})
+    meta = {
+        "attached": [int(s) for s in snap["attached"]],
+        "eq_enabled": bool(snap["eq_enabled"]),
+        "groups": int(snap.get("groups", 1)),
+        "eq_runtime": _pack_eq_runtime(snap["eq_runtime"]),
+    }
+    if "eq_runtimes" in snap:
+        meta["eq_runtimes"] = [_pack_eq_runtime(s)
+                               for s in snap["eq_runtimes"]]
+    with open(_normalized(path) + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_pool_snapshot(path: str, pool) -> dict:
+    """Load a persisted pool snapshot back into StreamPool.restore() form.
+
+    `pool` supplies the expected carry structure (strict shape/dtype
+    validation, as load_pytree); call `pool.restore(load_pool_snapshot(
+    path, pool))` to resume."""
+    like = {
+        "state": jax.tree_util.tree_map(np.asarray, pool._state),
+        "debt": np.asarray(pool._debt),
+    }
+    data = load_pytree(path, like)
+    with open(_normalized(path) + ".meta.json") as f:
+        meta = json.load(f)
+    snap = {
+        "state": data["state"],
+        "debt": data["debt"],
+        "attached": meta["attached"],
+        "eq_enabled": meta["eq_enabled"],
+        "groups": meta["groups"],
+        "eq_runtime": _unpack_eq_runtime(meta["eq_runtime"]),
+    }
+    if "eq_runtimes" in meta:
+        snap["eq_runtimes"] = [_unpack_eq_runtime(s)
+                               for s in meta["eq_runtimes"]]
+    return snap

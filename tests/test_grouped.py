@@ -696,3 +696,55 @@ def test_grouped_pool_randomized_differential_with_churn(M):
             wa = np.concatenate(want[key], axis=1)
             np.testing.assert_allclose(ga, wa, rtol=1e-4, atol=5e-5,
                                        err_msg=str((seed, key)))
+
+
+def test_pool_snapshot_persists_to_disk_and_resumes(tmp_path):
+    """save_pool_snapshot/load_pool_snapshot: a grouped pool checkpoint
+    (mid-crossfade, with debt) survives disk and resumes bit-identically
+    in a fresh pool; structure mismatches are typed errors."""
+    from airwave_tpu.utils.checkpoint import (load_pool_snapshot,
+                                              save_pool_snapshot)
+
+    r0 = _renderer(2 * BLOCK, 70)
+    r1 = _renderer(2 * BLOCK, 71)
+    profiles = [PoolProfile(r0, _eq_def(1)), PoolProfile(r1, _eq_def(2))]
+    a = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=profiles)
+    s0, s1 = a.attach(0), a.attach(1)
+    rng = np.random.default_rng(72)
+    sig = (rng.standard_normal((2, 2, 6 * BLOCK)) * 0.4).astype(np.float32)
+    for t in range(3):
+        sl = np.s_[:, t * BLOCK:(t + 1) * BLOCK]
+        a.push(s0, sig[0][sl])
+        if t != 1:  # lane s1 pauses once: nonzero alignment debt
+            a.push(s1, sig[1][sl])
+        a.pump()
+    a.set_equalizer(_eq_def(0), group=1)  # mid-flight retarget captured
+    # Drain pre-snapshot renders (ring contents are transient by design
+    # and not captured), so both pools render exactly the same 3 blocks
+    # in the comparison phase.
+    for s in (s0, s1):
+        a.pull(s, a.available(s))
+    path = str(tmp_path / "pool_ckpt")
+    save_pool_snapshot(path, a.snapshot())
+
+    b = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=profiles)
+    b.restore(load_pool_snapshot(path, b))
+    outs = []
+    for pool, lanes in ((a, (s0, s1)), (b, (s0, s1))):
+        for t in range(3, 6):
+            sl = np.s_[:, t * BLOCK:(t + 1) * BLOCK]
+            pool.push(lanes[0], sig[0][sl])
+            pool.push(lanes[1], sig[1][sl])
+            pool.pump()
+        outs.append(np.stack([pool.pull(lanes[0], 3 * BLOCK),
+                              pool.pull(lanes[1], 3 * BLOCK)]))
+    assert np.abs(outs[0]).max() > 1e-3
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    # Structure mismatch (different partition shape) is a typed error.
+    other = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=[
+        PoolProfile(_renderer(5 * BLOCK, 73), None),
+        PoolProfile(_renderer(5 * BLOCK, 74), None),
+    ])
+    with pytest.raises(ValueError):
+        load_pool_snapshot(path, other)
