@@ -391,24 +391,45 @@ def cmd_serve(args) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     pool, layout = build_serve_pool(args)
-    server = RenderServer(pool, host=args.host, port=args.port)
+    ckpt = getattr(args, "checkpoint", None)
+    resumed = False
+    if ckpt:
+        npz = ckpt if ckpt.endswith(".npz") else ckpt + ".npz"
+        if os.path.exists(npz):
+            from airwave_tpu.utils.checkpoint import load_pool_snapshot
+
+            pool.restore(load_pool_snapshot(ckpt, pool))
+            resumed = True
+    server = RenderServer(pool, host=args.host, port=args.port,
+                          resume_grace=getattr(args, "resume_grace", 30.0))
     server.start()
     print(json.dumps({"listening": list(server.address),
                       "max_streams": args.max_streams,
                       "layout": layout.name,
                       "mesh_devices": args.mesh_devices or 1,
                       "blocks_per_step": pool.blocks_per_step,
-                      "profile_groups": pool.groups}), flush=True)
+                      "profile_groups": pool.groups,
+                      "restored_checkpoint": resumed,
+                      "resumable_lanes": len(server._orphans)}), flush=True)
     interval = getattr(args, "stats_interval", 0.0) or 0.0
     next_stats = time.monotonic() + interval if interval > 0 else None
+    ckpt_interval = getattr(args, "checkpoint_interval", 30.0) or 0.0
+    next_ckpt = (time.monotonic() + ckpt_interval
+                 if ckpt and ckpt_interval > 0 else None)
     poll = min(1.0, interval) if interval > 0 else 1.0
     try:
         while True:
             time.sleep(poll)
-            if next_stats is not None and time.monotonic() >= next_stats:
+            now = time.monotonic()
+            if next_stats is not None and now >= next_stats:
                 print(json.dumps({"stats": server.stats()}), flush=True)
-                next_stats = time.monotonic() + interval
+                next_stats = now + interval
+            if next_ckpt is not None and now >= next_ckpt:
+                server.save_checkpoint(ckpt)
+                next_ckpt = now + ckpt_interval
     except KeyboardInterrupt:
+        if ckpt:
+            server.save_checkpoint(ckpt)
         server.stop()
     return 0
 
@@ -524,6 +545,17 @@ def build_parser() -> argparse.ArgumentParser:
                             "round on the paged lookahead path (~1.3x "
                             "aggregate at M=8, +up to M blocks of latency; "
                             "1 = the zero-added-latency default)")
+    serve.add_argument("--checkpoint",
+                       help="serving checkpoint path: saved every "
+                            "--checkpoint-interval seconds (and on "
+                            "Ctrl-C); if the file exists at startup the "
+                            "pool restores from it and restored lanes "
+                            "become resumable for --resume-grace seconds "
+                            '(clients reconnect with {"resume": LANE})')
+    serve.add_argument("--checkpoint-interval", type=float, default=30.0)
+    serve.add_argument("--resume-grace", type=float, default=30.0,
+                       help="seconds a restored lane stays claimable "
+                            "before it is detached")
     serve.add_argument("--stats-interval", type=float, default=0.0,
                        help="seconds between JSON stats lines on stdout "
                             "(0 = off): server counters + pool occupancy/"
@@ -550,12 +582,20 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def install_cli_signal_handlers() -> None:
+    """Process-entry signal setup: die quietly on SIGPIPE like a unix tool
+    when piped into head etc. Called by __main__ ONLY — flipping the
+    process-wide disposition from a library call would make every socket
+    peer-close fatal to the EMBEDDING process (a test embedding main()
+    died of SIGPIPE three tests later)."""
     import signal
 
-    try:  # behave like a unix tool when piped into head etc.
+    try:
         signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     except (AttributeError, ValueError):
         pass
+
+
+def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     return args.fn(args)

@@ -13,12 +13,23 @@ serializing N separate steps (the pool's whole purpose). A short batch
 window lets concurrent pushes coalesce before the pump fires.
 
 Wire protocol (little-endian):
-  client -> server:  one JSON line {"channels": C[, "group": G]}\n
+  client -> server:  one JSON line {"channels": C[, "group": G]
+                                    [, "resume": LANE]}\n
                      then frames: uint32 n | float32 data[C*n]  (n == 0: EOF)
   server -> client:  frames: uint32 n | float32 data[2*n]
 "group" (default 0) selects the client's profile group on a grouped
 multi-tenant pool (StreamPool(profiles=[...]): per-group HRIR + EQ, one
 shared device step).
+"resume" continues a lane that survived a SERVER RESTART: when the server
+starts on a pool restored from a checkpoint (save_pool_snapshot /
+StreamPool.restore), the restored attached lanes are ORPHANS — their DSP
+carries are intact but their connections are gone. A client that knows
+its lane id reclaims it with {"resume": LANE} (no attach, no state reset:
+the stream's convolution/EQ history continues exactly); orphans unclaimed
+within `resume_grace` seconds are detached. Resume of a non-orphan lane
+is a protocol error (live lanes cannot be hijacked). Rendered-but-
+undelivered audio and undrained input are transient (rings are not
+checkpointed) — clients resend from their last acknowledged frame.
 Wire limits: C must be 1 (mono duplicated) or the group's speaker count, and
 each message's n is capped at ring capacity minus (step - 1) frames by
 default — the largest size guaranteed to eventually fit past any
@@ -65,10 +76,20 @@ class RenderServer:
         client_timeout: float = 30.0,
         batch_window: float = 0.002,
         max_message_frames: Optional[int] = None,
+        resume_grace: float = 30.0,
     ) -> None:
         self.pool = pool
         self.client_timeout = float(client_timeout)
         self.batch_window = float(batch_window)
+        self.resume_grace = float(resume_grace)
+        # Lanes already attached at construction are restart ORPHANS (a
+        # checkpoint-restored pool): carries intact, connections gone.
+        # Claimable via the header's "resume" field until the grace
+        # deadline; then detached (pump-loop housekeeping).
+        self._orphans: dict = {
+            s: time.monotonic() + self.resume_grace
+            for s in getattr(pool, "_attached", {})
+        }
         # Default cap: a max-size message must ALWAYS eventually fit. Up to
         # step_frames-1 frames of residue (block-1 for the default
         # single-block pool) can linger un-harvestable in the input ring,
@@ -95,6 +116,8 @@ class RenderServer:
         self.pump_errors = 0
         self.rejected_full = 0
         self.truncated_closes = 0
+        self.resumed_streams = 0
+        self.expired_orphans = 0
 
     def start(self) -> None:
         self._pump_thread = threading.Thread(target=self._pump_loop,
@@ -138,6 +161,7 @@ class RenderServer:
         counters are round-consistent)."""
         with self._lock:
             pool = self.pool.stats()
+            orphans = len(self._orphans)
         with self._threads_lock:
             live = sum(t.is_alive() for t in self._threads)
         return {
@@ -147,8 +171,21 @@ class RenderServer:
             "pump_errors": self.pump_errors,
             "rejected_full": self.rejected_full,
             "truncated_closes": self.truncated_closes,
+            "resumed_streams": self.resumed_streams,
+            "orphan_lanes": orphans,
             "pool": pool,
         }
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the pool's serving checkpoint (utils/checkpoint
+        save_pool_snapshot), serialized against the pump so the captured
+        carry is round-consistent. A server started on a pool restored
+        from this file offers the restored lanes for `resume`."""
+        from airwave_tpu.utils.checkpoint import save_pool_snapshot
+
+        with self._lock:
+            snap = self.pool.snapshot()
+        save_pool_snapshot(path, snap)
 
     def stop(self) -> None:
         self._stopping = True
@@ -173,6 +210,7 @@ class RenderServer:
             fired = self._data_ready.wait(timeout=0.1)
             if self._stopping:
                 break
+            self._expire_orphans()
             if not fired:
                 continue
             if self.batch_window > 0:
@@ -196,6 +234,18 @@ class RenderServer:
             with self._pump_cond:
                 self._pump_generation += 1
                 self._pump_cond.notify_all()
+
+    def _expire_orphans(self) -> None:
+        """Detach restart orphans nobody resumed within the grace window."""
+        if not self._orphans:
+            return
+        now = time.monotonic()
+        with self._lock:
+            expired = [s for s, dl in self._orphans.items() if dl <= now]
+            for s in expired:
+                self._orphans.pop(s, None)
+                self.pool.detach(s)
+                self.expired_orphans += 1
 
     def _await_pump_round(self, generation: int, deadline: float) -> int:
         """Block until a pump round later than `generation` has run (or the
@@ -263,9 +313,14 @@ class RenderServer:
             try:
                 channels = int(header.get("channels", 2))
                 group = int(header.get("group", 0))
+                resume = header.get("resume")
+                resume = None if resume is None else int(resume)
             except (TypeError, ValueError):
                 self.protocol_errors += 1
                 return
+            if resume is not None:
+                # Resuming fixes the lane, which fixes the group.
+                group = self.pool.group_of(resume)
             if not (0 <= group < self.pool.groups):
                 self.protocol_errors += 1
                 return
@@ -279,14 +334,27 @@ class RenderServer:
                                     renderer.layout_channels):
                     self.protocol_errors += 1
                     return
-                try:
-                    stream = self.pool.attach(group)
-                except RuntimeError:
-                    # Pool at max_streams: refuse THIS client cleanly
-                    # instead of killing its serving thread.
-                    self.rejected_full += 1
-                    return
+                if resume is not None:
+                    # Only restart orphans are claimable: live lanes can
+                    # never be hijacked, and an unknown lane is an error.
+                    if self._orphans.pop(resume, None) is None:
+                        self.protocol_errors += 1
+                        return
+                    stream = resume
+                    self.resumed_streams += 1
+                else:
+                    try:
+                        stream = self.pool.attach(group)
+                    except RuntimeError:
+                        # Pool at max_streams: refuse THIS client cleanly
+                        # instead of killing its serving thread.
+                        self.rejected_full += 1
+                        return
                 self.connections_served += 1
+            if header.get("want_lane"):
+                # Opt-in ack so the client can checkpoint its lane id for
+                # a later resume; sent before any audio frame.
+                conn.sendall(json.dumps({"lane": stream}).encode() + b"\n")
             received = 0
             returned = 0
 

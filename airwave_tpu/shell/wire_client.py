@@ -36,16 +36,35 @@ def _send_frame(conn: socket.socket, audio: np.ndarray) -> None:
 
 
 def render_via_server(address, audio: np.ndarray,
-                      chunk: int = 1024, group: int = 0) -> np.ndarray:
+                      chunk: int = 1024, group: int = 0,
+                      resume: Optional[int] = None,
+                      on_lane=None) -> np.ndarray:
     """Reference client: stream [C, n] audio, return rendered [2, n].
-    `group` selects the profile group on a grouped (multi-tenant) pool."""
+
+    `group` selects the profile group on a grouped (multi-tenant) pool.
+    `resume=LANE` reclaims a restart-orphan lane on a checkpoint-restored
+    server (the stream's DSP history continues). `on_lane` (callable)
+    requests the lane-id ack and receives the assigned lane — checkpoint
+    it to resume after a server restart."""
     channels, total = audio.shape
     conn = socket.create_connection(address, timeout=30)
     try:
         header = {"channels": channels}
         if group:
             header["group"] = group
+        if resume is not None:
+            header["resume"] = int(resume)
+        if on_lane is not None:
+            header["want_lane"] = True
         conn.sendall(json.dumps(header).encode() + b"\n")
+        if on_lane is not None:
+            line = b""
+            while not line.endswith(b"\n"):
+                piece = conn.recv(1)
+                if not piece:
+                    raise ConnectionError("server closed before lane ack")
+                line += piece
+            on_lane(int(json.loads(line.decode())["lane"]))
         rendered = []
 
         def reader():
@@ -65,13 +84,18 @@ def render_via_server(address, audio: np.ndarray,
 
         thread = threading.Thread(target=reader, daemon=True)
         thread.start()
-        for start in range(0, total, chunk):
-            piece = np.ascontiguousarray(audio[:, start:start + chunk])
-            conn.sendall(
-                _LEN.pack(piece.shape[1])
-                + piece.T.astype("<f4").tobytes()
-            )
-        conn.sendall(_LEN.pack(0))
+        try:
+            for start in range(0, total, chunk):
+                piece = np.ascontiguousarray(audio[:, start:start + chunk])
+                conn.sendall(
+                    _LEN.pack(piece.shape[1])
+                    + piece.T.astype("<f4").tobytes()
+                )
+            conn.sendall(_LEN.pack(0))
+        except OSError:
+            # Server closed mid-stream (e.g. a protocol rejection's clean
+            # EOF) — return whatever was rendered before the close.
+            pass
         thread.join(timeout=30)
         return (np.concatenate(rendered, axis=1)
                 if rendered else np.zeros((2, 0), np.float32))

@@ -578,3 +578,124 @@ def test_client_cli_roundtrip(server, tmp_path):
     assert rendered.audio.shape == (2, n)
     direct = render_via_server(srv.address, x, chunk=97)
     np.testing.assert_allclose(rendered.audio, direct, atol=1e-6)
+
+
+def test_server_restart_resume_continues_stream(tmp_path):
+    """Checkpoint -> restart -> {"resume": lane}: the stream's DSP history
+    continues across the server generation (output equals an
+    uninterrupted render); live lanes can't be hijacked; unclaimed
+    orphans expire after the grace window."""
+    import json as _json
+    import socket
+    import struct
+    import time
+
+    from airwave_tpu.utils.checkpoint import load_pool_snapshot
+
+    _len = struct.Struct("<I")
+
+    def send_blocks(conn, audio):
+        conn.sendall(_len.pack(audio.shape[1])
+                     + audio.T.astype("<f4").tobytes())
+
+    rng = np.random.default_rng(21)
+    audio14 = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                48_000.0, BLOCK)
+    x = (rng.standard_normal((2, 4 * BLOCK)) * 0.3).astype(np.float32)
+
+    # Uninterrupted reference render.
+    ref_pool = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    ref_srv = RenderServer(ref_pool, port=0)
+    ref_srv.start()
+    want = render_via_server(ref_srv.address, x, chunk=BLOCK)
+    ref_srv.stop()
+
+    # Generation A: stream the first half, keep the connection open.
+    pool_a = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    srv_a = RenderServer(pool_a, port=0)
+    srv_a.start()
+    conn = socket.create_connection(srv_a.address, timeout=10)
+    conn.sendall(_json.dumps({"channels": 2, "want_lane": True}).encode()
+                 + b"\n")
+    line = b""
+    while not line.endswith(b"\n"):
+        line += conn.recv(1)
+    lane = int(_json.loads(line.decode())["lane"])
+    for t in range(2):
+        send_blocks(conn, x[:, t * BLOCK:(t + 1) * BLOCK])
+    # Collect the rendered first half: some frames arrive on the wire
+    # (the server delivers on inbound messages), the rest sit undelivered
+    # in the pool — drain those under the server lock. The checkpoint
+    # must capture a carry whose rendered frames were all delivered, and
+    # must happen while the connection is open so the lane stays
+    # attached.
+    pieces = []
+    have = 0
+    conn.settimeout(0.5)
+    try:
+        while have < 2 * BLOCK:
+            raw = b""
+            while len(raw) < 4:
+                raw += conn.recv(4 - len(raw))
+            (k,) = _len.unpack(raw)
+            payload = b""
+            while len(payload) < k * 8:
+                payload += conn.recv(k * 8 - len(payload))
+            pieces.append(np.frombuffer(payload, "<f4").reshape(k, 2).T)
+            have += k
+    except TimeoutError:
+        pass
+    deadline = time.monotonic() + 10
+    while have < 2 * BLOCK and time.monotonic() < deadline:
+        with srv_a._lock:
+            avail = pool_a.available(lane)
+            take = min(avail, 2 * BLOCK - have)
+            if take:
+                pieces.append(pool_a.pull(lane, take))
+                have += take
+        time.sleep(0.01)
+    assert have == 2 * BLOCK, have
+    first = np.concatenate(pieces, axis=1)
+    ckpt = str(tmp_path / "serve_ckpt")
+    srv_a.save_checkpoint(ckpt)  # lane still attached (connection open)
+    conn.close()
+    srv_a.stop()
+    np.testing.assert_allclose(first, want[:, :2 * BLOCK], atol=1e-6)
+
+    # Generation B: restore, resume the lane, stream the second half.
+    pool_b = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    pool_b.restore(load_pool_snapshot(ckpt, pool_b))
+    srv_b = RenderServer(pool_b, port=0, resume_grace=30.0)
+    srv_b.start()
+    try:
+        assert srv_b.stats()["orphan_lanes"] == 1
+        second = render_via_server(srv_b.address, x[:, 2 * BLOCK:],
+                                   chunk=BLOCK, resume=lane)
+        np.testing.assert_allclose(second, want[:, 2 * BLOCK:], atol=1e-6)
+        assert srv_b.resumed_streams == 1
+        # The lane detached at the resumed connection's EOF; resuming it
+        # again (or any live/unknown lane) is a protocol error.
+        errs = srv_b.protocol_errors
+        out = render_via_server(srv_b.address, x[:, :BLOCK], resume=lane)
+        assert out.shape[1] == 0
+        assert srv_b.protocol_errors == errs + 1
+    finally:
+        srv_b.stop()
+
+    # Generation C: unclaimed orphans expire after the grace window.
+    pool_c = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    pool_c.restore(load_pool_snapshot(ckpt, pool_c))
+    srv_c = RenderServer(pool_c, port=0, resume_grace=0.2)
+    srv_c.start()
+    try:
+        deadline = time.monotonic() + 5
+        while pool_c._attached and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not pool_c._attached
+        assert srv_c.expired_orphans == 1
+        errs = srv_c.protocol_errors
+        out = render_via_server(srv_c.address, x[:, :BLOCK], resume=lane)
+        assert out.shape[1] == 0 and srv_c.protocol_errors == errs + 1
+    finally:
+        srv_c.stop()
