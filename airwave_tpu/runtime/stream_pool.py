@@ -863,18 +863,22 @@ class StreamPool:
         if chunks.shape[1] == 1 and speakers > 1:
             chunks = np.repeat(chunks, speakers, axis=1)
         elif chunks.shape[1] != speakers and self.groups > 1:
-            idx_rows = []
-            for s in streams:
-                r = self.renderers[self.group_of(int(s))]
+            # Vectorized per-group layout mapping (the batch API must not
+            # fall back to per-stream host loops): one gather with each
+            # row's index set picked by its stream's group.
+            g = np.asarray(streams, np.int64) // self.group_size
+            for gu in np.unique(g):
+                r = self.renderers[int(gu)]
                 if chunks.shape[1] != r.layout_channels:
                     raise ValueError(
                         f"chunk channel count {chunks.shape[1]} matches "
-                        f"neither the speaker count ({speakers}) nor stream "
-                        f"{int(s)}'s group layout ({r.layout_channels})"
+                        f"neither the speaker count ({speakers}) nor "
+                        f"group {int(gu)}'s layout ({r.layout_channels})"
                     )
-                idx_rows.append(r.input_indices)
-            chunks = chunks[np.arange(len(idx_rows))[:, None],
-                            np.asarray(idx_rows, np.int64)]
+            table = np.asarray(
+                [r.input_indices for r in self.renderers], np.int64
+            )  # [G, speakers]
+            chunks = chunks[np.arange(len(g))[:, None], table[g]]
         elif (chunks.shape[1] == self.renderer.layout_channels
               and chunks.shape[1] != speakers):
             chunks = chunks[:, list(self.renderer.input_indices)]

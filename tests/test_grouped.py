@@ -748,3 +748,30 @@ def test_pool_snapshot_persists_to_disk_and_resumes(tmp_path):
     ])
     with pytest.raises(ValueError):
         load_pool_snapshot(path, other)
+
+
+def test_grouped_push_many_maps_layout_channels_vectorized():
+    """Batch ingest with full layout channels on a grouped pool: each
+    row maps through its stream's group's input indices (one gather, no
+    per-stream host loop) — equivalent to per-stream push."""
+    r0 = _renderer(2 * BLOCK, 80, layout=cm.ATMOS_7_1_4)
+    r1 = _renderer(2 * BLOCK, 81, layout=cm.ATMOS_7_1_4)
+    a = StreamPool(4, 48_000.0, block_size=BLOCK,
+                   profiles=[PoolProfile(r0), PoolProfile(r1)])
+    b = StreamPool(4, 48_000.0, block_size=BLOCK,
+                   profiles=[PoolProfile(r0), PoolProfile(r1)])
+    lanes_a = [a.attach(0), a.attach(1)]
+    lanes_b = [b.attach(0), b.attach(1)]
+    rng = np.random.default_rng(82)
+    chunks = (rng.standard_normal((2, 12, 2 * BLOCK)) * 0.3).astype(
+        np.float32)  # full 7.1.4 layout channels, heights dropped
+    a.push_many(lanes_a, chunks)
+    for lane, chunk in zip(lanes_b, chunks):
+        b.push(lane, chunk)
+    a.pump()
+    b.pump()
+    for la, lb in zip(lanes_a, lanes_b):
+        np.testing.assert_array_equal(a.pull(la, 2 * BLOCK),
+                                      b.pull(lb, 2 * BLOCK))
+    with pytest.raises(ValueError, match="neither"):
+        a.push_many(lanes_a, np.zeros((2, 5, BLOCK), np.float32))
