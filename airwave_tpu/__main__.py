@@ -1,7 +1,6 @@
 import sys
 
-from airwave_tpu.shell.app import install_cli_signal_handlers, main
+from airwave_tpu.shell.app import cli
 
 if __name__ == "__main__":
-    install_cli_signal_handlers()
-    sys.exit(main())
+    sys.exit(cli())

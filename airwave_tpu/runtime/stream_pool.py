@@ -666,7 +666,7 @@ class StreamPool:
 
     # --- checkpoint / resume ----------------------------------------------------------
 
-    def snapshot(self) -> dict:
+    def snapshot(self, materialize: bool = True) -> dict:
         """Host-side checkpoint of every slot's DSP carry.
 
         Captures the device carry AND the host state that interprets it
@@ -678,9 +678,18 @@ class StreamPool:
         (undrained input/output audio) are transient by design and not
         captured, matching the reference's reset-on-reconfigure stance for
         in-flight audio. Feed to `restore` on a pool with identical
-        max_streams/renderer shape for bit-identical resume."""
+        max_streams/renderer shape for bit-identical resume.
+
+        materialize=False keeps "state" as DEVICE COPIES (one cheap
+        on-device pass, no host readback) instead of numpy — for callers
+        that must not block serving on a multi-GB device->host fetch (a
+        live RenderServer checkpoints under its pump lock): copy under
+        the lock, np.asarray/save outside it. The copies are safe against
+        the step's carry donation (they are distinct buffers)."""
         snap = {
-            "state": jax.tree_util.tree_map(np.asarray, self._state),
+            "state": jax.tree_util.tree_map(
+                (np.asarray if materialize else jnp.copy), self._state
+            ),
             "debt": self._debt.copy(),
             "attached": sorted(self._attached),
             "eq_runtime": self.eq_runtime.snapshot(),

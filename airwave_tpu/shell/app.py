@@ -393,15 +393,19 @@ def cmd_serve(args) -> int:
     pool, layout = build_serve_pool(args)
     ckpt = getattr(args, "checkpoint", None)
     resumed = False
+    orphan_tokens = None
     if ckpt:
-        npz = ckpt if ckpt.endswith(".npz") else ckpt + ".npz"
-        if os.path.exists(npz):
-            from airwave_tpu.utils.checkpoint import load_pool_snapshot
+        from airwave_tpu.utils.checkpoint import (checkpoint_path,
+                                                  load_pool_snapshot)
 
-            pool.restore(load_pool_snapshot(ckpt, pool))
+        if os.path.exists(checkpoint_path(ckpt)):
+            snap = load_pool_snapshot(ckpt, pool)
+            pool.restore(snap)
+            orphan_tokens = snap.get("resume_tokens")
             resumed = True
     server = RenderServer(pool, host=args.host, port=args.port,
-                          resume_grace=getattr(args, "resume_grace", 30.0))
+                          resume_grace=getattr(args, "resume_grace", 30.0),
+                          orphan_tokens=orphan_tokens)
     server.start()
     print(json.dumps({"listening": list(server.address),
                       "max_streams": args.max_streams,
@@ -599,3 +603,10 @@ def install_cli_signal_handlers() -> None:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     return args.fn(args)
+
+
+def cli(argv: Optional[List[str]] = None) -> int:
+    """Process entry point (console script + python -m): installs the
+    unix-tool signal handlers, then runs main()."""
+    install_cli_signal_handlers()
+    return main(argv)

@@ -14,22 +14,28 @@ window lets concurrent pushes coalesce before the pump fires.
 
 Wire protocol (little-endian):
   client -> server:  one JSON line {"channels": C[, "group": G]
-                                    [, "resume": LANE]}\n
+                                    [, "resume": LANE, "token": SECRET]
+                                    [, "want_lane": true]}\n
                      then frames: uint32 n | float32 data[C*n]  (n == 0: EOF)
-  server -> client:  frames: uint32 n | float32 data[2*n]
+  server -> client:  [one JSON line {"lane": N, "token": SECRET}\n when
+                      want_lane was set]
+                     frames: uint32 n | float32 data[2*n]
 "group" (default 0) selects the client's profile group on a grouped
 multi-tenant pool (StreamPool(profiles=[...]): per-group HRIR + EQ, one
 shared device step).
 "resume" continues a lane that survived a SERVER RESTART: when the server
-starts on a pool restored from a checkpoint (save_pool_snapshot /
-StreamPool.restore), the restored attached lanes are ORPHANS — their DSP
-carries are intact but their connections are gone. A client that knows
-its lane id reclaims it with {"resume": LANE} (no attach, no state reset:
-the stream's convolution/EQ history continues exactly); orphans unclaimed
-within `resume_grace` seconds are detached. Resume of a non-orphan lane
-is a protocol error (live lanes cannot be hijacked). Rendered-but-
-undelivered audio and undrained input are transient (rings are not
-checkpointed) — clients resend from their last acknowledged frame.
+starts on a pool restored from a checkpoint (RenderServer(orphan_tokens=
+checkpoint's resume_tokens)), the restored attached lanes are ORPHANS —
+their DSP carries are intact but their connections are gone. A client
+reclaims its lane with {"resume": LANE, "token": SECRET} using the secret
+from its want_lane ack (no attach, no state reset: the stream's
+convolution/EQ history continues exactly); orphans unclaimed within
+`resume_grace` seconds are detached. Lane ids are guessable ints — the
+token is the authentication; a wrong/missing token or a non-orphan lane
+is a protocol error and never consumes the orphan (live lanes cannot be
+hijacked). Rendered-but-undelivered audio and undrained input are
+transient (rings are not checkpointed) — clients resend from their last
+acknowledged frame.
 Wire limits: C must be 1 (mono duplicated) or the group's speaker count, and
 each message's n is capped at ring capacity minus (step - 1) frames by
 default — the largest size guaranteed to eventually fit past any
@@ -46,7 +52,9 @@ stream from a successful one (`truncated_closes` counts these).
 
 from __future__ import annotations
 
+import hmac
 import json
+import secrets
 import socket
 import threading
 import time
@@ -77,19 +85,31 @@ class RenderServer:
         batch_window: float = 0.002,
         max_message_frames: Optional[int] = None,
         resume_grace: float = 30.0,
+        orphan_tokens: Optional[dict] = None,
     ) -> None:
         self.pool = pool
         self.client_timeout = float(client_timeout)
         self.batch_window = float(batch_window)
         self.resume_grace = float(resume_grace)
-        # Lanes already attached at construction are restart ORPHANS (a
-        # checkpoint-restored pool): carries intact, connections gone.
-        # Claimable via the header's "resume" field until the grace
-        # deadline; then detached (pump-loop housekeeping).
-        self._orphans: dict = {
-            s: time.monotonic() + self.resume_grace
-            for s in getattr(pool, "_attached", {})
-        }
+        # Per-lane resume secrets: generated at attach, handed to the
+        # client in the want_lane ack, checkpointed, and REQUIRED to claim
+        # an orphan — lane ids are guessable ints, the token is what ties
+        # a lane to its original client.
+        self._lane_tokens: dict = {}
+        # Restart ORPHANS: lanes restored from a checkpoint (the operator
+        # passes the checkpoint's resume_tokens), carries intact,
+        # connections gone. Claimable via the header's resume+token until
+        # the grace deadline; then detached (pump-loop housekeeping).
+        # Pre-attached lanes WITHOUT a token (a library embedder sharing
+        # its pool) are left alone entirely.
+        self._orphans: dict = {}
+        if orphan_tokens:
+            now = time.monotonic()
+            for s in getattr(pool, "_attached", {}):
+                tok = orphan_tokens.get(int(s))
+                if tok is not None:
+                    self._orphans[int(s)] = now + self.resume_grace
+                    self._lane_tokens[int(s)] = str(tok)
         # Default cap: a max-size message must ALWAYS eventually fit. Up to
         # step_frames-1 frames of residue (block-1 for the default
         # single-block pool) can linger un-harvestable in the input ring,
@@ -178,13 +198,18 @@ class RenderServer:
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the pool's serving checkpoint (utils/checkpoint
-        save_pool_snapshot), serialized against the pump so the captured
-        carry is round-consistent. A server started on a pool restored
-        from this file offers the restored lanes for `resume`."""
+        save_pool_snapshot), round-consistent but cheap under the lock:
+        the lock holds only for an on-device carry copy + host counters
+        (snapshot(materialize=False)); the device->host readback and the
+        atomic file write run outside it, so serving never stalls on the
+        fetch. The checkpoint carries each lane's resume token; a server
+        started on a pool restored from this file (orphan_tokens=...)
+        offers the restored lanes for token-authenticated `resume`."""
         from airwave_tpu.utils.checkpoint import save_pool_snapshot
 
         with self._lock:
-            snap = self.pool.snapshot()
+            snap = self.pool.snapshot(materialize=False)
+            snap["resume_tokens"] = dict(self._lane_tokens)
         save_pool_snapshot(path, snap)
 
     def stop(self) -> None:
@@ -244,6 +269,7 @@ class RenderServer:
             expired = [s for s, dl in self._orphans.items() if dl <= now]
             for s in expired:
                 self._orphans.pop(s, None)
+                self._lane_tokens.pop(s, None)
                 self.pool.detach(s)
                 self.expired_orphans += 1
 
@@ -335,12 +361,22 @@ class RenderServer:
                     self.protocol_errors += 1
                     return
                 if resume is not None:
-                    # Only restart orphans are claimable: live lanes can
-                    # never be hijacked, and an unknown lane is an error.
-                    if self._orphans.pop(resume, None) is None:
+                    # Only restart orphans are claimable, and only with
+                    # the lane's resume token (lane ids are guessable
+                    # ints): live lanes can never be hijacked, a wrong or
+                    # missing token is an error, and a failed attempt
+                    # does NOT consume the orphan.
+                    want_tok = self._lane_tokens.get(resume)
+                    got_tok = header.get("token")
+                    if (resume not in self._orphans
+                            or want_tok is None
+                            or not isinstance(got_tok, str)
+                            or not hmac.compare_digest(want_tok, got_tok)):
                         self.protocol_errors += 1
                         return
+                    self._orphans.pop(resume, None)
                     stream = resume
+                    token = want_tok
                     self.resumed_streams += 1
                 else:
                     try:
@@ -350,11 +386,16 @@ class RenderServer:
                         # instead of killing its serving thread.
                         self.rejected_full += 1
                         return
+                    token = secrets.token_hex(16)
+                    self._lane_tokens[stream] = token
                 self.connections_served += 1
             if header.get("want_lane"):
-                # Opt-in ack so the client can checkpoint its lane id for
-                # a later resume; sent before any audio frame.
-                conn.sendall(json.dumps({"lane": stream}).encode() + b"\n")
+                # Opt-in ack so the client can checkpoint its lane id +
+                # resume token for a later resume; sent before any audio
+                # frame.
+                conn.sendall(json.dumps(
+                    {"lane": stream, "token": token}
+                ).encode() + b"\n")
             received = 0
             returned = 0
 
@@ -425,6 +466,7 @@ class RenderServer:
                     pass
             if stream is not None:
                 with self._lock:
+                    self._lane_tokens.pop(stream, None)
                     self.pool.detach(stream)
             try:
                 conn.close()

@@ -38,14 +38,16 @@ def _send_frame(conn: socket.socket, audio: np.ndarray) -> None:
 def render_via_server(address, audio: np.ndarray,
                       chunk: int = 1024, group: int = 0,
                       resume: Optional[int] = None,
+                      resume_token: Optional[str] = None,
                       on_lane=None) -> np.ndarray:
     """Reference client: stream [C, n] audio, return rendered [2, n].
 
     `group` selects the profile group on a grouped (multi-tenant) pool.
-    `resume=LANE` reclaims a restart-orphan lane on a checkpoint-restored
-    server (the stream's DSP history continues). `on_lane` (callable)
-    requests the lane-id ack and receives the assigned lane — checkpoint
-    it to resume after a server restart."""
+    `resume=LANE` + `resume_token=SECRET` reclaims a restart-orphan lane
+    on a checkpoint-restored server (the stream's DSP history continues).
+    `on_lane` (callable) requests the lane ack and receives
+    {"lane": N, "token": SECRET} — checkpoint both to resume after a
+    server restart."""
     channels, total = audio.shape
     conn = socket.create_connection(address, timeout=30)
     try:
@@ -54,6 +56,8 @@ def render_via_server(address, audio: np.ndarray,
             header["group"] = group
         if resume is not None:
             header["resume"] = int(resume)
+            if resume_token is not None:
+                header["token"] = str(resume_token)
         if on_lane is not None:
             header["want_lane"] = True
         conn.sendall(json.dumps(header).encode() + b"\n")
@@ -64,8 +68,9 @@ def render_via_server(address, audio: np.ndarray,
                 if not piece:
                     raise ConnectionError("server closed before lane ack")
                 line += piece
-            on_lane(int(json.loads(line.decode())["lane"]))
+            on_lane(json.loads(line.decode()))
         rendered = []
+        clean_eof = [False]
 
         def reader():
             while True:
@@ -74,6 +79,7 @@ def render_via_server(address, audio: np.ndarray,
                     return
                 (n,) = _LEN.unpack(raw)
                 if n == 0:
+                    clean_eof[0] = True
                     return
                 payload = _read_exact(conn, n * 2 * 4)
                 if payload is None:
@@ -84,6 +90,7 @@ def render_via_server(address, audio: np.ndarray,
 
         thread = threading.Thread(target=reader, daemon=True)
         thread.start()
+        send_err = None
         try:
             for start in range(0, total, chunk):
                 piece = np.ascontiguousarray(audio[:, start:start + chunk])
@@ -92,11 +99,15 @@ def render_via_server(address, audio: np.ndarray,
                     + piece.T.astype("<f4").tobytes()
                 )
             conn.sendall(_LEN.pack(0))
-        except OSError:
-            # Server closed mid-stream (e.g. a protocol rejection's clean
-            # EOF) — return whatever was rendered before the close.
-            pass
+        except (BrokenPipeError, ConnectionResetError) as err:
+            # Peer closed mid-send. If the server's clean EOF frame
+            # arrived (a deliberate protocol rejection), return what was
+            # rendered; otherwise this is a genuine failure — re-raise
+            # rather than silently returning a truncated render.
+            send_err = err
         thread.join(timeout=30)
+        if send_err is not None and not clean_eof[0]:
+            raise send_err
         return (np.concatenate(rendered, axis=1)
                 if rendered else np.zeros((2, 0), np.float32))
     finally:

@@ -45,7 +45,17 @@ def _resolve_dtype(name: str) -> np.dtype:
     return np.dtype(name)
 
 
-def save_pytree(path: str, tree: Any) -> None:
+def save_pytree(path: str, tree: Any, extra_json: Any = None) -> None:
+    """Atomically persist a pytree of arrays to `<path>.npz`.
+
+    The file is written to a temp name and os.replace'd into place, so a
+    crash mid-write (the exact event checkpointing exists to survive)
+    never tears or truncates an existing checkpoint. `extra_json`
+    (optional, JSON-serializable) rides INSIDE the same npz so array and
+    control state can never be torn apart into mismatched generations;
+    read it back with load_pytree_extra."""
+    import os
+
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {}
     ext_dtypes = {}
@@ -65,7 +75,22 @@ def save_pytree(path: str, tree: Any) -> None:
         arrays["__ext_dtypes__"] = np.frombuffer(
             json.dumps(ext_dtypes).encode(), dtype=np.uint8
         )
-    np.savez(_normalized(path), **arrays)
+    if extra_json is not None:
+        arrays["__extra__"] = np.frombuffer(
+            json.dumps(extra_json).encode(), dtype=np.uint8
+        )
+    final = _normalized(path)
+    tmp = final + ".tmp.npz"  # keep the .npz suffix so savez won't append
+    np.savez(tmp, **arrays)
+    os.replace(tmp, final)
+
+
+def load_pytree_extra(path: str) -> Any:
+    """Read back save_pytree's `extra_json` payload (None if absent)."""
+    with np.load(_normalized(path)) as data:
+        if "__extra__" not in data:
+            return None
+        return json.loads(bytes(data["__extra__"]).decode())
 
 
 def load_pytree(path: str, like: Any) -> Any:
@@ -211,13 +236,20 @@ def _unpack_eq_runtime(packed: dict) -> dict:
     }
 
 
+def checkpoint_path(path: str) -> str:
+    """The on-disk file a checkpoint path resolves to (single source of
+    the .npz suffix rule — callers existence-check THIS, never reimplement
+    the suffix logic)."""
+    return _normalized(path)
+
+
 def save_pool_snapshot(path: str, snap: dict) -> None:
-    """Persist a StreamPool.snapshot() to disk: arrays to `<path>.npz`,
-    control metadata to `<path>.npz.meta.json`. Pair with
+    """Persist a StreamPool.snapshot() to ONE file at `<path>.npz`,
+    atomically (temp + os.replace): carry arrays plus control metadata
+    (attached set, per-group EQ machines, debt, optional serving resume
+    tokens) can never tear into mismatched generations. Pair with
     load_pool_snapshot on a pool of identical construction for a
     bit-identical cross-process serving resume."""
-    save_pytree(path, {"state": snap["state"],
-                       "debt": np.asarray(snap["debt"])})
     meta = {
         "attached": [int(s) for s in snap["attached"]],
         "eq_enabled": bool(snap["eq_enabled"]),
@@ -227,8 +259,13 @@ def save_pool_snapshot(path: str, snap: dict) -> None:
     if "eq_runtimes" in snap:
         meta["eq_runtimes"] = [_pack_eq_runtime(s)
                                for s in snap["eq_runtimes"]]
-    with open(_normalized(path) + ".meta.json", "w") as f:
-        json.dump(meta, f)
+    if "resume_tokens" in snap:
+        meta["resume_tokens"] = {
+            str(k): str(v) for k, v in snap["resume_tokens"].items()
+        }
+    save_pytree(path, {"state": snap["state"],
+                       "debt": np.asarray(snap["debt"])},
+                extra_json=meta)
 
 
 def load_pool_snapshot(path: str, pool) -> dict:
@@ -236,14 +273,16 @@ def load_pool_snapshot(path: str, pool) -> dict:
 
     `pool` supplies the expected carry structure (strict shape/dtype
     validation, as load_pytree); call `pool.restore(load_pool_snapshot(
-    path, pool))` to resume."""
+    path, pool))` to resume. A serving checkpoint's `resume_tokens`
+    (lane -> secret) ride along for RenderServer(orphan_tokens=...)."""
     like = {
         "state": jax.tree_util.tree_map(np.asarray, pool._state),
         "debt": np.asarray(pool._debt),
     }
     data = load_pytree(path, like)
-    with open(_normalized(path) + ".meta.json") as f:
-        meta = json.load(f)
+    meta = load_pytree_extra(path)
+    if meta is None:
+        raise ValueError(f"{checkpoint_path(path)} holds no pool metadata")
     snap = {
         "state": data["state"],
         "debt": data["debt"],
@@ -255,4 +294,8 @@ def load_pool_snapshot(path: str, pool) -> dict:
     if "eq_runtimes" in meta:
         snap["eq_runtimes"] = [_unpack_eq_runtime(s)
                                for s in meta["eq_runtimes"]]
+    if "resume_tokens" in meta:
+        snap["resume_tokens"] = {
+            int(k): v for k, v in meta["resume_tokens"].items()
+        }
     return snap

@@ -621,7 +621,8 @@ def test_server_restart_resume_continues_stream(tmp_path):
     line = b""
     while not line.endswith(b"\n"):
         line += conn.recv(1)
-    lane = int(_json.loads(line.decode())["lane"])
+    ack = _json.loads(line.decode())
+    lane, token = int(ack["lane"]), ack["token"]
     for t in range(2):
         send_blocks(conn, x[:, t * BLOCK:(t + 1) * BLOCK])
     # Collect the rendered first half: some frames arrive on the wire
@@ -665,19 +666,33 @@ def test_server_restart_resume_continues_stream(tmp_path):
 
     # Generation B: restore, resume the lane, stream the second half.
     pool_b = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
-    pool_b.restore(load_pool_snapshot(ckpt, pool_b))
-    srv_b = RenderServer(pool_b, port=0, resume_grace=30.0)
+    snap = load_pool_snapshot(ckpt, pool_b)
+    pool_b.restore(snap)
+    srv_b = RenderServer(pool_b, port=0, resume_grace=30.0,
+                         orphan_tokens=snap["resume_tokens"])
     srv_b.start()
     try:
         assert srv_b.stats()["orphan_lanes"] == 1
+        # A wrong/missing token never claims the orphan (lane ids are
+        # guessable; the token is the authentication).
+        errs = srv_b.protocol_errors
+        out = render_via_server(srv_b.address, x[:, :BLOCK], resume=lane)
+        assert out.shape[1] == 0
+        out = render_via_server(srv_b.address, x[:, :BLOCK], resume=lane,
+                                resume_token="not-the-token")
+        assert out.shape[1] == 0
+        assert srv_b.protocol_errors == errs + 2
+        assert srv_b.stats()["orphan_lanes"] == 1  # attempts don't consume
         second = render_via_server(srv_b.address, x[:, 2 * BLOCK:],
-                                   chunk=BLOCK, resume=lane)
+                                   chunk=BLOCK, resume=lane,
+                                   resume_token=token)
         np.testing.assert_allclose(second, want[:, 2 * BLOCK:], atol=1e-6)
         assert srv_b.resumed_streams == 1
         # The lane detached at the resumed connection's EOF; resuming it
         # again (or any live/unknown lane) is a protocol error.
         errs = srv_b.protocol_errors
-        out = render_via_server(srv_b.address, x[:, :BLOCK], resume=lane)
+        out = render_via_server(srv_b.address, x[:, :BLOCK], resume=lane,
+                                resume_token=token)
         assert out.shape[1] == 0
         assert srv_b.protocol_errors == errs + 1
     finally:
@@ -685,8 +700,10 @@ def test_server_restart_resume_continues_stream(tmp_path):
 
     # Generation C: unclaimed orphans expire after the grace window.
     pool_c = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
-    pool_c.restore(load_pool_snapshot(ckpt, pool_c))
-    srv_c = RenderServer(pool_c, port=0, resume_grace=0.2)
+    snap_c = load_pool_snapshot(ckpt, pool_c)
+    pool_c.restore(snap_c)
+    srv_c = RenderServer(pool_c, port=0, resume_grace=0.2,
+                         orphan_tokens=snap_c["resume_tokens"])
     srv_c.start()
     try:
         deadline = time.monotonic() + 5
@@ -695,7 +712,8 @@ def test_server_restart_resume_continues_stream(tmp_path):
         assert not pool_c._attached
         assert srv_c.expired_orphans == 1
         errs = srv_c.protocol_errors
-        out = render_via_server(srv_c.address, x[:, :BLOCK], resume=lane)
+        out = render_via_server(srv_c.address, x[:, :BLOCK], resume=lane,
+                                resume_token=token)
         assert out.shape[1] == 0 and srv_c.protocol_errors == errs + 1
     finally:
         srv_c.stop()
