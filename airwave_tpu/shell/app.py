@@ -401,7 +401,9 @@ def cmd_serve(args) -> int:
         if os.path.exists(checkpoint_path(ckpt)):
             snap = load_pool_snapshot(ckpt, pool)
             pool.restore(snap)
-            orphan_tokens = snap.get("resume_tokens")
+            # Always a dict when restored: even a token-less checkpoint's
+            # restored lanes are dead connections that must grace-expire.
+            orphan_tokens = snap.get("resume_tokens", {}) or {}
             resumed = True
     server = RenderServer(pool, host=args.host, port=args.port,
                           resume_grace=getattr(args, "resume_grace", 30.0),
@@ -450,12 +452,20 @@ def cmd_client(args) -> int:
 
     data = wav_io.load(args.input)
     audio = data.audio.astype(np.float32)
-    out = render_via_server((args.host, args.port), audio,
-                            chunk=args.chunk, group=args.group)
+    error = None
+    try:
+        out = render_via_server((args.host, args.port), audio,
+                                chunk=args.chunk, group=args.group)
+    except OSError as err:
+        # The smoke check's contract is a JSON report + exit 1 on
+        # truncation — a mid-stream server death is exactly that, not a
+        # traceback.
+        out = np.zeros((2, 0), np.float32)
+        error = f"{type(err).__name__}: {err}"
     truncated = out.shape[1] < audio.shape[1]
     if out.shape[1]:
         wav_io.save(args.output, out, data.sample_rate)
-    print(json.dumps({
+    result = {
         "input_frames": int(audio.shape[1]),
         "rendered_frames": int(out.shape[1]),
         "sample_rate": data.sample_rate,
@@ -463,7 +473,10 @@ def cmd_client(args) -> int:
         "group": args.group,
         "truncated": truncated,
         "output": args.output if out.shape[1] else None,
-    }))
+    }
+    if error is not None:
+        result["error"] = error
+    print(json.dumps(result))
     return 1 if truncated else 0
 
 
@@ -607,6 +620,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 def cli(argv: Optional[List[str]] = None) -> int:
     """Process entry point (console script + python -m): installs the
-    unix-tool signal handlers, then runs main()."""
-    install_cli_signal_handlers()
-    return main(argv)
+    unix-tool signal handlers for the SHORT-LIVED subcommands, then
+    dispatches. Long-running subcommands (serve, demo) keep Python's
+    default SIGPIPE=ignore: with SIG_DFL a client disconnecting while the
+    server is mid-sendall would SIGPIPE-kill the whole serving process
+    instead of raising the per-connection BrokenPipeError it handles."""
+    args = build_parser().parse_args(argv)
+    if args.command not in ("serve", "demo"):
+        install_cli_signal_handlers()
+    return args.fn(args)

@@ -96,19 +96,21 @@ class RenderServer:
         # an orphan — lane ids are guessable ints, the token is what ties
         # a lane to its original client.
         self._lane_tokens: dict = {}
-        # Restart ORPHANS: lanes restored from a checkpoint (the operator
-        # passes the checkpoint's resume_tokens), carries intact,
-        # connections gone. Claimable via the header's resume+token until
-        # the grace deadline; then detached (pump-loop housekeeping).
-        # Pre-attached lanes WITHOUT a token (a library embedder sharing
-        # its pool) are left alone entirely.
+        # Restart ORPHANS: when orphan_tokens is given (ANY dict — the
+        # signal that this pool was restored from a checkpoint), EVERY
+        # pre-attached lane is an orphan: its connection is gone by
+        # definition, so it must either be reclaimed (needs its token) or
+        # grace-detached — a token-less restored lane would otherwise
+        # leak its slot forever. With orphan_tokens=None (a library
+        # embedder sharing a live pool), pre-attached lanes are left
+        # alone entirely.
         self._orphans: dict = {}
-        if orphan_tokens:
+        if orphan_tokens is not None:
             now = time.monotonic()
             for s in getattr(pool, "_attached", {}):
+                self._orphans[int(s)] = now + self.resume_grace
                 tok = orphan_tokens.get(int(s))
                 if tok is not None:
-                    self._orphans[int(s)] = now + self.resume_grace
                     self._lane_tokens[int(s)] = str(tok)
         # Default cap: a max-size message must ALWAYS eventually fit. Up to
         # step_frames-1 frames of residue (block-1 for the default
@@ -368,10 +370,14 @@ class RenderServer:
                     # does NOT consume the orphan.
                     want_tok = self._lane_tokens.get(resume)
                     got_tok = header.get("token")
+                    # Compare ENCODED bytes: compare_digest raises
+                    # TypeError on non-ASCII str input, which a hostile
+                    # header could use to kill this serving thread.
                     if (resume not in self._orphans
                             or want_tok is None
                             or not isinstance(got_tok, str)
-                            or not hmac.compare_digest(want_tok, got_tok)):
+                            or not hmac.compare_digest(
+                                want_tok.encode(), got_tok.encode())):
                         self.protocol_errors += 1
                         return
                     self._orphans.pop(resume, None)

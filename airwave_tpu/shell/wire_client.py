@@ -99,11 +99,14 @@ def render_via_server(address, audio: np.ndarray,
                     + piece.T.astype("<f4").tobytes()
                 )
             conn.sendall(_LEN.pack(0))
-        except (BrokenPipeError, ConnectionResetError) as err:
-            # Peer closed mid-send. If the server's clean EOF frame
-            # arrived (a deliberate protocol rejection), return what was
-            # rendered; otherwise this is a genuine failure — re-raise
-            # rather than silently returning a truncated render.
+        except OSError as err:
+            # Peer closed / connection failed mid-send (the exact
+            # exception varies by platform: BrokenPipe, ConnectionReset,
+            # ConnectionAborted, EPROTOTYPE...). If the server's clean
+            # EOF frame arrived (a deliberate protocol rejection), return
+            # what was rendered; otherwise this is a genuine failure —
+            # re-raise below rather than silently returning a truncated
+            # render.
             send_err = err
         thread.join(timeout=30)
         if send_err is not None and not clean_eof[0]:

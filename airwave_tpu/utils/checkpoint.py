@@ -82,7 +82,21 @@ def save_pytree(path: str, tree: Any, extra_json: Any = None) -> None:
     final = _normalized(path)
     tmp = final + ".tmp.npz"  # keep the .npz suffix so savez won't append
     np.savez(tmp, **arrays)
+    # fsync file + directory before/after the rename: os.replace alone is
+    # atomic against a PROCESS crash but not against power loss, where
+    # the rename can land pointing at unflushed data — the previous good
+    # checkpoint would be gone AND the new one torn.
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
     os.replace(tmp, final)
+    try:
+        dir_fd = os.open(os.path.dirname(final) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+    except OSError:  # pragma: no cover - platform-dependent dir fsync
+        pass
 
 
 def load_pytree_extra(path: str) -> Any:
@@ -93,12 +107,15 @@ def load_pytree_extra(path: str) -> Any:
         return json.loads(bytes(data["__extra__"]).decode())
 
 
-def load_pytree(path: str, like: Any) -> Any:
+def load_pytree(path: str, like: Any, with_extra: bool = False) -> Any:
     """Restore a pytree saved by save_pytree into the structure of `like`.
 
     The stored structure metadata and every leaf's shape and dtype must
     match `like` exactly — a checkpoint from a different carry structure
-    (or precision policy) is an error, never a silent cast."""
+    (or precision policy) is an error, never a silent cast.
+
+    with_extra=True returns (tree, extra_json_or_None) from the same
+    archive open (load_pytree_extra exists for extra-only reads)."""
     with np.load(_normalized(path)) as data:
         if "__treedef__" in data:
             saved_structure = json.loads(bytes(data["__treedef__"]).decode())
@@ -132,7 +149,12 @@ def load_pytree(path: str, like: Any) -> Any:
                     f"{key}: dtype {loaded.dtype} != expected {ref_arr.dtype}"
                 )
             leaves.append(loaded)
-        return jax.tree_util.tree_unflatten(treedef, leaves)
+        tree = jax.tree_util.tree_unflatten(treedef, leaves)
+        if not with_extra:
+            return tree
+        extra = (json.loads(bytes(data["__extra__"]).decode())
+                 if "__extra__" in data else None)
+        return tree, extra
 
 
 def _treedef_repr(tree: Any) -> str:
@@ -279,10 +301,19 @@ def load_pool_snapshot(path: str, pool) -> dict:
         "state": jax.tree_util.tree_map(np.asarray, pool._state),
         "debt": np.asarray(pool._debt),
     }
-    data = load_pytree(path, like)
-    meta = load_pytree_extra(path)
+    data, meta = load_pytree(path, like, with_extra=True)
     if meta is None:
-        raise ValueError(f"{checkpoint_path(path)} holds no pool metadata")
+        # Legacy layout (first iteration of this format): metadata in a
+        # JSON sidecar next to the npz.
+        sidecar = checkpoint_path(path) + ".meta.json"
+        try:
+            with open(sidecar) as f:
+                meta = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{checkpoint_path(path)} holds no pool metadata "
+                f"(and no legacy sidecar {sidecar})"
+            ) from None
     snap = {
         "state": data["state"],
         "debt": data["debt"],

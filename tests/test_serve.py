@@ -717,3 +717,64 @@ def test_server_restart_resume_continues_stream(tmp_path):
         assert out.shape[1] == 0 and srv_c.protocol_errors == errs + 1
     finally:
         srv_c.stop()
+
+
+def test_tokenless_restored_lanes_expire_and_hostile_tokens_are_safe(
+        tmp_path):
+    """A library-style checkpoint (no resume tokens) restored under a
+    server still grace-expires its dead lanes instead of leaking slots;
+    a non-ASCII resume token is a counted protocol error, not a thread
+    death."""
+    import socket
+    import time
+
+    from airwave_tpu.utils.checkpoint import (load_pool_snapshot,
+                                              save_pool_snapshot)
+
+    rng = np.random.default_rng(31)
+    audio14 = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                48_000.0, BLOCK)
+    a = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    a.attach()
+    a.attach()
+    path = str(tmp_path / "tokenless")
+    save_pool_snapshot(path, a.snapshot())  # library flow: no tokens
+
+    b = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    snap = load_pool_snapshot(path, b)
+    assert "resume_tokens" not in snap
+    b.restore(snap)
+    srv = RenderServer(b, port=0, resume_grace=0.2,
+                       orphan_tokens=snap.get("resume_tokens", {}) or {})
+    srv.start()
+    try:
+        deadline = time.monotonic() + 5
+        while b._attached and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not b._attached, "token-less restored lanes leaked"
+        assert srv.expired_orphans == 2
+
+        # Hostile non-ASCII token on an orphan lane id: protocol error.
+        c = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+        c.attach()
+        srv2 = RenderServer(c, port=0, resume_grace=30.0,
+                            orphan_tokens={0: "deadbeef"})
+        srv2.start()
+        try:
+            errs = srv2.protocol_errors
+            conn = socket.create_connection(srv2.address, timeout=10)
+            conn.sendall(('{"channels": 2, "resume": 0, '
+                          '"token": "á"}\n').encode())
+            assert conn.recv(16) in (b"\x00\x00\x00\x00", b"")
+            conn.close()
+            deadline = time.monotonic() + 5
+            while srv2.protocol_errors == errs and \
+                    time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert srv2.protocol_errors == errs + 1
+            assert srv2.stats()["orphan_lanes"] == 1  # not consumed
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
