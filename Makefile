@@ -1,4 +1,4 @@
-.PHONY: test gate bench-smoke bench bench-pool bench-serve soak accuracy dryrun release-check
+.PHONY: test gate bench-smoke bench bench-pool bench-pool-grouped bench-serve soak accuracy plan dryrun release-check
 
 test:
 	python -m pytest tests/ -q
@@ -15,6 +15,9 @@ bench:
 bench-pool:
 	python bench.py --pool
 
+bench-pool-grouped:
+	python bench.py --pool --pool-groups 4 --deadline 1200
+
 bench-serve:
 	python bench.py --serve
 
@@ -24,7 +27,11 @@ soak:
 accuracy:
 	python scripts/validate_accuracy.py
 	python scripts/validate_accuracy.py --pool
+	python scripts/validate_accuracy.py --pool --pool-groups 2
 	python scripts/validate_accuracy.py --blocks-per-step 8
+
+plan:
+	python scripts/plan_capacity.py
 
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -38,5 +45,6 @@ release-check:
 	python scripts/check_hot_path.py
 	python bench.py --smoke --strict
 	python bench.py --smoke --pool --strict
+	python bench.py --smoke --pool --pool-groups 4 --strict
 	python bench.py --smoke --serve --strict
 	$(MAKE) dryrun
