@@ -89,32 +89,6 @@ def unity_eq_params(block_size: int, state_dim: int = 128) -> EqParams:
     return make_eq_params([], 1.0, block_size, state_dim)
 
 
-def stack_eq_params(params_list) -> EqParams:
-    """Stack G cascades into one GROUPED EqParams ([G, ...] on every
-    matrix). The cascade helpers recognize the extra axis and apply group
-    b // (B/G)'s cascade to lane b — the group rides the matmuls' batch
-    dim, so G distinct EQ designs cost the same FLOPs as one (see
-    _cascade_block). All entries must share (block size, state dim)."""
-    params_list = list(params_list)
-    if not params_list:
-        raise ValueError("stack_eq_params needs at least one EqParams")
-    first = params_list[0]
-    for i, p in enumerate(params_list[1:], 1):
-        if (p.Hm.shape != first.Hm.shape
-                or p.O.shape != first.O.shape):
-            raise ValueError(
-                f"grouped EqParams must share (block, state_dim): group 0 "
-                f"Hm {first.Hm.shape}/O {first.O.shape}, group {i} "
-                f"Hm {p.Hm.shape}/O {p.O.shape}"
-            )
-    return EqParams(
-        Hm=jnp.stack([p.Hm for p in params_list], axis=0),
-        O=jnp.stack([p.O for p in params_list], axis=0),
-        A_T=jnp.stack([p.A_T for p in params_list], axis=0),
-        G=jnp.stack([p.G for p in params_list], axis=0),
-    )
-
-
 def make_eq_state(batch: int, channels: int = 2, state_dim: int = 128) -> EqState:
     return EqState(
         s_from=jnp.zeros((batch, channels, state_dim), jnp.float32),
@@ -131,12 +105,8 @@ def _cascade_block(params: EqParams, s: jax.Array, x: jax.Array):
     FLOPs than the FFT formulation at the required matmul precision, and
     shorter summations (<= T products per output) round better.
 
-    GROUPED params (stack_eq_params: every matrix [G, ...]) apply cascade
-    b // (B/G) to lane b: the batch axis splits into G contiguous, equal
-    segments (free reshape) and the group rides the matmuls' batch dim —
-    same FLOPs as one cascade."""
-    if params.Hm.ndim == 3:
-        return _cascade_block_grouped(params, s, x)
+    (A profile-grouped StreamPool runs one cascade per group on the
+    group's own lane state — runtime/stream_pool._pool_round_grouped.)"""
     fir = jnp.einsum("bct,st->bcs", x, params.Hm,
                      preferred_element_type=jnp.float32,
                      precision=PRECISION)
@@ -151,29 +121,6 @@ def _cascade_block(params: EqParams, s: jax.Array, x: jax.Array):
     ) + jnp.einsum("bct,nt->bcn", x, params.G,
                    preferred_element_type=s.dtype, precision=hi)
     return y, s_next
-
-
-def _cascade_block_grouped(params: EqParams, s: jax.Array, x: jax.Array):
-    """Profile-grouped cascade (see _cascade_block): x [B, C, T],
-    s [B, C, N], params matrices [G, ...] -> (y [B, C, T], s' [B, C, N])."""
-    B, C, T = x.shape
-    G = params.Hm.shape[0]
-    assert B % G == 0, (B, G)
-    xg = x.reshape(G, B // G, C, T)
-    sg = s.reshape(G, B // G, C, s.shape[-1])
-    hi = PRECISION
-    fir = jnp.einsum("gbct,gst->gbcs", xg, params.Hm,
-                     preferred_element_type=jnp.float32, precision=hi)
-    y = fir.astype(x.dtype) + jnp.einsum(
-        "gbcn,gtn->gbct", sg, params.O, preferred_element_type=x.dtype,
-        precision=hi,
-    )
-    s_next = jnp.einsum(
-        "gbcn,gmn->gbcm", sg, params.A_T, preferred_element_type=s.dtype,
-        precision=hi,
-    ) + jnp.einsum("gbct,gnt->gbcn", xg, params.G,
-                   preferred_element_type=s.dtype, precision=hi)
-    return y.reshape(B, C, T), s_next.reshape(B, C, s.shape[-1])
 
 
 def eq_step(
@@ -226,31 +173,9 @@ def eq_apply_folded(params: EqParams, state: EqState, fir: jax.Array,
     recurrence — y_m = x_m @ Hm^T + s_m @ O^T, s_{m+1} = s_m @ A_T^T +
     x_m @ G^T — just with the x-dependent terms precomputed.
 
-    GROUPED params (stack_eq_params) apply cascade b // (B/G) to lane b,
-    with the group axis on the recurrence matmuls' batch dim (the caller
-    already folded per-group FIR/drive via the grouped paged_project)."""
+    (A profile-grouped StreamPool folds and applies per group on the
+    group's own lane state — runtime/stream_pool._pool_round_grouped.)"""
     M = fir.shape[1]
-    grouped = params.Hm.ndim == 3
-    if grouped:
-        B = fir.shape[0]
-        G = params.Hm.shape[0]
-        s = state.s_to.reshape(G, B // G, *state.s_to.shape[1:])
-        drive_g = drive.reshape(G, B // G, *drive.shape[1:])
-        states = []
-        for m in range(M):
-            states.append(s)
-            s = jnp.einsum("gbcn,gmn->gbcm", s, params.A_T,
-                           preferred_element_type=s.dtype,
-                           precision=PRECISION) + drive_g[:, :, m]
-        sm = jnp.stack(states, axis=2)  # [G, Bg, M, C, N]
-        y = fir + jnp.einsum(
-            "gbmcn,gtn->gbmct", sm, params.O,
-            preferred_element_type=fir.dtype, precision=PRECISION,
-        ).reshape(B, M, *fir.shape[2:])
-        s = s.reshape(B, *state.s_to.shape[1:])
-        counter = jnp.minimum(state.counter + M * fir.shape[-1],
-                              COUNTER_IDLE)
-        return EqState(s_from=state.s_from, s_to=s, counter=counter), y
     s = state.s_to
     states = []
     for m in range(M):
@@ -289,15 +214,7 @@ def eq_folded_paged_round(conv_params, eq_to: EqParams, conv_state,
         conv_params, conv_state, x, acc_chunk, active_mask
     )
     T = x.shape[-1]
-    if eq_to.Hm.ndim == 3:
-        # Profile-grouped: per-group [T, T+N] post matrices; paged_project
-        # folds each into its group's synthesis weights.
-        post = jnp.concatenate(
-            [jnp.swapaxes(eq_to.Hm, 1, 2), jnp.swapaxes(eq_to.G, 1, 2)],
-            axis=2,
-        )
-    else:
-        post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
+    post = jnp.concatenate([eq_to.Hm.T, eq_to.G.T], axis=1)
     both = upols.paged_project(conv_params, Ykm, post=post)
     fir, drive = both[..., :T], both[..., T:]
     eq_state, y = eq_apply_folded(eq_to, eq_state, fir, drive)

@@ -142,9 +142,6 @@ class ConvParams(NamedTuple):
     wf: jax.Array      # [2T, K, 2] float32
     wi: jax.Array      # [K, 2, T] float32
 
-    # Negative indexing: a GROUPED params (stack_conv_params) carries a
-    # leading profile-group axis — Hflip2 [G, S, E, 2*P2, K, 2] — and the
-    # same properties must keep answering for it.
     @property
     def num_speakers(self) -> int:
         return self.Hflip2.shape[-5]
@@ -160,11 +157,6 @@ class ConvParams(NamedTuple):
     @property
     def num_bins(self) -> int:
         return self.Hflip2.shape[-2]
-
-    @property
-    def groups(self) -> int:
-        """Profile groups (1 = ungrouped; see stack_conv_params)."""
-        return self.Hflip2.shape[0] if self.Hflip2.ndim == 6 else 1
 
 
 class ConvState(NamedTuple):
@@ -216,10 +208,12 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
     conv_step_paged).
 
     partitions=N forces the stored partition count to exactly N (zero tail
-    partitions pad the difference) — used to align several renderers onto
-    ONE delay-line shape so a grouped pool can serve them in a single step
-    (stack_conv_params). N must cover the HRIR (plus the lookahead tail)
-    and stay divisible by the lookahead."""
+    partitions pad the difference) — useful to keep compiled-step shapes
+    identical across renderers (e.g. hot swaps without a re-jit). N must
+    cover the HRIR (plus the lookahead tail) and stay divisible by the
+    lookahead. (A grouped StreamPool does NOT need this: each profile
+    group carries its own delay line and may have its own partition
+    count.)"""
     H = partition_spectra(hrir, block_size, pad_to_pow2)  # [S, E, P2, K]
     if lookahead > 1:
         # conv_step_paged needs (a) >= M-1 zero tail partitions and (b) a
@@ -250,7 +244,7 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
             )
         if partitions > H.shape[2]:
             # Extra zero partitions at the tail convolve nothing; they only
-            # standardize the delay-line shape across grouped renderers.
+            # standardize the delay-line shape across renderers.
             H = np.concatenate(
                 [H, np.zeros(H.shape[:2] + (partitions - H.shape[2],)
                              + H.shape[3:], H.dtype)],
@@ -264,42 +258,6 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
         Hflip2=jnp.asarray(planes),
         wf=fftmm.rfft_weights(n),
         wi=fftmm.irfft_weights(n, block_size, block_size),
-    )
-
-
-def stack_conv_params(params_list) -> ConvParams:
-    """Stack G renderers' ConvParams into one GROUPED ConvParams.
-
-    The result's Hflip2 is [G, S, E, 2*P2, K, 2]; conv_step recognizes the
-    extra leading axis and serves G profile groups out of ONE delay line in
-    a single step: the batch axis is split into G contiguous, equal lane
-    segments (lane b belongs to group b // (B/G)) and the group axis rides
-    the MAC's k-batch — same FLOPs, same FDL traffic, one dispatch (see
-    _mac_irfft). Analysis/synthesis DFT weights are shape-shared (same
-    block size) and taken from the first entry.
-
-    All entries must share (S, E, partition count, block size) — align
-    differing HRIR lengths with make_conv_params(partitions=...)."""
-    params_list = list(params_list)
-    if not params_list:
-        raise ValueError("stack_conv_params needs at least one ConvParams")
-    first = params_list[0]
-    for i, p in enumerate(params_list[1:], 1):
-        if p.Hflip2.shape != first.Hflip2.shape:
-            raise ValueError(
-                f"grouped ConvParams must share [S, E, P2, K]: group 0 has "
-                f"{first.Hflip2.shape}, group {i} has {p.Hflip2.shape} — "
-                f"align partition counts with make_conv_params(partitions=N)"
-            )
-        if p.wf.shape != first.wf.shape:
-            raise ValueError(
-                f"grouped ConvParams must share the block size: group 0 wf "
-                f"{first.wf.shape}, group {i} wf {p.wf.shape}"
-            )
-    return ConvParams(
-        Hflip2=jnp.stack([p.Hflip2 for p in params_list], axis=0),
-        wf=first.wf,
-        wi=first.wi,
     )
 
 
@@ -339,16 +297,14 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
     must not be delivered. With active_mask=None this is byte-identical to
     the bake/live path (no extra HLO).
 
-    GROUPED params (stack_conv_params: Hflip2 [G, S, E, 2*P2, K, 2]) serve
-    G profiles out of this one step: lane b renders through group
-    b // (B/G)'s HRIR bank. The analysis DFT, slot write, and cursor are
-    group-independent; only the MAC picks per-group filters, as an extra
-    k-batch axis (see _mac_irfft) — same FLOPs and line traffic as
-    ungrouped.
+    (A profile-grouped StreamPool runs this step once per group on the
+    group's own lane state — see runtime/stream_pool._pool_round_grouped;
+    there is deliberately no shared-delay-line grouped lowering: all
+    three measured one-array formulations paid full-tensor relayouts,
+    BENCH_NOTES round-3 late.)
     """
     B, S, T = x.shape
     P2 = state.fdl.shape[2]
-    grouped = params.Hflip2.ndim == 6
 
     frame = jnp.concatenate([state.overlap, x], axis=-1)  # [B, S, 2T]
     X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
@@ -370,9 +326,7 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
     # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
     # ago: Hrev[j] = H[(w - j) % P2] = Hflip2[(P2 - 1 - w) + j].
     start = (P2 - 1) - state.write_pos
-    h_rev = jax.lax.dynamic_slice_in_dim(
-        params.Hflip2, start, P2, axis=3 if grouped else 2
-    )
+    h_rev = jax.lax.dynamic_slice_in_dim(params.Hflip2, start, P2, axis=2)
 
     y = _mac_irfft(fdl, h_rev, params.wi).astype(x.dtype)
 
@@ -570,9 +524,6 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
     cycle is the identity, so ANY pause length is exact). An inactive
     lane's output row is garbage and must not be delivered. With
     active_mask=None this path is byte-identical to the bake chain."""
-    if params.Hflip2.ndim == 6:
-        return _conv_step_paged_raw_grouped(params, state, x, acc_chunk,
-                                            active_mask)
     B, S, M, T = x.shape
     Kp = state.pages[0].shape[0]
     K = params.wf.shape[1]
@@ -699,101 +650,6 @@ def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int,
     return Ykm.reshape(Kp // g, B, g, M, E, 2)
 
 
-def _conv_step_paged_raw_grouped(params: ConvParams, state: PagedConvState,
-                                 x: jax.Array, acc_chunk: int | None = None,
-                                 active_mask: jax.Array | None = None):
-    """Profile-grouped M-block lookahead step (grouped params from
-    stack_conv_params: Hflip2 [G, S, E, 2*P2, K, 2]).
-
-    Identical to conv_step_paged_raw except the MAC: lane b renders through
-    group b // (B/G)'s HRIR bank, with the group axis as a second k-batch
-    dim of the per-page dot (same FLOPs, same page traffic — see
-    _mac_irfft_grouped for the single-block analog). The analysis DFT,
-    page rotation, recycle masking, and overlap are group-independent."""
-    if _PAGED_LAYOUT != "kscmb":
-        raise ValueError(
-            "profile-grouped paged steps support only the default "
-            "AIRWAVE_PAGED_LAYOUT=kscmb"
-        )
-    if _PAGED_MAC_GROUPING:
-        raise ValueError(
-            "AIRWAVE_PAGED_MAC_GROUPING is a single-bank re-measurement "
-            "surface; unset it for profile-grouped paged steps"
-        )
-    B, S, M, T = x.shape
-    Kp = state.pages[0].shape[0]
-    K = params.wf.shape[1]
-    n_pages = len(state.pages)
-    P2 = n_pages * M
-    G = params.Hflip2.shape[0]
-
-    wf_padded = jnp.pad(params.wf, ((0, 0), (0, Kp - K), (0, 0)))
-    full = jnp.concatenate(
-        [state.overlap, x.reshape(B, S, M * T)], axis=-1
-    )
-    frames = jnp.stack(
-        [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
-        axis=2,
-    )  # [B, S, M, 2T], newest first
-    new_page = jnp.einsum("bsmt,tkc->kscmb", frames, wf_padded,
-                          preferred_element_type=jnp.float32,
-                          precision=fftmm.DFT_PRECISION)
-    overlap = x[:, :, -1, :]
-    if active_mask is not None:
-        m_act = active_mask.astype(bool)
-        new_page = jnp.where(m_act[None, None, None, None, :], new_page,
-                             state.pages[-1])
-        overlap = jnp.where(m_act[:, None, None], overlap, state.overlap)
-    pages = (new_page,) + tuple(state.pages[:-1])
-
-    h_nat = params.Hflip2[:, :, :, :P2][:, :, :, ::-1]  # [G,S,E,P2,K,2]
-    hre, him = h_nat[..., 0], h_nat[..., 1]
-    h2 = jnp.stack(
-        [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
-        axis=-2,
-    )  # [G, S, E, P2, K, C, Q]
-    h2 = jnp.pad(h2, ((0, 0), (0, 0), (0, 0), (M - 1, 0), (0, Kp - K),
-                      (0, 0), (0, 0)))
-    hz = jnp.transpose(h2, (4, 0, 1, 5, 3, 2, 6))  # [Kp,G,S,C,P2+M-1,E,Q]
-
-    Ykm = _paged_mac_grouped(pages, hz, M, acc_chunk)
-    return PagedConvState(pages=pages, overlap=overlap), Ykm
-
-
-def _paged_mac_grouped(pages, hz: jax.Array, M: int,
-                       acc_chunk: int | None = None) -> jax.Array:
-    """Profile-grouped per-page MAC: pages [Kp,S,C,M,B] x hz
-    [Kp,G,S,C,P2+M-1,E,Q] -> Ykm [Kp,B,1,M,E,2] (paged_project's layout,
-    bin grouping g=1). The batch axis splits into G contiguous lane
-    segments (free reshape, batch-minor pages) and the group joins the bin
-    axis as a k-batch dim of the same dot — FLOPs match the single-bank
-    MAC."""
-    Kp = pages[0].shape[0]
-    S, C, _, B = pages[0].shape[1:]
-    G = hz.shape[1]
-    assert B % G == 0, (B, G)
-    Bg = B // G
-    chunk = _PAGED_ACC_CHUNK if acc_chunk is None else int(acc_chunk)
-    Ykm = None
-    for a, page in enumerate(pages):
-        if chunk and a and a % chunk == 0:
-            page, Ykm = jax.lax.optimization_barrier((page, Ykm))
-        G_a = jnp.stack(
-            [hz[:, :, :, :, (m + a * M) : (m + a * M) + M]
-             for m in range(M)],
-            axis=5,
-        )  # [Kp, G, S, C, M(j), M(m), E, Q]
-        page_g = page.reshape(Kp, S, C, M, G, Bg)
-        term = jax.lax.dot_general(
-            page_g, G_a,
-            dimension_numbers=(((1, 2, 3), (2, 3, 4)), ((0, 4), (0, 1))),
-            preferred_element_type=jnp.float32,
-            precision=_MAC_PRECISION,
-        )  # [Kp, G, Bg, M, E, Q]
-        Ykm = term if Ykm is None else Ykm + term
-    return Ykm.reshape(Kp, B, 1, M, Ykm.shape[4], 2)
-
-
 def paged_project(params: ConvParams, Ykm: jax.Array,
                   post: jax.Array | None = None) -> jax.Array:
     """Second-half inverse DFT of the grouped-layout MAC output:
@@ -809,30 +665,9 @@ def paged_project(params: ConvParams, Ykm: jax.Array,
 
     The weights are zero-padded to the padded bin count and reshaped to the
     MAC's [Kp/g, g, ...] bin grouping, so the grouped Ykm is consumed in
-    place (pad bins hold zeros on both sides and contribute nothing).
-
-    A PROFILE-grouped post ([G, T, X] — per-group folded EQ matrices) folds
-    each group's matrix into its own synthesis weights; the batch axis
-    splits into the G contiguous lane segments and the projection runs as
-    one group-batched contraction (requires bin grouping g=1, which the
-    profile-grouped MAC guarantees)."""
+    place (pad bins hold zeros on both sides and contribute nothing)."""
     K = params.wi.shape[0]
     w = params.wi
-    if post is not None and post.ndim == 3:
-        Kp, B, g, M, E, Q = Ykm.shape
-        assert g == 1, "profile-grouped projection needs bin grouping g=1"
-        G = post.shape[0]
-        wg = jnp.einsum("kqt,gtx->gkqx", w, post,
-                        preferred_element_type=jnp.float32,
-                        precision=fftmm.DFT_PRECISION)
-        wg = jnp.pad(wg, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
-        Yg = Ykm.reshape(Kp, G, B // G, M, E, Q)
-        out = jnp.einsum(
-            "kgbmeq,gkqx->gbmex", Yg, wg,
-            preferred_element_type=jnp.float32,
-            precision=fftmm.DFT_PRECISION,
-        )
-        return out.reshape(B, M, E, out.shape[-1])
     if post is not None:
         w = jnp.einsum("kqt,tx->kqx", w, post,
                        preferred_element_type=jnp.float32,
@@ -881,8 +716,6 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array):
     #     re-reading the FDL per (ear, plane) output — worst of the three.
     K = wi.shape[0]
     Kp = fdl.shape[0]
-    if h.ndim == 6:
-        return _mac_irfft_grouped(fdl, h, wi)
     hre, him = h[..., 0], h[..., 1]
     # h2[s,e,p,k,c,q]: (re,im out) = [[hre, him], [-him, hre]] @ (fre, fim)
     h2 = jnp.stack(
@@ -918,43 +751,6 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array):
                    preferred_element_type=jnp.float32,
                    precision=PRECISION)
     return fftmm.irfft_mm(Y[:, :, :K], wi)
-
-
-def _mac_irfft_grouped(fdl: jax.Array, h: jax.Array, wi: jax.Array):
-    """Profile-grouped MAC: fdl [Kp,S,P,C,B] x h [G,S,E,P,K,2] -> y [B,E,T].
-
-    Lane b belongs to group b // (B/G) — groups are CONTIGUOUS, EQUAL
-    segments of the minor batch axis, so splitting B into (G, B/G) is a
-    free reshape and the group axis joins the bin axis as a second k-batch
-    dim of the same dot_general. FLOPs and delay-line traffic are identical
-    to the ungrouped MAC; only the filter operand grows (G HRIR banks,
-    params-resident). Always lowered via the dot path: the Pallas/einsum
-    MAC variants are single-bank re-measurement surfaces and don't carry a
-    group axis."""
-    K = wi.shape[0]
-    Kp, S, P, C, B = fdl.shape
-    G = h.shape[0]
-    assert B % G == 0, (B, G)
-    hre, him = h[..., 0], h[..., 1]
-    h2 = jnp.stack(
-        [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
-        axis=-2,
-    )  # [G,S,E,P,K,C,Q]
-    h2 = jnp.pad(
-        h2, ((0, 0),) * 4 + ((0, Kp - K),) + ((0, 0),) * 2
-    )
-    h2t = jnp.transpose(h2, (4, 0, 1, 3, 5, 2, 6))  # [Kp,G,S,P,C,E,Q]
-    fdl_g = fdl.reshape(Kp, S, P, C, G, B // G)
-    Ykm = jax.lax.dot_general(
-        fdl_g, h2t,
-        dimension_numbers=(((1, 2, 3), (2, 3, 4)), ((0, 4), (0, 1))),
-        preferred_element_type=jnp.float32,
-        precision=_MAC_PRECISION,
-    )  # [Kp,G,Bg,E,Q]
-    Ykm = Ykm.reshape(Kp, B, h.shape[2], 2)
-    return jnp.einsum("kbeq,kqt->bet", Ykm[:K], wi,
-                      preferred_element_type=jnp.float32,
-                      precision=fftmm.DFT_PRECISION)
 
 
 def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,

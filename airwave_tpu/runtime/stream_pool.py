@@ -36,15 +36,19 @@ PROFILE GROUPS (multi-tenant serving, beyond the reference's one-profile-at-
 a-time model): `StreamPool(profiles=[PoolProfile(renderer, eq), ...])`
 serves G distinct (HRIR, EQ) profiles out of ONE pool and ONE device step
 per round. The lane space splits into G contiguous equal segments (attach
-takes `group=`); the G HRIR banks and EQ cascades enter the step stacked on
-a leading group axis that rides the MAC/matmul k-batch dims
-(ops/upols.stack_conv_params, ops/eq_block.stack_eq_params) — same FLOPs,
-same delay-line traffic, one dispatch, vs G separate pools paying G
-dispatches and G partial-utilization steps. Per-group live retargets
+takes `group=`) and EACH GROUP CARRIES ITS OWN LANE STATE (a tuple of
+per-group ConvState/EqState): the round stages the harvest once, then runs
+G independent ungrouped chains on free leading-axis slices and concatenates
+the outputs — one dispatch, and every dot keeps the measured-optimal
+single-bank shape. Three one-array formulations (group as a dot k-batch
+dim; static minor-axis delay-line slices; one all-groups dot + selects)
+were measured on-chip and all pay ~0.5-2 ms/block of relayout the tuple
+design avoids (BENCH_NOTES round-3 late: 4.27 vs 5.98-7.54 ms at
+B=8192/G=4; ungrouped 4.09). Per-group live retargets
 (set_equalizer(.., group=g) crossfades only that group's lanes;
 set_renderer(.., group=g) restarts only that group's conv history). All
-profiles must share speaker count, block size, and partition count — align
-HRIR lengths with prepare_renderer(..., partitions=N).
+profiles must share speaker count and block size; partition counts (HRIR
+lengths) MAY differ per group — each group's delay line is its own.
 """
 
 from __future__ import annotations
@@ -114,6 +118,11 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
     at B=8192 — the dual projections re-constrain layouts; BENCH_NOTES.md
     round-2 addendum). The fold is multi-block-only.
     """
+    if type(conv_params) is tuple:  # G-tuple of per-group ConvParams
+        return _pool_round_grouped(
+            conv_params, eq_from, eq_to, state, blocks, idx,
+            transition_length, eq_enabled, eq_crossfading, variant,
+        )
     if variant in ("paged", "paged_all", "paged_id"):
         return _pool_round_paged(
             conv_params, eq_from, eq_to, state, blocks, idx,
@@ -236,6 +245,86 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
     return PoolState(conv_state, eq_state), y_rows
 
 
+def _pool_round_grouped(conv_params, eq_from, eq_to, state, blocks, idx,
+                        transition_length, eq_enabled, eq_crossfading,
+                        variant):
+    """One round of a PROFILE-GROUPED pool: G independent per-group chains
+    over each group's OWN lane state (conv_params / eq_from / eq_to /
+    state.conv / state.eq are G-tuples; lane b belongs to group
+    b // (B/G), a contiguous equal segment).
+
+    The harvest is staged ONCE at the full lane space (scatter + mask),
+    then each group takes a free leading-axis slice and runs the exact
+    single-bank step the ungrouped pool runs — same FLOPs, same traffic,
+    one dispatch, and XLA overlaps the groups' async work. This replaced
+    three one-shared-array formulations that each paid a measured
+    relayout of the delay line or the frequency-domain mix
+    (BENCH_NOTES round-3 late)."""
+    conv_states, eq_states = state.conv, state.eq
+    G = len(conv_params)
+    Bg = conv_states[0].overlap.shape[0]
+    B = G * Bg
+    paged = variant in ("paged", "paged_all", "paged_id")
+    identity = variant in ("ring_id", "paged_id")
+    if identity:
+        assert blocks.shape[0] == B, (blocks.shape, B)
+        x = blocks
+    else:
+        x = jnp.zeros((B,) + blocks.shape[1:], jnp.float32).at[idx].set(
+            blocks, mode="drop")
+    mask = None
+    if variant in ("ring", "rolled", "paged"):
+        mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
+    new_conv, new_eq, outs = [], [], []
+    for g in range(G):
+        xg = jax.lax.slice_in_dim(x, g * Bg, (g + 1) * Bg, axis=0)
+        mg = (None if mask is None
+              else jax.lax.slice_in_dim(mask, g * Bg, (g + 1) * Bg, axis=0))
+        es = eq_states[g]
+        if paged:
+            if eq_enabled and not eq_crossfading:
+                cs, es, y = eq_block.eq_folded_paged_round(
+                    conv_params[g], eq_to[g], conv_states[g], eq_states[g],
+                    xg, active_mask=mg,
+                )
+            else:
+                cs, y = upols.conv_step_paged(
+                    conv_params[g], conv_states[g], xg, active_mask=mg
+                )
+                if eq_enabled:
+                    outs_m = []
+                    for m in range(y.shape[1]):
+                        es, ym = eq_block.eq_step(
+                            eq_from[g], eq_to[g], es, y[:, m],
+                            transition_length, eq_crossfading,
+                        )
+                        outs_m.append(ym)
+                    y = jnp.stack(outs_m, axis=1)
+        else:
+            step = (upols.conv_step_rolled if variant == "rolled"
+                    else upols.conv_step)
+            cs, y = step(conv_params[g], conv_states[g], xg, mg)
+            if eq_enabled:
+                es, y = eq_block.eq_step(
+                    eq_from[g], eq_to[g], es, y, transition_length,
+                    eq_crossfading,
+                )
+        if eq_enabled and mg is not None:
+            es = eq_block.EqState(
+                s_from=jnp.where(mg[:, None, None], es.s_from,
+                                 eq_states[g].s_from),
+                s_to=jnp.where(mg[:, None, None], es.s_to,
+                               eq_states[g].s_to),
+                counter=jnp.where(mg, es.counter, eq_states[g].counter),
+            )
+        new_conv.append(cs)
+        new_eq.append(es)
+        outs.append(y)
+    y = jnp.concatenate(outs, axis=0)
+    y_rows = y if identity else jnp.take(y, jnp.minimum(idx, B - 1), axis=0)
+    return PoolState(tuple(new_conv), tuple(new_eq)), y_rows
+
+
 _pool_step = functools.partial(
     jax.jit,
     static_argnames=("transition_length", "eq_enabled", "eq_crossfading",
@@ -328,15 +417,13 @@ class StreamPool:
         for g, r in enumerate(self.renderers):
             self._check_renderer_lookahead(r)
             if (r.num_speakers != first.num_speakers
-                    or r.partition_count != first.partition_count
                     or r.block_size != first.block_size):
                 raise ValueError(
-                    f"grouped profiles must share (speakers, partitions, "
-                    f"block): group 0 has ({first.num_speakers}, "
-                    f"{first.partition_count}, {first.block_size}), group "
-                    f"{g} has ({r.num_speakers}, {r.partition_count}, "
-                    f"{r.block_size}) — align HRIR lengths with "
-                    f"prepare_renderer(partitions=N)"
+                    f"grouped profiles must share (speakers, block): group "
+                    f"0 has ({first.num_speakers}, {first.block_size}), "
+                    f"group {g} has ({r.num_speakers}, {r.block_size}) — "
+                    f"partition counts (HRIR lengths) may differ, each "
+                    f"group carries its own delay line"
                 )
         self._rebuild_conv_params()
         if mesh is not None:
@@ -344,10 +431,11 @@ class StreamPool:
                 raise ValueError(
                     "pool mesh must be 1-D with axis name 'streams'"
                 )
-            if self.max_streams % mesh.size:
+            if self.group_size % mesh.size:
                 raise ValueError(
-                    f"max_streams ({self.max_streams}) must divide by the "
-                    f"mesh size ({mesh.size})"
+                    f"per-group lane count ({self.group_size}) must divide "
+                    f"by the mesh size ({mesh.size}) — each group's lane "
+                    f"state shards independently"
                 )
         speakers = self.renderer.num_speakers
 
@@ -372,12 +460,6 @@ class StreamPool:
         for rt, p in zip(self.eq_runtimes, profiles):
             if p.eq_definition is not None:
                 rt.set_target(p.eq_definition)
-        # Stacked [G, ...] EqParams for the grouped step, rebuilt only when
-        # some group's (from, to) identity changes (retargets are rare).
-        self._eq_stack_key = None
-        self._eq_stack = None
-        self._group_masks = None  # lazy [B] bool device masks, G > 1 only
-
         self._state = self._place(self._fresh_state())
         self._attached: Dict[int, bool] = {}
         self._attached_mask = np.zeros(max_streams, bool)
@@ -407,13 +489,26 @@ class StreamPool:
 
     def _rebuild_conv_params(self) -> None:
         """Device conv params for the round step: the single renderer's, or
-        the G profiles' banks stacked on a leading group axis."""
+        a G-tuple of per-group banks (each group's chain runs single-bank —
+        see _pool_round_grouped). Also refreshes the per-lane debt modulus
+        (groups may have different partition counts, hence cycles)."""
         if self.groups == 1:
             self._conv_params = self.renderers[0].conv_params
         else:
-            self._conv_params = upols.stack_conv_params(
-                [r.conv_params for r in self.renderers]
+            self._conv_params = tuple(
+                r.conv_params for r in self.renderers
             )
+        # Per-lane alignment-debt modulus: one full rotation of the lane's
+        # own carry is the identity — P2 cursor advances for the ring FDL,
+        # n_pages rounds for the paged line.
+        M = self.blocks_per_step
+        cycles = np.empty(self.max_streams, np.int64)
+        for g, r in enumerate(self.renderers):
+            p = r.conv_params.partition_count
+            cycles[g * self.group_size:(g + 1) * self.group_size] = (
+                p // M if M > 1 else p
+            )
+        self._lane_cycles = cycles
 
     def group_of(self, stream: int) -> int:
         """Profile group owning a lane (contiguous equal segments)."""
@@ -447,46 +542,49 @@ class StreamPool:
                 f"not divisible by blocks_per_step={self.blocks_per_step}"
             )
 
-    def _fresh_state(self) -> PoolState:
-        speakers = self.renderer.num_speakers
+    def _fresh_group_conv(self, g: int):
+        """Fresh (zeroed) conv carry for one group's lane segment."""
+        r = self.renderers[g]
+        lanes = self.group_size if self.groups > 1 else self.max_streams
         if self.blocks_per_step > 1:
-            conv = upols.make_conv_state_paged(
-                self.max_streams, speakers, self.renderer.partition_count,
+            return upols.make_conv_state_paged(
+                lanes, r.num_speakers, r.partition_count,
                 self.block_size, self.blocks_per_step,
             )
-        else:
-            conv = upols.make_conv_state(
-                self.max_streams, speakers, self.renderer.partition_count,
-                self.block_size,
-            )
-        return PoolState(
-            conv=conv,
-            eq=eq_block.make_eq_state(self.max_streams, 2,
-                                      self.config.eq_state_dim),
+        return upols.make_conv_state(
+            lanes, r.num_speakers, r.partition_count, self.block_size,
         )
 
-    def _cycle(self) -> int:
-        """Alignment-debt modulus: one full rotation of the shared carry is
-        the identity — P2 cursor advances for the ring FDL, n_pages rounds
-        for the paged line."""
-        if self.blocks_per_step > 1:
-            return len(self._state.conv.pages)
-        return int(self._state.conv.fdl.shape[2])
+    def _fresh_state(self) -> PoolState:
+        if self.groups == 1:
+            return PoolState(
+                conv=self._fresh_group_conv(0),
+                eq=eq_block.make_eq_state(self.max_streams, 2,
+                                          self.config.eq_state_dim),
+            )
+        return PoolState(
+            conv=tuple(self._fresh_group_conv(g)
+                       for g in range(self.groups)),
+            eq=tuple(
+                eq_block.make_eq_state(self.group_size, 2,
+                                       self.config.eq_state_dim)
+                for _ in range(self.groups)
+            ),
+        )
 
-    def _place(self, state: PoolState) -> PoolState:
-        """Shard lane state over the pool mesh (no-op without one)."""
+    def _place_group_conv(self, conv):
+        """Shard one group's conv carry over the pool mesh (no-op without
+        one)."""
         if self.mesh is None:
-            return state
+            return conv
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
         def ns(spec):
             return NamedSharding(self.mesh, spec)
 
-        conv = state.conv
-        eq = state.eq
         if self.blocks_per_step > 1:
-            conv = upols.PagedConvState(
+            return upols.PagedConvState(
                 pages=tuple(
                     jax.device_put(
                         pg, ns(P(None, None, None, None, "streams"))
@@ -495,21 +593,39 @@ class StreamPool:
                 ),
                 overlap=jax.device_put(conv.overlap, ns(P("streams"))),
             )
-        else:
-            conv = upols.ConvState(
-                fdl=jax.device_put(
-                    conv.fdl, ns(P(None, None, None, None, "streams"))
-                ),
-                overlap=jax.device_put(conv.overlap, ns(P("streams"))),
-                write_pos=jax.device_put(conv.write_pos, ns(P())),
-            )
-        return PoolState(
-            conv=conv,
-            eq=eq_block.EqState(
+        return upols.ConvState(
+            fdl=jax.device_put(
+                conv.fdl, ns(P(None, None, None, None, "streams"))
+            ),
+            overlap=jax.device_put(conv.overlap, ns(P("streams"))),
+            write_pos=jax.device_put(conv.write_pos, ns(P())),
+        )
+
+    def _place(self, state: PoolState) -> PoolState:
+        """Shard lane state over the pool mesh (no-op without one). On a
+        grouped pool each group's state shards independently over the same
+        mesh (its lane axis divides the mesh size — checked at init)."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        def ns(spec):
+            return NamedSharding(self.mesh, spec)
+
+        def place_eq(eq):
+            return eq_block.EqState(
                 s_from=jax.device_put(eq.s_from, ns(P("streams"))),
                 s_to=jax.device_put(eq.s_to, ns(P("streams"))),
                 counter=jax.device_put(eq.counter, ns(P("streams"))),
-            ),
+            )
+
+        if self.groups == 1:
+            return PoolState(conv=self._place_group_conv(state.conv),
+                             eq=place_eq(state.eq))
+        return PoolState(
+            conv=tuple(self._place_group_conv(c) for c in state.conv),
+            eq=tuple(place_eq(e) for e in state.eq),
         )
 
     # --- stream lifecycle -----------------------------------------------------------
@@ -545,20 +661,36 @@ class StreamPool:
             self._out.reset_stream(stream)
 
     def _reset_state_rows(self, stream: int) -> None:
-        mask = np.zeros(self.max_streams, bool)
-        mask[stream] = True
-        m = jnp.asarray(mask)
         reset = (upols.conv_reset_paged if self.blocks_per_step > 1
                  else upols.conv_reset)
-        eq = eq_block.eq_reset(self._state.eq, m)
-        # A fresh lane hears the ACTIVE target directly (the reference
-        # prepares new EqualizerState at the current target — no ramp
-        # replay): idle its counter so any in-flight pool ramp blends to
-        # weight 1.0 on the 'to' cascade for this lane.
-        eq = eq._replace(
-            counter=jnp.where(m, eq_block.COUNTER_IDLE, eq.counter)
-        )
-        self._state = PoolState(conv=reset(self._state.conv, m), eq=eq)
+        g = self.group_of(stream)
+        lanes = self.group_size if self.groups > 1 else self.max_streams
+        mask = np.zeros(lanes, bool)
+        mask[stream - g * self.group_size if self.groups > 1
+             else stream] = True
+        m = jnp.asarray(mask)
+
+        def reset_rows(conv, eq_state):
+            eq = eq_block.eq_reset(eq_state, m)
+            # A fresh lane hears the ACTIVE target directly (the reference
+            # prepares new EqualizerState at the current target — no ramp
+            # replay): idle its counter so any in-flight pool ramp blends
+            # to weight 1.0 on the 'to' cascade for this lane.
+            eq = eq._replace(
+                counter=jnp.where(m, eq_block.COUNTER_IDLE, eq.counter)
+            )
+            return reset(conv, m), eq
+
+        if self.groups == 1:
+            conv, eq = reset_rows(self._state.conv, self._state.eq)
+            self._state = PoolState(conv=conv, eq=eq)
+            return
+        conv_g, eq_g = reset_rows(self._state.conv[g], self._state.eq[g])
+        conv = tuple(conv_g if i == g else c
+                     for i, c in enumerate(self._state.conv))
+        eq = tuple(eq_g if i == g else e
+                   for i, e in enumerate(self._state.eq))
+        self._state = PoolState(conv=conv, eq=eq)
 
     # --- control ----------------------------------------------------------------------
 
@@ -593,11 +725,10 @@ class StreamPool:
         partition-count change reallocates the conv carry.
 
         On a grouped pool, `group=g` swaps only that profile group's bank
-        and restarts only its lanes' conv history (a zeroed lane is
-        rotation-invariant, so the segment rejoins the shared cursor with
-        no alignment work). Grouped swaps must keep the shared delay-line
-        shape — prepare the renderer with matching partitions
-        (prepare_renderer(partitions=N))."""
+        and replaces only its own conv carry (each group owns its delay
+        line, so the swap may change the group's partition count — a
+        zeroed lane is rotation-invariant and rejoins with no alignment
+        work)."""
         self._check_renderer_lookahead(renderer)
         if self.groups > 1:
             if group is None:
@@ -610,27 +741,22 @@ class StreamPool:
                 )
             cur = self.renderers[0]
             if (renderer.num_speakers != cur.num_speakers
-                    or renderer.partition_count != cur.partition_count
                     or renderer.block_size != cur.block_size):
                 raise ValueError(
-                    f"grouped swap must keep the shared shape (speakers "
-                    f"{cur.num_speakers}, partitions {cur.partition_count},"
-                    f" block {cur.block_size}) — align with "
-                    f"prepare_renderer(partitions=N)"
+                    f"grouped swap must keep the pool's (speakers, block) "
+                    f"= ({cur.num_speakers}, {cur.block_size})"
                 )
             self.renderers[group] = renderer
             if group == 0:
                 self.renderer = renderer
             self._rebuild_conv_params()
             lo, hi = group * self.group_size, (group + 1) * self.group_size
-            mask = np.zeros(self.max_streams, bool)
-            mask[lo:hi] = True
-            m = jnp.asarray(mask)
-            reset = (upols.conv_reset_paged if self.blocks_per_step > 1
-                     else upols.conv_reset)
-            self._state = PoolState(
-                conv=reset(self._state.conv, m), eq=self._state.eq
+            conv = tuple(
+                self._place_group_conv(self._fresh_group_conv(group))
+                if i == group else c
+                for i, c in enumerate(self._state.conv)
             )
+            self._state = PoolState(conv=conv, eq=self._state.eq)
             self._debt[lo:hi] = 0
             return
         if group not in (None, 0):
@@ -702,7 +828,15 @@ class StreamPool:
 
     def restore(self, snap: dict) -> None:
         # Validate EVERYTHING before mutating anything, so a bad snapshot
-        # cannot leave the pool half-restored.
+        # cannot leave the pool half-restored. Group count first: a
+        # grouped snapshot's state is a different pytree structure and
+        # the count names the real mismatch.
+        snap_groups = int(snap.get("groups", 1))
+        if snap_groups != self.groups:
+            raise ValueError(
+                f"snapshot has {snap_groups} profile groups, pool has "
+                f"{self.groups}"
+            )
         ref = self._state
         state = jax.tree_util.tree_map(jnp.asarray, snap["state"])
         got = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), state)
@@ -722,12 +856,6 @@ class StreamPool:
             raise ValueError(
                 f"snapshot attached streams out of range for "
                 f"max_streams={self.max_streams}: {attached}"
-            )
-        snap_groups = int(snap.get("groups", 1))
-        if snap_groups != self.groups:
-            raise ValueError(
-                f"snapshot has {snap_groups} profile groups, pool has "
-                f"{self.groups}"
             )
 
         self._state = self._place(state)
@@ -750,7 +878,6 @@ class StreamPool:
                 rt.restore(rt_snap)
             self._eq_enabled = bool(snap.get("eq_enabled",
                                              self._eq_enabled))
-            self._eq_stack_key = None
         elif "eq_runtime" in snap:
             self.eq_runtime.restore(snap["eq_runtime"])
             self._eq_enabled = bool(snap.get("eq_enabled",
@@ -813,9 +940,7 @@ class StreamPool:
         if self.groups == 1:
             eq_p = self.eq_runtime.active.params
         else:
-            eq_p = eq_block.stack_eq_params(
-                [rt.active.params for rt in self.eq_runtimes]
-            )
+            eq_p = tuple(rt.active.params for rt in self.eq_runtimes)
         crossfades = (False, True) if self._eq_enabled else (False,)
         paged = self.blocks_per_step > 1
         if paged:
@@ -854,12 +979,16 @@ class StreamPool:
                         eq_crossfading=crossfading,
                         variant=variant,
                     )
-            if paged:
-                _roll_lanes_paged(throwaway().conv, idx,
-                                  jnp.zeros((kb,), jnp.int32))
-            elif _POOL_STEP == "ring":
-                _roll_lanes(throwaway().conv, idx,
-                            jnp.zeros((kb,), jnp.int32))
+            roll = (_roll_lanes_paged if paged
+                    else (_roll_lanes if _POOL_STEP == "ring" else None))
+            if roll is not None:
+                shift = jnp.zeros((kb,), jnp.int32)
+                if self.groups == 1:
+                    roll(throwaway().conv, idx, shift)
+                elif kb <= self._bucket(self.group_size):
+                    # Grouped rolls run per group on its own carry.
+                    for conv in throwaway().conv:
+                        roll(conv, idx, shift)
 
     def push_many(self, streams, chunks: np.ndarray) -> None:
         """Batch ingest: chunks [k, C, n] onto k streams in ONE native
@@ -903,12 +1032,12 @@ class StreamPool:
 
     def _begin_eq_round(self, eq_state):
         """Run every group's EQ control protocol for one round; returns
-        (eq_state', params_from, params_to, crossfading). Grouped pools
-        stack the G (from, to) cascades for the grouped step, rebuilding
-        the stack only when some group's target identity changed (the
-        crossfade flag stays ONE static jit arg — a group not mid-ramp
-        blends from == to, which the per-lane clipped counters make exact,
-        so per-group flags would only multiply compiled variants)."""
+        (eq_state', params_from, params_to, crossfading). On a grouped
+        pool eq_state / params are G-tuples — each group's machine runs
+        its own protocol on its own lane state (the crossfade flag stays
+        ONE static jit arg — a group not mid-ramp blends from == to,
+        which the per-lane clipped counters make exact, so per-group
+        flags would only multiply compiled variants)."""
         # The pool is its own control thread: drain the retirement handoff
         # every round (ref: the control-thread housekeeping in
         # AudioEffectGraph / effect_graph.py:190). Without this the
@@ -925,29 +1054,16 @@ class StreamPool:
             crossfading = (rt.is_transitioning
                            or rt.pending_target is not None)
             return eq_state, p_from, p_to, crossfading
-        if self._group_masks is None:
-            masks = []
-            for g in range(self.groups):
-                m = np.zeros(self.max_streams, bool)
-                m[g * self.group_size:(g + 1) * self.group_size] = True
-                masks.append(jnp.asarray(m))
-            self._group_masks = masks
-        froms, tos = [], []
+        states, froms, tos = [], [], []
         crossfading = False
         for g, rt in enumerate(self.eq_runtimes):
-            eq_state, pf, pt, _ = rt.begin_block(eq_state,
-                                                 self._group_masks[g])
+            es, pf, pt, _ = rt.begin_block(eq_state[g])
+            states.append(es)
             froms.append(pf)
             tos.append(pt)
             crossfading = (crossfading or rt.is_transitioning
                            or rt.pending_target is not None)
-        key = tuple(id(p) for p in froms) + tuple(id(p) for p in tos)
-        if key != self._eq_stack_key:
-            self._eq_stack = (eq_block.stack_eq_params(froms),
-                              eq_block.stack_eq_params(tos))
-            self._eq_stack_key = key
-        p_from, p_to = self._eq_stack
-        return eq_state, p_from, p_to, crossfading
+        return tuple(states), tuple(froms), tuple(tos), crossfading
 
     def pump(self, max_rounds: int = 64) -> int:
         """Render while any stream has a full block. Returns rounds run.
@@ -966,7 +1082,7 @@ class StreamPool:
         inflight = np.zeros(self.max_streams, bool)
         M = self.blocks_per_step
         step_frames = self.step_frames
-        cycle = self._cycle()
+        cycles = self._lane_cycles
         paged = M > 1
         roll_fn = _roll_lanes_paged if paged else _roll_lanes
         try:
@@ -987,19 +1103,42 @@ class StreamPool:
                 if len(indices) == 0:
                     break
 
-                rejoin = indices[self._debt[indices] % cycle != 0]
+                rejoin = indices[self._debt[indices] % cycles[indices] != 0]
                 if rejoin.size and (paged or _POOL_STEP == "ring"):
-                    kb = self._bucket(len(rejoin))
-                    lane = np.full(kb, self.max_streams, np.int32)
-                    shift = np.zeros(kb, np.int32)
-                    lane[: len(rejoin)] = rejoin
-                    shift[: len(rejoin)] = self._debt[rejoin] % cycle
-                    self._state = PoolState(
-                        conv=roll_fn(self._state.conv,
-                                     jnp.asarray(lane),
-                                     jnp.asarray(shift)),
-                        eq=self._state.eq,
-                    )
+                    if self.groups == 1:
+                        kb = self._bucket(len(rejoin))
+                        lane = np.full(kb, self.max_streams, np.int32)
+                        shift = np.zeros(kb, np.int32)
+                        lane[: len(rejoin)] = rejoin
+                        shift[: len(rejoin)] = (
+                            self._debt[rejoin] % cycles[rejoin]
+                        )
+                        self._state = PoolState(
+                            conv=roll_fn(self._state.conv,
+                                         jnp.asarray(lane),
+                                         jnp.asarray(shift)),
+                            eq=self._state.eq,
+                        )
+                    else:
+                        # Per-group rolls on each group's own carry
+                        # (sentinel-padded to the group bucket; local
+                        # lane numbering).
+                        conv = list(self._state.conv)
+                        rg = rejoin // self.group_size
+                        for g in np.unique(rg):
+                            sel = rejoin[rg == g]
+                            kb = self._bucket(len(sel))
+                            lane = np.full(kb, self.group_size, np.int32)
+                            shift = np.zeros(kb, np.int32)
+                            lane[: len(sel)] = sel - g * self.group_size
+                            shift[: len(sel)] = (
+                                self._debt[sel] % cycles[sel]
+                            )
+                            conv[g] = roll_fn(conv[g], jnp.asarray(lane),
+                                              jnp.asarray(shift))
+                        self._state = PoolState(
+                            conv=tuple(conv), eq=self._state.eq
+                        )
 
                 k = len(indices)
                 kb = self._bucket(k)
@@ -1169,8 +1308,10 @@ class StreamPool:
             "blocks_rendered": self.blocks_rendered,
             "render_errors": self.render_errors,
             "stashed_streams": len(self._pending_out),
-            "lanes_in_debt": int((self._debt[self._attached_mask]
-                                  % self._cycle() != 0).sum()),
+            "lanes_in_debt": int(
+                (self._debt[self._attached_mask]
+                 % self._lane_cycles[self._attached_mask] != 0).sum()
+            ),
             "eq_transitioning": [rt.is_transitioning
                                  for rt in self.eq_runtimes],
         }

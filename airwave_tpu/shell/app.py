@@ -333,16 +333,9 @@ def build_serve_pool(args):
                                 lookahead=blocks_per_step)
             for h, bank in banks.items()
         }
-        # Align differing HRIR lengths onto one shared delay-line shape
-        # (re-prepare only the shorter banks, from the cached WAVData).
-        max_p = max(r.partition_count for r in rend_by_path.values())
-        rend_by_path = {
-            h: (r if r.partition_count == max_p else prepare_renderer(
-                banks[h], layout, args.sample_rate,
-                lookahead=blocks_per_step, partitions=max_p,
-            ))
-            for h, r in rend_by_path.items()
-        }
+        # Differing HRIR lengths need no alignment: each profile group
+        # carries its own delay line (runtime/stream_pool, tuple design),
+        # so a short bank pays only its own partitions.
         profiles = [
             PoolProfile(rend_by_path[h], _load_equalizer(eq_path))
             for h, eq_path in parsed

@@ -289,8 +289,7 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
             EqualizerDefinition(-2.5 + 0.5 * g, filters), SAMPLE_RATE
         )
         eq_singles.append(eq_block.make_eq_params(coeffs, preamp, BLOCK))
-    eq_params = (eq_singles[0] if groups == 1
-                 else eq_block.stack_eq_params(eq_singles))
+    eq_params = (eq_singles[0] if groups == 1 else tuple(eq_singles))
     M = int(blocks_per_step)
     x_shape = ((batch, speakers, M, BLOCK) if M > 1
                else (batch, speakers, BLOCK))
@@ -319,7 +318,8 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
     conv_params = upols.make_conv_params(hrir, BLOCK, pad_to_pow2=False,
                                          lookahead=M)
     if groups > 1:
-        # G distinct banks, same length (one shared delay-line shape).
+        # G distinct banks; each group carries its own lane state
+        # (runtime/stream_pool._pool_round_grouped).
         conv_singles = [conv_params]
         for g in range(1, groups):
             rg = np.random.default_rng(100 + g)
@@ -329,16 +329,22 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
                 upols.make_conv_params(hg, BLOCK, pad_to_pow2=False,
                                        lookahead=M)
             )
-        conv_params = upols.stack_conv_params(conv_singles)
-    if M > 1:
-        conv_state = upols.make_conv_state_paged(
-            batch, speakers, conv_params.partition_count, BLOCK, M
-        )
+        conv_params = tuple(conv_singles)
+
+    def mk_state(lanes, p):
+        if M > 1:
+            return upols.make_conv_state_paged(lanes, speakers, p, BLOCK, M)
+        return upols.make_conv_state(lanes, speakers, p, BLOCK)
+
+    if groups == 1:
+        conv_state = mk_state(batch, conv_params.partition_count)
+        eq_state = eq_block.make_eq_state(batch)
     else:
-        conv_state = upols.make_conv_state(
-            batch, speakers, conv_params.partition_count, BLOCK
-        )
-    state = PoolState(conv=conv_state, eq=eq_block.make_eq_state(batch))
+        bg = batch // groups
+        conv_state = tuple(mk_state(bg, cp.partition_count)
+                           for cp in conv_params)
+        eq_state = tuple(eq_block.make_eq_state(bg) for _ in range(groups))
+    state = PoolState(conv=conv_state, eq=eq_state)
     return conv_params, eq_params, state, x
 
 
@@ -432,7 +438,8 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
     # scatter, no output gather); a partial harvest exercises the masked
     # variant (paused lanes preserved by the slot read-back / oldest-page
     # recycle).
-    n_pages = len(state.conv.pages) if M > 1 else 1
+    conv0 = state.conv[0] if type(state.conv) is tuple else state.conv
+    n_pages = len(conv0.pages) if M > 1 else 1
     variant, steps, unroll, blocks_per_call = plan_pool_schedule(
         M, blocks_per_call, n_pages, identity=(k == batch)
     )

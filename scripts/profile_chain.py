@@ -121,7 +121,9 @@ def main() -> int:
             speakers=args.speakers, blocks_per_step=M,
             groups=args.pool_groups,
         )
-        n_pages = len(state.conv.pages) if M > 1 else 1
+        conv0 = (state.conv[0] if type(state.conv) is tuple
+                 else state.conv)
+        n_pages = len(conv0.pages) if M > 1 else 1
         blocks = args.blocks + (-args.blocks) % M
         variant, steps, unroll, blocks = bench.plan_pool_schedule(
             M, blocks, n_pages, identity=True

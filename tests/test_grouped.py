@@ -1,10 +1,11 @@
-"""Profile-grouped primitives: G (HRIR, EQ) profiles served in ONE step.
+"""Profile-grouped serving: G (HRIR, EQ) profiles served in ONE step.
 
-Parity contract: a grouped step over B lanes split into G contiguous
-segments must match, to f32 rounding, G independent ungrouped steps each
-run on its segment with its own params. This is the device-side foundation
-of the multi-profile StreamPool (one pool, G tenant profiles, one
-dispatch per round — beyond the reference, which is single-profile by
+Parity contract: a grouped round over B lanes split into G contiguous
+segments must match, to f32 rounding, G independent ungrouped rounds each
+run on its segment with its own params and its OWN lane state (the tuple
+design — runtime/stream_pool._pool_round_grouped). This is the device-side
+foundation of the multi-profile StreamPool (one pool, G tenant profiles,
+one dispatch per round — beyond the reference, which is single-profile by
 construction; cf. one DeviceProfile at a time,
 /root/reference/Airwave/DeviceProfileRuntimeCoordinator.swift:62-121).
 """
@@ -17,6 +18,7 @@ import jax.numpy as jnp
 from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
 from airwave_tpu.ops import biquad_design as bd
 from airwave_tpu.ops import eq_block, upols
+from airwave_tpu.runtime.stream_pool import PoolState, pool_step_body
 
 BLOCK = 64
 S, E = 2, 2
@@ -38,7 +40,7 @@ def _group_params(lengths, block=BLOCK, lookahead=1, partitions=None):
                 lookahead=lookahead, partitions=partitions,
             )
         )
-    return singles, upols.stack_conv_params(singles)
+    return singles
 
 
 def _eq_designs(sample_rate=48_000.0):
@@ -87,163 +89,116 @@ def test_make_conv_params_partitions_override_pads_and_validates():
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
 
 
-def test_stack_conv_params_validates_shapes():
-    singles, _ = _group_params([2 * BLOCK, 3 * BLOCK, 3 * BLOCK],
-                               partitions=4)
-    bad = upols.make_conv_params(
-        _hrir(np.random.default_rng(9), 2 * BLOCK), BLOCK,
-        pad_to_pow2=False,
-    )
-    with pytest.raises(ValueError, match="partition"):
-        upols.stack_conv_params([singles[0], bad])
-    with pytest.raises(ValueError, match="at least one"):
-        upols.stack_conv_params([])
+def _mk_states(singles, Bg, M=1):
+    if M > 1:
+        convs = tuple(
+            upols.make_conv_state_paged(Bg, S, p.partition_count, BLOCK, M)
+            for p in singles
+        )
+    else:
+        convs = tuple(
+            upols.make_conv_state(Bg, S, p.partition_count, BLOCK)
+            for p in singles
+        )
+    eqs = tuple(eq_block.make_eq_state(Bg, 2, 32) for _ in singles)
+    return convs, eqs
 
 
-def test_grouped_conv_step_matches_per_group_steps():
+@pytest.mark.parametrize("crossfading", [False, True])
+def test_grouped_round_matches_per_group_rounds(crossfading):
+    """pool_step_body with G-tuple params/state == G independent ungrouped
+    rounds on the lane segments (masked ring variant, ragged harvests,
+    heterogeneous per-group partition counts)."""
     G, Bg = 3, 4
     B = G * Bg
-    singles, grouped = _group_params([2 * BLOCK, 4 * BLOCK, 3 * BLOCK],
-                                     partitions=4)
-    assert grouped.groups == G and grouped.partition_count == 4
+    singles = _group_params([2 * BLOCK, 4 * BLOCK, 3 * BLOCK])
+    eq_to = _eq_designs()
+    eq_from = _eq_designs()[::-1]
     rng = np.random.default_rng(3)
     x = (rng.standard_normal((5, B, S, BLOCK)) * 0.5).astype(np.float32)
-
-    gstate = upols.make_conv_state(B, S, 4, BLOCK)
-    sstates = [upols.make_conv_state(Bg, S, 4, BLOCK) for _ in range(G)]
-    # Ragged activity exercises the masked ring path per group.
     masks = (rng.random((5, B)) < 0.8)
     masks[0] = True
+
+    convs, eqs = _mk_states(singles, Bg)
+    gstate = PoolState(conv=convs, eq=eqs)
+    sstates = [PoolState(conv=c, eq=e)
+               for c, e in zip(*_mk_states(singles, Bg))]
     for t in range(5):
-        m = jnp.asarray(masks[t])
-        gstate, yg = upols.conv_step(grouped, gstate, jnp.asarray(x[t]), m)
+        idx = np.flatnonzero(masks[t]).astype(np.int32)
+        gstate, yg = pool_step_body(
+            tuple(singles), tuple(eq_from), tuple(eq_to), gstate,
+            jnp.asarray(x[t, masks[t]]), jnp.asarray(idx),
+            transition_length=4 * BLOCK, eq_enabled=True,
+            eq_crossfading=crossfading, variant="ring",
+        )
         yg = np.asarray(yg)
         for g in range(G):
             sl = slice(g * Bg, (g + 1) * Bg)
-            sstates[g], ys = upols.conv_step(
-                singles[g], sstates[g], jnp.asarray(x[t, sl]),
-                jnp.asarray(masks[t, sl]),
+            lidx = np.flatnonzero(masks[t, sl]).astype(np.int32)
+            if lidx.size == 0:
+                continue
+            sstates[g], ys = pool_step_body(
+                singles[g], eq_from[g], eq_to[g], sstates[g],
+                jnp.asarray(x[t, sl][masks[t, sl]]), jnp.asarray(lidx),
+                transition_length=4 * BLOCK, eq_enabled=True,
+                eq_crossfading=crossfading, variant="ring",
             )
-            active = masks[t, sl]
-            np.testing.assert_allclose(
-                yg[sl][active], np.asarray(ys)[active], atol=2e-5,
-            )
+            sel = (idx >= g * Bg) & (idx < (g + 1) * Bg)
+            np.testing.assert_allclose(yg[sel], np.asarray(ys), atol=2e-5)
     for g in range(G):
-        sl = slice(g * Bg, (g + 1) * Bg)
         np.testing.assert_allclose(
-            np.asarray(gstate.fdl)[..., sl], np.asarray(sstates[g].fdl),
+            np.asarray(gstate.conv[g].fdl), np.asarray(sstates[g].conv.fdl),
             rtol=1e-4, atol=1e-5,
         )
 
 
-def test_grouped_eq_step_matches_per_group(crossfade=True):
-    G, Bg = 3, 4
-    B = G * Bg
-    params = _eq_designs()
-    stacked = eq_block.stack_eq_params(params)
-    rng = np.random.default_rng(5)
-    x = (rng.standard_normal((4, B, 2, BLOCK)) * 0.5).astype(np.float32)
-
-    gstate = eq_block.make_eq_state(B, 2, 32)
-    sstates = [eq_block.make_eq_state(Bg, 2, 32) for _ in range(G)]
-    # Mid-ramp counters differ per lane.
-    counters = rng.integers(0, 3 * BLOCK, B).astype(np.int32)
-    gstate = gstate._replace(counter=jnp.asarray(counters))
-    from_params = _eq_designs()[::-1]
-    from_stacked = eq_block.stack_eq_params(from_params)
-    for g in range(G):
-        sstates[g] = sstates[g]._replace(
-            counter=jnp.asarray(counters[g * Bg:(g + 1) * Bg])
-        )
-    for t in range(4):
-        gstate, yg = eq_block.eq_step(
-            from_stacked, stacked, gstate, jnp.asarray(x[t]),
-            transition_length=4 * BLOCK, crossfade_active=crossfade,
-        )
-        yg = np.asarray(yg)
-        for g in range(G):
-            sl = slice(g * Bg, (g + 1) * Bg)
-            sstates[g], ys = eq_block.eq_step(
-                from_params[g], params[g], sstates[g],
-                jnp.asarray(x[t, sl]),
-                transition_length=4 * BLOCK, crossfade_active=crossfade,
-            )
-            np.testing.assert_allclose(yg[sl], np.asarray(ys), atol=2e-5)
-
-
-def test_grouped_eq_step_steady_state():
-    test_grouped_eq_step_matches_per_group(crossfade=False)
-
-
-def test_grouped_paged_round_with_folded_eq_matches_per_group():
+@pytest.mark.parametrize("crossfading", [False, True])
+def test_grouped_paged_round_matches_per_group(crossfading):
+    """The multi-block tier's grouped round (folded EQ in steady state,
+    dual-cascade during ramps) == per-group ungrouped rounds."""
     G, Bg, M = 2, 4, 2
     B = G * Bg
-    singles, grouped = _group_params([2 * BLOCK, 3 * BLOCK], lookahead=M,
-                                     partitions=4)
-    eq_params = _eq_designs()[1:3]
-    eq_stacked = eq_block.stack_eq_params(eq_params)
+    singles = _group_params([2 * BLOCK, 4 * BLOCK], lookahead=M)
+    eq_to = _eq_designs()[1:3]
+    eq_from = _eq_designs()[1:3]
     rng = np.random.default_rng(11)
     x = (rng.standard_normal((3, B, S, M, BLOCK)) * 0.5).astype(np.float32)
     masks = (rng.random((3, B)) < 0.75)
     masks[0] = True
 
-    gconv = upols.make_conv_state_paged(B, S, 4, BLOCK, M)
-    geq = eq_block.make_eq_state(B, 2, 32)
-    sconv = [upols.make_conv_state_paged(Bg, S, 4, BLOCK, M)
-             for _ in range(G)]
-    seq = [eq_block.make_eq_state(Bg, 2, 32) for _ in range(G)]
-
+    convs, eqs = _mk_states(singles, Bg, M)
+    gstate = PoolState(conv=convs, eq=eqs)
+    sstates = [PoolState(conv=c, eq=e)
+               for c, e in zip(*_mk_states(singles, Bg, M))]
     for t in range(3):
-        m = jnp.asarray(masks[t])
-        gconv, geq, yg = eq_block.eq_folded_paged_round(
-            grouped, eq_stacked, gconv, geq, jnp.asarray(x[t]),
-            active_mask=m,
+        idx = np.flatnonzero(masks[t]).astype(np.int32)
+        gstate, yg = pool_step_body(
+            tuple(singles), tuple(eq_from), tuple(eq_to), gstate,
+            jnp.asarray(x[t, masks[t]]), jnp.asarray(idx),
+            transition_length=4 * BLOCK, eq_enabled=True,
+            eq_crossfading=crossfading, variant="paged",
         )
         yg = np.asarray(yg)
         for g in range(G):
             sl = slice(g * Bg, (g + 1) * Bg)
-            sconv[g], seq[g], ys = eq_block.eq_folded_paged_round(
-                singles[g], eq_params[g], sconv[g], seq[g],
-                jnp.asarray(x[t, sl]),
-                active_mask=jnp.asarray(masks[t, sl]),
+            lidx = np.flatnonzero(masks[t, sl]).astype(np.int32)
+            if lidx.size == 0:
+                continue
+            sstates[g], ys = pool_step_body(
+                singles[g], eq_from[g], eq_to[g], sstates[g],
+                jnp.asarray(x[t, sl][masks[t, sl]]), jnp.asarray(lidx),
+                transition_length=4 * BLOCK, eq_enabled=True,
+                eq_crossfading=crossfading, variant="paged",
             )
-            active = masks[t, sl]
-            # Grouped vs single dots sum in different orders; the diff is
-            # bounded f32 rounding (measured rel <= 3.5e-6 over 10 rounds).
+            sel = (idx >= g * Bg) & (idx < (g + 1) * Bg)
             np.testing.assert_allclose(
-                yg[sl][active], np.asarray(ys)[active], rtol=1e-4,
-                atol=5e-5,
+                yg[sel], np.asarray(ys), rtol=1e-4, atol=5e-5,
             )
     for g in range(G):
-        sl = slice(g * Bg, (g + 1) * Bg)
-        for pg, ps in zip(gconv.pages, sconv[g].pages):
+        for pg, ps in zip(gstate.conv[g].pages, sstates[g].conv.pages):
             np.testing.assert_allclose(
-                np.asarray(pg)[..., sl], np.asarray(ps), rtol=1e-4,
-                atol=1e-5,
+                np.asarray(pg), np.asarray(ps), rtol=1e-4, atol=1e-5,
             )
-
-
-def test_grouped_paged_step_plain_projection_matches():
-    """conv_step_paged (no EQ fold) on grouped params: shared synthesis
-    weights, per-group MAC."""
-    G, Bg, M = 2, 3, 2
-    B = G * Bg
-    singles, grouped = _group_params([2 * BLOCK, 3 * BLOCK], lookahead=M,
-                                     partitions=4)
-    rng = np.random.default_rng(13)
-    x = (rng.standard_normal((2, B, S, M, BLOCK)) * 0.5).astype(np.float32)
-    gconv = upols.make_conv_state_paged(B, S, 4, BLOCK, M)
-    sconv = [upols.make_conv_state_paged(Bg, S, 4, BLOCK, M)
-             for _ in range(G)]
-    for t in range(2):
-        gconv, yg = upols.conv_step_paged(grouped, gconv, jnp.asarray(x[t]))
-        yg = np.asarray(yg)
-        for g in range(G):
-            sl = slice(g * Bg, (g + 1) * Bg)
-            sconv[g], ys = upols.conv_step_paged(
-                singles[g], sconv[g], jnp.asarray(x[t, sl])
-            )
-            np.testing.assert_allclose(yg[sl], np.asarray(ys), atol=2e-5)
 
 
 # --- grouped StreamPool --------------------------------------------------
@@ -414,10 +369,17 @@ def test_grouped_pool_bookkeeping_and_validation():
                    profiles=[PoolProfile(r0)])
     with pytest.raises(TypeError, match="renderer is required"):
         StreamPool(4, 48_000.0, block_size=BLOCK)
-    mismatched = _renderer(5 * BLOCK, 28)  # different partition count
+    # Different partition counts are ALLOWED — each group carries its own
+    # delay line (the tuple design); only (speakers, block) must match.
+    longer = _renderer(5 * BLOCK, 28)
+    het = StreamPool(4, 48_000.0, block_size=BLOCK,
+                     profiles=[PoolProfile(r0), PoolProfile(longer)])
+    assert het._lane_cycles[0] != het._lane_cycles[-1]
     with pytest.raises(ValueError, match="share"):
-        StreamPool(4, 48_000.0, block_size=BLOCK,
-                   profiles=[PoolProfile(r0), PoolProfile(mismatched)])
+        StreamPool(4, 48_000.0, block_size=BLOCK, profiles=[
+            PoolProfile(r0),
+            PoolProfile(_renderer(2 * BLOCK, 29, layout=cm.SURROUND_5_1)),
+        ])
 
     pool = StreamPool(4, 48_000.0, block_size=BLOCK,
                       profiles=[PoolProfile(r0), PoolProfile(r1)])
@@ -435,8 +397,10 @@ def test_grouped_pool_bookkeeping_and_validation():
     assert pool.attach(0) == b
     with pytest.raises(ValueError, match="group"):
         pool.set_renderer(r0)  # grouped pool needs group=
-    with pytest.raises(ValueError, match="shared shape"):
-        pool.set_renderer(mismatched, group=1)
+    # A grouped swap may change the group's partition count (its own
+    # delay line is reallocated); (speakers, block) must stay.
+    pool.set_renderer(longer, group=1)
+    assert pool._lane_cycles[-1] == longer.partition_count
     with pytest.raises(ValueError, match="out of range"):
         pool.set_equalizer(_eq_def(1), group=7)
 
