@@ -586,8 +586,11 @@ def test_grouped_pool_randomized_differential_with_churn(M):
     step = M * BLOCK
     for seed in (101, 202):
         rng = np.random.default_rng(seed)
-        r0 = _renderer(2 * BLOCK, seed, lookahead=M, partitions=4)
-        r1 = _renderer(3 * BLOCK, seed + 1, lookahead=M, partitions=4)
+        # Heterogeneous HRIR lengths (2 vs 6 partitions at M=1, 2 vs 3
+        # pages at M=2): per-group delay lines + per-lane debt cycles.
+        r0 = _renderer(2 * BLOCK, seed, lookahead=M)
+        r1 = _renderer(5 * BLOCK, seed + 1, lookahead=M)
+        assert r0.partition_count != r1.partition_count
         gpool = StreamPool(B, 48_000.0, block_size=BLOCK, config=cfg,
                            blocks_per_step=M,
                            profiles=[PoolProfile(r0, _eq_def(1)),

@@ -102,7 +102,9 @@ def test_render_server_soak(blocks_per_step, groups):
     if groups > 1:
         from airwave_tpu.runtime.stream_pool import PoolProfile
 
-        hrir_b = (np.random.default_rng(24).standard_normal((14, 300))
+        # Different length than group 0's bank: the soak also churns the
+        # heterogeneous-partition grouped design (per-group delay lines).
+        hrir_b = (np.random.default_rng(24).standard_normal((14, 700))
                   * 0.2).astype(np.float32)
         renderer_b = prepare_renderer(WAVData(48_000.0, hrir_b), cm.STEREO,
                                       48_000.0, BLOCK,
