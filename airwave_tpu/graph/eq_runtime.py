@@ -186,15 +186,13 @@ class EqualizerRuntime:
 
     # --- render-side protocol (called by the engine per block) ---------------
 
-    def begin_block(self, eq_state: eq_block.EqState,
-                    stream_mask=None):
+    def begin_block(self, eq_state: eq_block.EqState):
         """Run the control protocol; returns (eq_state', params_from, params_to,
         reset_mask_applied: bool).
 
-        `stream_mask` [B] bool (optional): restrict this runtime's state
-        mutations (reset, transition begin) to the masked lanes — used by
-        the grouped StreamPool, where each profile group's runtime owns a
-        contiguous lane segment of one shared EqState."""
+        On a grouped StreamPool each profile group's runtime owns its OWN
+        per-group EqState (the tuple design), so this protocol always
+        operates on the whole state it is handed — no lane masking."""
         self._observe_published_target()
         self._flush_pending_retirement()
 
@@ -202,14 +200,14 @@ class EqualizerRuntime:
         if self._reset_requested:
             self._reset_requested = False
             reset_now = True
-            eq_state = eq_block.eq_reset(eq_state, stream_mask)
+            eq_state = eq_block.eq_reset(eq_state)
 
         # Finish a transition that completed in previous blocks.
         if (
             self.transition_from is not None
             and self._samples_into_transition >= self.transition_length
         ):
-            eq_state = self._finish_transition(eq_state, stream_mask)
+            eq_state = self._finish_transition(eq_state)
 
         # Start a newly-observed transition if allowed.
         if (
@@ -219,8 +217,7 @@ class EqualizerRuntime:
         ):
             pending, self.pending_target = self.pending_target, None
             if pending is not self.active:
-                eq_state = self._begin_transition(eq_state, pending,
-                                                  stream_mask)
+                eq_state = self._begin_transition(eq_state, pending)
 
         params_from = (
             self.transition_from.params
@@ -253,14 +250,13 @@ class EqualizerRuntime:
         elif target is not self.active:
             self.pending_target = target  # started in begin_block
 
-    def _begin_transition(self, eq_state, target: PreparedEq,
-                          stream_mask=None):
+    def _begin_transition(self, eq_state, target: PreparedEq):
         self.transition_from = self.active
         self.active = target
         self._samples_into_transition = 0
-        return eq_block.eq_begin_transition(eq_state, stream_mask)
+        return eq_block.eq_begin_transition(eq_state)
 
-    def _finish_transition(self, eq_state, stream_mask=None):
+    def _finish_transition(self, eq_state):
         outgoing = self.transition_from
         self.transition_from = None
         self._samples_into_transition = _IDLE
@@ -268,8 +264,8 @@ class EqualizerRuntime:
         # Idle the lanes' ramp counters: a lane that paused mid-ramp jumps
         # to the target now that the wall-clock ramp is over (it must not
         # resume blending if a later block still runs the crossfading path
-        # for another group's ramp or a queued target).
-        return eq_block.eq_finish_transition(eq_state, stream_mask)
+        # for a queued target).
+        return eq_block.eq_finish_transition(eq_state)
 
     def _retire(self, state: PreparedEq) -> None:
         if self._pending_retirement is not None:
