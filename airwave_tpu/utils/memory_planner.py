@@ -171,37 +171,50 @@ def estimate_pool_lane_bytes(speakers: int, hrir_taps: int, block: int,
     return int(carry + working + eq)
 
 
-def pool_capacity(speakers: int, hrir_taps: int, block: int,
+def pool_capacity(speakers: int, hrir_taps, block: int,
                   lookahead: int = 1, groups: int = 1,
                   hbm_bytes: Optional[float] = None,
                   headroom: float = 0.85, ears: int = 2,
                   eq_state_dim: int = 128, mesh_devices: int = 1) -> dict:
     """Recommend max_streams for a pool on a given HBM budget.
 
-    Returns a dict with the per-lane cost, the (group-shared) parameter
-    footprint, and `max_streams` = the largest lane count whose per-device
-    share (lanes plus the REPLICATED params — every device holds the full
-    filter banks/weights) fits `headroom * hbm_bytes`, rounded down to a
+    `hrir_taps` may be one int (every group the same bank length) or a
+    per-group sequence (heterogeneous grouped pools: each group carries
+    its own delay line, so a short tenant pays only its own partitions).
+
+    Returns a dict with the per-lane cost (mean across groups when
+    heterogeneous), the (group-shared) parameter footprint, and
+    `max_streams` = the largest lane count whose per-device share (lanes
+    plus the REPLICATED params — every device holds the full filter
+    banks/weights) fits `headroom * hbm_bytes`, rounded down to a
     multiple of groups * mesh_devices (grouped pools need equal segments;
-    meshes need even shards). Serving throughput guidance lives in
-    docs/serving.md ("provision max_streams near expected concurrency" —
-    every round steps ALL lanes)."""
+    each group's state shards over the mesh). Serving throughput guidance
+    lives in docs/serving.md ("provision max_streams near expected
+    concurrency" — every round steps ALL lanes)."""
     if hbm_bytes is None:
         hbm_bytes = device_hbm_bytes()
     kp = _padded_bins(block)
     k = block + 1
+    taps_list = (list(hrir_taps) if hasattr(hrir_taps, "__len__")
+                 else [int(hrir_taps)] * max(1, groups))
+    if len(taps_list) != max(1, groups):
+        raise ValueError(
+            f"hrir_taps has {len(taps_list)} entries for groups={groups}"
+        )
     if lookahead > 1:
-        p2 = paged_partitions(hrir_taps, block, lookahead)
+        p2s = [paged_partitions(t, block, lookahead) for t in taps_list]
     else:
-        p2 = max(1, math.ceil(hrir_taps / block))
+        p2s = [max(1, math.ceil(t / block)) for t in taps_list]
     n = eq_state_dim
     params = (
-        groups * speakers * ears * 2 * p2 * k * 2 * F32   # Hflip2 banks
+        sum(speakers * ears * 2 * p2 * k * 2 * F32 for p2 in p2s)  # banks
         + 2 * block * k * 2 * F32 + k * 2 * block * F32    # DFT weights
         + 2 * groups * (block * block + 2 * block * n + n * n) * F32  # EQ
     )
-    lane = estimate_pool_lane_bytes(speakers, hrir_taps, block, lookahead,
-                                    ears, eq_state_dim)
+    lanes = [estimate_pool_lane_bytes(speakers, t, block, lookahead,
+                                      ears, eq_state_dim)
+             for t in taps_list]
+    lane = sum(lanes) / len(lanes)  # equal segments: mean per-lane cost
     devices = max(1, int(mesh_devices))
     # Params are REPLICATED (every device holds the full banks/weights),
     # so they come out of each device's budget, not the pooled one.
@@ -211,10 +224,11 @@ def pool_capacity(speakers: int, hrir_taps: int, block: int,
     raw = lanes_per_device * devices
     max_streams = (raw // granularity) * granularity
     return {
-        "per_lane_bytes": lane,
+        "per_lane_bytes": int(lane),
+        "per_group_lane_bytes": [int(b) for b in lanes],
         "params_bytes": int(params),
         "budget_bytes": int(per_device_budget * devices),
-        "partitions": p2,
+        "partitions": p2s if len(set(p2s)) > 1 else p2s[0],
         "max_streams": max_streams,
         "granularity": granularity,
     }

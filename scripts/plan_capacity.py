@@ -25,8 +25,11 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--speakers", type=int, default=2)
-    ap.add_argument("--hrir-seconds", type=float, default=0.09,
-                    help="HRIR length (0.09 s = the bundled 4320-tap banks)")
+    ap.add_argument("--hrir-seconds", default="0.09",
+                    help="HRIR length in seconds (0.09 = the bundled "
+                         "4320-tap banks); a comma-separated list gives "
+                         "per-group lengths for a heterogeneous grouped "
+                         "pool (must match --groups)")
     ap.add_argument("--sample-rate", type=float, default=48_000.0)
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--blocks-per-step", type=int, default=1,
@@ -50,7 +53,13 @@ def main() -> int:
                                                   pool_capacity)
 
     hbm = device_hbm_bytes() if args.probe_hbm else args.hbm_gb * 2**30
-    taps = int(round(args.hrir_seconds * args.sample_rate))
+    secs = [float(s) for s in str(args.hrir_seconds).split(",")]
+    taps = [int(round(s * args.sample_rate)) for s in secs]
+    if len(taps) == 1:
+        taps = taps[0]
+    elif len(taps) != args.groups:
+        ap.error(f"--hrir-seconds lists {len(taps)} lengths but "
+                 f"--groups is {args.groups}")
     plan = pool_capacity(
         args.speakers, taps, args.block, lookahead=args.blocks_per_step,
         groups=args.groups, hbm_bytes=hbm, headroom=args.headroom,

@@ -168,3 +168,14 @@ def test_pool_capacity_planner_sizes_and_granularity():
     # A hopeless budget reports zero rather than a negative count.
     tiny = pool_capacity(2, 4320, 512, hbm_bytes=1 * 2**20)
     assert tiny["max_streams"] == 0
+
+    # Heterogeneous groups: per-group bank lengths; a short tenant pays
+    # only its own partitions, so capacity beats the all-long plan.
+    het = pool_capacity(2, [4320, 1488], 512, groups=2,
+                        hbm_bytes=16 * 2**30)
+    assert het["partitions"] == [9, 3]
+    assert het["per_group_lane_bytes"][1] < het["per_group_lane_bytes"][0]
+    same = pool_capacity(2, 4320, 512, groups=2, hbm_bytes=16 * 2**30)
+    assert het["max_streams"] > same["max_streams"]
+    with pytest.raises(ValueError, match="entries"):
+        pool_capacity(2, [4320, 1488, 99], 512, groups=2)
