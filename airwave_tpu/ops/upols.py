@@ -768,11 +768,6 @@ def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
     The shared write_pos stays 0; params are interchangeable between the two
     variants.
     """
-    if params.Hflip2.ndim == 6:
-        raise ValueError(
-            "conv_step_rolled does not support grouped params — profile "
-            "groups ride the shared-cursor ring step (conv_step)"
-        )
     B, S, T = x.shape
     P2 = state.fdl.shape[2]
 

@@ -375,6 +375,37 @@ def build_serve_pool(args):
     return pool, layout
 
 
+def restore_serve_checkpoint(ckpt: Optional[str], pool):
+    """Restore a serve checkpoint into `pool`; returns
+    (resumed: bool, orphan_tokens: dict | None).
+
+    An incompatible checkpoint (different pool shape/profile layout, or a
+    pre-upgrade snapshot format) must not crash-loop the server:
+    restart-resume degrades to a fresh start, and the unreadable file is
+    moved aside to `<path>.incompatible` (never silently overwritten) so
+    its lanes' audio state can be inspected or restored by a matching
+    build."""
+    if not ckpt:
+        return False, None
+    from airwave_tpu.utils.checkpoint import (checkpoint_path,
+                                              load_pool_snapshot)
+
+    if not os.path.exists(checkpoint_path(ckpt)):
+        return False, None
+    try:
+        snap = load_pool_snapshot(ckpt, pool)
+        pool.restore(snap)
+    except (ValueError, KeyError) as exc:
+        aside = checkpoint_path(ckpt) + ".incompatible"
+        os.replace(checkpoint_path(ckpt), aside)
+        print(json.dumps({"checkpoint_incompatible": str(exc),
+                          "moved_to": aside}), flush=True)
+        return False, None
+    # Always a dict when restored: even a token-less checkpoint's
+    # restored lanes are dead connections that must grace-expire.
+    return True, (snap.get("resume_tokens", {}) or {})
+
+
 def cmd_serve(args) -> int:
     import jax
 
@@ -385,19 +416,7 @@ def cmd_serve(args) -> int:
 
     pool, layout = build_serve_pool(args)
     ckpt = getattr(args, "checkpoint", None)
-    resumed = False
-    orphan_tokens = None
-    if ckpt:
-        from airwave_tpu.utils.checkpoint import (checkpoint_path,
-                                                  load_pool_snapshot)
-
-        if os.path.exists(checkpoint_path(ckpt)):
-            snap = load_pool_snapshot(ckpt, pool)
-            pool.restore(snap)
-            # Always a dict when restored: even a token-less checkpoint's
-            # restored lanes are dead connections that must grace-expire.
-            orphan_tokens = snap.get("resume_tokens", {}) or {}
-            resumed = True
+    resumed, orphan_tokens = restore_serve_checkpoint(ckpt, pool)
     server = RenderServer(pool, host=args.host, port=args.port,
                           resume_grace=getattr(args, "resume_grace", 30.0),
                           orphan_tokens=orphan_tokens)

@@ -488,7 +488,7 @@ def test_grouped_server_eq_groups_match_single_profile_sequentially():
         srv_plain.stop()
 
 
-def test_build_serve_pool_profiles_aligns_partition_counts(tmp_path):
+def test_build_serve_pool_profiles_keep_own_partition_counts(tmp_path):
     """--profile specs with different HRIR lengths build one grouped pool
     (shorter banks padded onto the shared partition count)."""
     import argparse
@@ -513,8 +513,10 @@ def test_build_serve_pool_profiles_aligns_partition_counts(tmp_path):
     )
     pool, _layout = build_serve_pool(args)
     assert pool.groups == 2
-    assert (pool.renderers[0].partition_count
-            == pool.renderers[1].partition_count == 3)
+    # Heterogeneous bank lengths stay heterogeneous: each group carries
+    # its own delay line, so the short bank pays only its own partitions.
+    assert pool.renderers[0].partition_count == 2
+    assert pool.renderers[1].partition_count == 3
     # Targets are observed at the first pump round; the constructor
     # publishes them.
     assert pool.eq_runtimes[0]._published is None
@@ -778,3 +780,44 @@ def test_tokenless_restored_lanes_expire_and_hostile_tokens_are_safe(
             srv2.stop()
     finally:
         srv.stop()
+
+
+def test_incompatible_checkpoint_degrades_to_fresh_start(tmp_path):
+    """A serve checkpoint whose pool layout no longer matches (e.g. a
+    pre-upgrade snapshot format, or a changed profile set) must not
+    crash-loop `serve --checkpoint`: the server starts fresh and the
+    unreadable file is moved aside, never silently overwritten."""
+    import os
+
+    from airwave_tpu.shell.app import restore_serve_checkpoint
+    from airwave_tpu.utils.checkpoint import (checkpoint_path,
+                                              save_pool_snapshot)
+
+    rng = np.random.default_rng(41)
+    audio14 = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                48_000.0, BLOCK)
+    a = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    a.attach()
+    path = str(tmp_path / "ckpt")
+    save_pool_snapshot(path, a.snapshot())
+
+    # A pool with a different shape cannot restore this checkpoint.
+    b = StreamPool(8, 48_000.0, renderer, block_size=BLOCK)
+    resumed, tokens = restore_serve_checkpoint(path, b)
+    assert resumed is False and tokens is None
+    assert not b._attached  # fresh start, nothing half-restored
+    assert not os.path.exists(checkpoint_path(path))
+    assert os.path.exists(checkpoint_path(path) + ".incompatible")
+
+    # A matching pool restores normally through the same helper.
+    save_pool_snapshot(path, a.snapshot())
+    c = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    resumed, tokens = restore_serve_checkpoint(path, c)
+    assert resumed is True and tokens == {}
+    assert len(c._attached) == 1
+
+    # No checkpoint / missing file: clean no-op.
+    assert restore_serve_checkpoint(None, c) == (False, None)
+    assert restore_serve_checkpoint(str(tmp_path / "missing"), c) == (
+        False, None)
