@@ -250,7 +250,14 @@ def _reference_hrir_wav():
         return WAVData(SAMPLE_RATE, synthesize_hrir("neutral", 4320))
 
 
-def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
+def _hrir_seconds_arg(text: str):
+    """argparse type for --hrir-seconds: float, or comma list of floats
+    (per-group lengths for a heterogeneous grouped pool)."""
+    parts = [float(s) for s in str(text).split(",")]
+    return parts[0] if len(parts) == 1 else parts
+
+
+def build_pool(batch: int, hrir_seconds=None, speakers: int = 2,
                blocks_per_step: int = 1, groups: int = 1):
     """Pool-bench fixture: (conv_params, eq_params, PoolState, x) for the
     StreamPool's jitted round at the bench shapes (exact partitions, the
@@ -258,8 +265,10 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
     the profiler always profiles exactly what the bench measures.
 
     groups=G builds the GROUPED multi-profile fixture (G distinct HRIR
-    banks + G distinct EQ cascades stacked on the group axis — the
-    StreamPool(profiles=[...]) round)."""
+    banks + G distinct EQ cascades, per-group lane state — the
+    StreamPool(profiles=[...]) round). hrir_seconds may be a per-group
+    list (heterogeneous lengths: each group pays only its own
+    partitions)."""
     import jax
     import jax.numpy as jnp
 
@@ -294,6 +303,15 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
     x_shape = ((batch, speakers, M, BLOCK) if M > 1
                else (batch, speakers, BLOCK))
     x = jax.random.normal(jax.random.PRNGKey(0), x_shape, jnp.float32) * 0.25
+    per_group_seconds = None
+    if isinstance(hrir_seconds, (list, tuple)):
+        if len(hrir_seconds) != groups:
+            raise ValueError(
+                f"--hrir-seconds lists {len(hrir_seconds)} lengths for "
+                f"--pool-groups {groups}"
+            )
+        per_group_seconds = list(hrir_seconds)
+        hrir_seconds = per_group_seconds[0]
     # Pool configuration: exact partitions (renderer default; the pow2
     # bucket measured +23% pool-round time at B=8192 — see BENCH_NOTES).
     rng = np.random.default_rng(0)
@@ -319,11 +337,18 @@ def build_pool(batch: int, hrir_seconds: float = None, speakers: int = 2,
                                          lookahead=M)
     if groups > 1:
         # G distinct banks; each group carries its own lane state
-        # (runtime/stream_pool._pool_round_grouped).
+        # (runtime/stream_pool._pool_round_grouped). Heterogeneous
+        # per-group lengths come from a --hrir-seconds comma list.
         conv_singles = [conv_params]
         for g in range(1, groups):
             rg = np.random.default_rng(100 + g)
-            hg = (rg.standard_normal(hrir.shape) * 0.05).astype(np.float32)
+            if per_group_seconds is not None:
+                n_g = int(per_group_seconds[g] * SAMPLE_RATE)
+                hg = (rg.standard_normal((speakers, 2, n_g)) * 0.05
+                      ).astype(np.float32)
+            else:
+                hg = (rg.standard_normal(hrir.shape) * 0.05
+                      ).astype(np.float32)
             hg[:, :, 0] += 0.8
             conv_singles.append(
                 upols.make_conv_params(hg, BLOCK, pad_to_pow2=False,
@@ -733,8 +758,13 @@ def main():
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas FDL kernel for the conv")
     parser.add_argument("--batch-tile", type=int, default=256)
-    parser.add_argument("--hrir-seconds", type=float, default=None,
-                        help="config-5 stress: synthetic IR of this length")
+    parser.add_argument("--hrir-seconds", type=_hrir_seconds_arg,
+                        default=None,
+                        help="config-5 stress: synthetic IR of this length; "
+                             "with --pool --pool-groups G, a comma list "
+                             "gives per-group lengths (heterogeneous "
+                             "grouped pool — each group pays only its own "
+                             "partitions)")
     parser.add_argument("--speakers", type=int, default=2,
                         help="input/virtual-speaker count (8 = BASELINE "
                              "config 3, 7.1 surround to binaural)")
@@ -777,6 +807,13 @@ def main():
         parser.error("--pool-groups must be >= 1")
     if args.pool_groups > 1 and not args.pool:
         parser.error("--pool-groups requires --pool")
+    if isinstance(args.hrir_seconds, list):
+        if not (args.pool and args.pool_groups > 1):
+            parser.error("--hrir-seconds takes a comma list only with "
+                         "--pool --pool-groups G (per-group lengths)")
+        if len(args.hrir_seconds) != args.pool_groups:
+            parser.error(f"--hrir-seconds lists {len(args.hrir_seconds)} "
+                         f"lengths but --pool-groups is {args.pool_groups}")
     if args.pallas:
         args.blocks_per_step = 1  # the fused kernel path is single-block
 
@@ -892,6 +929,8 @@ def main():
             out["active_fraction"] = args.pool_active_fraction
         if args.pool and args.pool_groups > 1:
             out["profile_groups"] = args.pool_groups
+            if isinstance(args.hrir_seconds, list):
+                out["hrir_seconds_per_group"] = args.hrir_seconds
         if args.pool_blocks > 1:
             out["blocks_per_step"] = args.pool_blocks
         if breakdown:

@@ -39,6 +39,11 @@ def main() -> int:
                              "multi-profile pool (G distinct HRIR banks + "
                              "EQ cascades, each lane vs its own group's "
                              "f64 oracle)")
+    parser.add_argument("--hrir-seconds", default=None,
+                        help="HRIR length in seconds (default 0.09 = the "
+                             "bundled 4320-sample shape); with --pool "
+                             "--pool-groups G a comma list gives per-group "
+                             "lengths (heterogeneous grouped pool)")
     args = parser.parse_args()
     if args.pool_groups < 1:
         parser.error("--pool-groups must be >= 1")
@@ -46,6 +51,19 @@ def main() -> int:
         parser.error("--pool-groups requires --pool")
     if args.batch % args.pool_groups:
         parser.error("--batch must divide by --pool-groups")
+    hrir_seconds = None
+    if args.hrir_seconds is not None:
+        parts = [float(s) for s in str(args.hrir_seconds).split(",")]
+        if len(parts) == 1:
+            hrir_seconds = [parts[0]] * args.pool_groups
+        else:
+            if not (args.pool and args.pool_groups > 1):
+                parser.error("--hrir-seconds takes a comma list only with "
+                             "--pool --pool-groups G")
+            if len(parts) != args.pool_groups:
+                parser.error(f"--hrir-seconds lists {len(parts)} lengths "
+                             f"but --pool-groups is {args.pool_groups}")
+            hrir_seconds = parts
 
     import jax
 
@@ -65,7 +83,9 @@ def main() -> int:
     G = args.pool_groups
     hrirs, eq_defs, designs = [], [], []
     for g in range(G):
-        h = (np.random.default_rng(g).standard_normal((S, 2, 4320))
+        n_g = (4320 if hrir_seconds is None
+               else int(hrir_seconds[g] * 48_000))
+        h = (np.random.default_rng(g).standard_normal((S, 2, n_g))
              * 0.05).astype(np.float32)
         h[:, :, 0] += 0.8
         hrirs.append(h)
@@ -255,6 +275,8 @@ def main() -> int:
         "batch": B,
         "blocks": N,
     }
+    if hrir_seconds is not None:
+        result["hrir_seconds_per_group"] = hrir_seconds
     print(json.dumps(result))
     return 0 if result["pass"] else 1
 
