@@ -1,4 +1,4 @@
-.PHONY: test gate bench-smoke bench bench-pool bench-pool-grouped bench-serve soak accuracy plan dryrun release-check
+.PHONY: test gate bench-smoke bench bench-pool bench-pool-grouped bench-serve soak soak-device accuracy plan dryrun release-check
 
 test:
 	python -m pytest tests/ -q
@@ -23,6 +23,10 @@ bench-serve:
 
 soak:
 	python -m pytest -m soak tests/test_soak.py -q -s
+
+soak-device:
+	python scripts/soak_device.py --seconds 300
+	python scripts/soak_device.py --seconds 300 --pool-blocks 8
 
 accuracy:
 	python scripts/validate_accuracy.py
