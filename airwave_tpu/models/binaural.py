@@ -7,7 +7,7 @@ ParametricEqualizerProcessor) for B streams at once:
 
     (carry, x[B, S, T]) -> (carry', y[B, 2, T])
 
-with carry = {FDL, overlap, eq dual-state, crossfade counters}. The fixed
+with carry = {FDL, eq dual-state, crossfade counters}. The fixed
 spatial->EQ ordering, stereo passthrough, and unity-EQ retention semantics
 follow the reference graph; enable flags are static so each graph topology
 compiles once.

@@ -84,6 +84,16 @@ def rfft_weights(n: int) -> jax.Array:
     return jnp.asarray(_rfft_weights_np(n))
 
 
+def rfft_weights_half(n: int) -> jax.Array:
+    """First n//2 rows of the n-point analysis weights: the half-window
+    transform u = W1 @ b used by the UPOLS delay line (ops/upols). The
+    shift theorem W[t + n/2, k] = (-1)^k W[t, k] means a full window's
+    spectrum is u_prev + (-1)^k u_new — ops/upols folds that recombination
+    into its filter bank so the per-block analysis matmul contracts half
+    the samples."""
+    return jnp.asarray(_rfft_weights_np(n)[: n // 2])
+
+
 def irfft_weights(n: int, start: int, length: int) -> jax.Array:
     return jnp.asarray(_irfft_weights_np(n, start, length))
 

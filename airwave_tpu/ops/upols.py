@@ -5,16 +5,26 @@ The reference runs one mono stream x one HRIR per engine object with vDSP;
 here a single functional step convolves a whole batch of streams, all virtual
 speakers, and both ears at once:
 
-    state:  fdl [Kp, S, P2, 2, B] f32     frequency-domain delay line
+    state:  fdl [Kp, S, P2, 2, B] f32     frequency-domain delay line of
+                                          HALF-window spectra u_t = W1 @ b_t
                                           (re/im planes, batch minor)
-            overlap [B, S, T] float32     previous input block (overlap-save)
             write_pos int32               circular FDL write cursor
-    params: H [S, E, 2*P2, K, 2] f32      HRIR partition spectra per ear
+    params: G [S, E, 2*P2, K, 2] f32      half-window filter bank per ear
                                           (flip-doubled for slice rotation)
 
 Key TPU decisions:
+  - The delay line stores HALF-window analysis spectra. The overlap-save
+    window [b_{t-1}, b_t] satisfies X_t = u_{t-1} + s ⊙ u_t with
+    s_k = (-1)^k (the half-frame shift theorem), so the UPOLS sum
+    sum_p H_p X_{t-p} collapses onto the u history against a precomputed
+    bank G_q = H_{q-1} + s⊙H_q (one extra partition). The analysis matmul
+    contracts T samples instead of 2T — HALF the DFT FLOPs, no
+    overlap-block carry, no window concat on the hot path — while the MAC,
+    synthesis, and every rotation/masking protocol are unchanged
+    (measured: the analysis was the single largest term of the chain
+    profile at 6-pass HIGHEST precision, BENCH_NOTES.md).
   - The FDL is written in place (one dynamic_update_slice per block); the
-    *HRIR* spectra are rotated instead of the delay line. Rotating H is
+    *filter* spectra are rotated instead of the delay line. Rotating G is
     O(S*E*P*K) with no batch factor, so per-block HBM traffic is just the
     unavoidable FDL read for the multiply-accumulate. (The reference instead
     walks the FDL with a modulo cursor, ConvolutionEngine.swift:316-350.)
@@ -23,7 +33,7 @@ Key TPU decisions:
     compiled step; zero partitions contribute nothing.
   - vDSP's packed-real FFT scaling (2x forward each, 0.25/N output,
     ConvolutionEngine.swift:356-358) algebraically cancels to plain
-    rfft -> sum(FDL*H) -> irfft, so no packing emulation is needed.
+    rfft -> sum(FDL*G) -> irfft, so no packing emulation is needed.
 """
 
 from __future__ import annotations
@@ -122,9 +132,10 @@ _MAC_PRECISION = {
 
 
 class ConvParams(NamedTuple):
-    # HRIR spectra, partition-flipped and doubled along the partition axis so
-    # the per-block rotation is a single dynamic slice: Hflip2[..., j, :, :]
-    # with j in [start, start+P2) yields H[(write_pos - j) % P2].
+    # Half-window filter bank (see _half_window_bank), partition-flipped and
+    # doubled along the partition axis so the per-block rotation is a single
+    # dynamic slice: Gflip2[..., j, :, :] with j in [start, start+P2) yields
+    # G[(write_pos - j) % P2].
     #
     # STORAGE IS FLOAT PLANES with a trailing (re, im) axis. Complex64 is
     # avoided end-to-end in carried/transferred buffers: on this TPU backend
@@ -132,42 +143,44 @@ class ConvParams(NamedTuple):
     # in-place cost) and tunneled transports cannot transfer complex64 at
     # all; float-plane storage makes the slot write in-place and keeps the
     # MAC on the fast path (see docs/architecture.md "Precision policy").
-    Hflip2: jax.Array  # [S, E, 2*P2, K, 2] float32
-    # Direct MXU DFT weights (ops/fftmm): analysis of the 2T frame and
-    # synthesis of the second half only (overlap-save discard). MEASURED
-    # CHOICE: the two-stage Cooley-Tukey variant (fftmm.rfft_mm2) has ~5x
-    # fewer FLOPs but its 32-64-length contractions under-utilize the
-    # 128x128 MXU — 8.8 ms/block vs 5.1 ms direct on a v5e at B=8192 — so
-    # the full-contraction direct form wins and is used here.
-    wf: jax.Array      # [2T, K, 2] float32
+    Gflip2: jax.Array  # [S, E, 2*P2, K, 2] float32
+    # Direct MXU DFT weights (ops/fftmm): HALF-window analysis (the first T
+    # rows of the 2T transform — the shift-theorem recombination lives in
+    # Gflip2) and synthesis of the second half only (overlap-save discard).
+    # MEASURED CHOICE: the two-stage Cooley-Tukey variant (fftmm.rfft_mm2)
+    # has ~5x fewer FLOPs but its 32-64-length contractions under-utilize
+    # the 128x128 MXU — 8.8 ms/block vs 5.1 ms direct on a v5e at B=8192 —
+    # so the full-contraction direct form wins and is used here.
+    wf: jax.Array      # [T, K, 2] float32
     wi: jax.Array      # [K, 2, T] float32
 
     @property
     def num_speakers(self) -> int:
-        return self.Hflip2.shape[-5]
+        return self.Gflip2.shape[-5]
 
     @property
     def num_ears(self) -> int:
-        return self.Hflip2.shape[-4]
+        return self.Gflip2.shape[-4]
 
     @property
     def partition_count(self) -> int:
-        return self.Hflip2.shape[-3] // 2
+        return self.Gflip2.shape[-3] // 2
 
     @property
     def num_bins(self) -> int:
-        return self.Hflip2.shape[-2]
+        return self.Gflip2.shape[-2]
 
 
 class ConvState(NamedTuple):
     # FDL stored bin-major / batch-MINOR: [Kp, S, P2, 2, B], Kp = K padded
-    # to a multiple of 8 (padded_bin_count). The MAC is a k-batched
-    # contraction over (speaker, partition, plane); with the batch on the
-    # minor axis those ~36 contraction rows sit on sublanes and the batch
-    # fills the 128-lane axis, so the exact-f32 VPU kernel
+    # to a multiple of 8 (padded_bin_count). Slots hold HALF-window analysis
+    # spectra u (module docstring) — the raw previous block never needs
+    # carrying, so the delay line IS the whole convolution state. The MAC is
+    # a k-batched contraction over (speaker, partition, plane); with the
+    # batch on the minor axis those ~36 contraction rows sit on sublanes and
+    # the batch fills the 128-lane axis, so the exact-f32 VPU kernel
     # (kernels/mac_kmajor) tiles it natively with no lane padding waste.
     fdl: jax.Array        # [Kp, S, P2, 2, B] float32 (re/im planes at -2)
-    overlap: jax.Array    # [B, S, T] float32
     write_pos: jax.Array  # [] int32
 
 
@@ -191,15 +204,40 @@ def partition_spectra(hrir: np.ndarray, block_size: int,
     return np.fft.rfft(parts, axis=-1).astype(np.complex64)
 
 
+def _half_window_bank(H: np.ndarray) -> np.ndarray:
+    """Fold the overlap-save window recombination into the filter bank.
+
+    The delay line stores HALF-window analysis spectra u_t = W1 @ b_t (W1 =
+    the first T rows of the 2T-point DFT). Because the 2T window
+    [b_{t-1}, b_t] is two copies of the half transform shifted by T samples,
+    the shift theorem gives X_t = u_{t-1} + s ⊙ u_t with s_k = (-1)^k, and
+    the UPOLS sum over full-window spectra collapses onto the u history:
+
+        sum_{p=0}^{P-1} H_p X_{t-p} = sum_{q=0}^{P} G_q u_{t-q},
+        G_0 = s⊙H_0,   G_q = H_{q-1} + s⊙H_q,   G_P = H_{P-1}.
+
+    One extra partition (and its slot of delay-line traffic) buys HALF the
+    analysis-DFT FLOPs — the recombination is precomputed here, in f64, at
+    zero per-block cost. H: [S, E, P, K] complex -> [S, E, P+1, K]."""
+    K = H.shape[-1]
+    s = ((-1.0) ** np.arange(K))[None, None, None, :]
+    z = np.zeros_like(H[:, :, :1])
+    return np.concatenate([z, H], axis=2) + s * np.concatenate([H, z], axis=2)
+
+
 def make_conv_params(hrir: np.ndarray, block_size: int,
                      pad_to_pow2: bool = True,
                      lookahead: int = 1,
                      partitions: int | None = None) -> ConvParams:
     """Build ConvParams from time-domain HRIRs [S, E, L].
 
+    The stored bank is the HALF-WINDOW form (see _half_window_bank): a
+    P-partition HRIR yields P+1 filter coefficients, so `partition_count`
+    reads one higher than ceil(L / block_size).
+
     pad_to_pow2=True keeps compiled-step shapes stable across preset swaps
-    (the reference's bucketing rationale); False uses the exact partition
-    count — ~P2/P less FDL traffic, at the cost of a re-jit when a preset
+    (the reference's bucketing rationale); False uses the exact coefficient
+    count — less FDL traffic, at the cost of a re-jit when a preset
     changes partition count.
 
     lookahead=M reserves M-1 zero partitions at the tail so conv_step_paged
@@ -210,53 +248,60 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
     partitions=N forces the stored partition count to exactly N (zero tail
     partitions pad the difference) — useful to keep compiled-step shapes
     identical across renderers (e.g. hot swaps without a re-jit). N must
-    cover the HRIR (plus the lookahead tail) and stay divisible by the
-    lookahead. (A grouped StreamPool does NOT need this: each profile
-    group carries its own delay line and may have its own partition
-    count.)"""
-    H = partition_spectra(hrir, block_size, pad_to_pow2)  # [S, E, P2, K]
+    cover the HRIR's half-window bank (plus the lookahead tail) and stay
+    divisible by the lookahead. (A grouped StreamPool does NOT need this:
+    each profile group carries its own delay line and may have its own
+    partition count.)"""
+    hrir = np.asarray(hrir, np.float32)
+    length = hrir.shape[-1]
+    real_p = max(1, math.ceil(length / block_size))
+    lead = hrir.shape[:-1]
+    padded = np.zeros(lead + (real_p * block_size,), np.float64)
+    padded[..., :length] = hrir
+    parts = padded.reshape(lead + (real_p, block_size))
+    parts = np.concatenate([parts, np.zeros_like(parts)], axis=-1)
+    H = np.fft.rfft(parts, axis=-1)            # [S, E, P, K] complex128
+    G = _half_window_bank(H)                   # [S, E, P+1, K]
+    base = G.shape[2]
+    need = base
     if lookahead > 1:
         # conv_step_paged needs (a) >= M-1 zero tail partitions and (b) a
         # partition count divisible by M (whole pages).
-        real_p = max(1, math.ceil(hrir.shape[-1] / block_size))
-        need = real_p + lookahead - 1
+        need = base + lookahead - 1
         if pad_to_pow2:
             need = 1 << (need - 1).bit_length()
         need += (-need) % lookahead
-        if H.shape[2] < need:
-            H = np.concatenate(
-                [H, np.zeros(H.shape[:2] + (need - H.shape[2],) + H.shape[3:],
-                             H.dtype)],
-                axis=2,
-            )
+    elif pad_to_pow2:
+        need = 1 << (need - 1).bit_length()
     if partitions is not None:
         partitions = int(partitions)
-        if partitions < H.shape[2]:
+        if partitions < need:
             raise ValueError(
                 f"partitions={partitions} cannot hold this HRIR: needs "
-                f">= {H.shape[2]} (length {hrir.shape[-1]} at block "
-                f"{block_size}, lookahead {lookahead})"
+                f">= {need} (length {length} at block {block_size}, "
+                f"lookahead {lookahead}; half-window bank = partitions + 1)"
             )
         if lookahead > 1 and partitions % lookahead:
             raise ValueError(
                 f"partitions={partitions} is not divisible by "
                 f"lookahead={lookahead}"
             )
-        if partitions > H.shape[2]:
-            # Extra zero partitions at the tail convolve nothing; they only
-            # standardize the delay-line shape across renderers.
-            H = np.concatenate(
-                [H, np.zeros(H.shape[:2] + (partitions - H.shape[2],)
-                             + H.shape[3:], H.dtype)],
-                axis=2,
-            )
-    Hflip = H[:, :, ::-1, :]
-    Hflip2 = np.concatenate([Hflip, Hflip], axis=2)  # [S, E, 2*P2, K]
-    planes = np.stack([Hflip2.real, Hflip2.imag], axis=-1).astype(np.float32)
+        need = partitions
+    if need > base:
+        # Extra zero partitions at the tail convolve nothing; they only
+        # standardize the delay-line shape across renderers.
+        G = np.concatenate(
+            [G, np.zeros(G.shape[:2] + (need - base,) + G.shape[3:],
+                         G.dtype)],
+            axis=2,
+        )
+    Gflip = G[:, :, ::-1, :]
+    Gflip2 = np.concatenate([Gflip, Gflip], axis=2)  # [S, E, 2*P2, K]
+    planes = np.stack([Gflip2.real, Gflip2.imag], axis=-1).astype(np.float32)
     n = 2 * block_size
     return ConvParams(
-        Hflip2=jnp.asarray(planes),
-        wf=fftmm.rfft_weights(n),
+        Gflip2=jnp.asarray(planes),
+        wf=fftmm.rfft_weights_half(n),
         wi=fftmm.irfft_weights(n, block_size, block_size),
     )
 
@@ -274,7 +319,6 @@ def make_conv_state(batch: int, num_speakers: int, partition_count: int,
     return ConvState(
         fdl=jnp.zeros((padded_bin_count(block_size), num_speakers,
                        partition_count, 2, batch), jnp.float32),
-        overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
     )
 
@@ -285,17 +329,20 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
 
     y[b, e] = sum_s sum_p conv(x_s, H[s, e, p]) — per-speaker HRIR convolution
     with the ear downmix fused in (the reference's processAndAccumulate loop,
-    RealtimeAudioProcessor.swift:145-163).
+    RealtimeAudioProcessor.swift:145-163). The slot written is the HALF-window
+    spectrum u of the new block alone (module docstring): the analysis matmul
+    contracts T samples, and the previous block's contribution comes from the
+    FDL via the G bank — no overlap carry exists.
 
     `active_mask` [B] bool (optional, for the serving pool's shared-cursor
-    ring): an inactive lane's slot content and overlap are preserved exactly
-    (the current slot is read back — [Kp,S,1,2,B], 1/P2 of the line — and
-    `where`d into the write), while the shared cursor still advances. The
-    lane's stored spectra are then rotated relative to the new cursor; the
-    pool repairs that with conv_roll_lanes before the lane next steps. An
-    inactive lane's OUTPUT row is garbage (stale overlap + foreign x) and
-    must not be delivered. With active_mask=None this is byte-identical to
-    the bake/live path (no extra HLO).
+    ring): an inactive lane's slot content is preserved exactly (the current
+    slot is read back — [Kp,S,1,2,B], 1/P2 of the line — and `where`d into
+    the write), while the shared cursor still advances. The lane's stored
+    spectra are then rotated relative to the new cursor; the pool repairs
+    that with conv_roll_lanes before the lane next steps. An inactive lane's
+    OUTPUT row is garbage (foreign x against its own history) and must not
+    be delivered. With active_mask=None this is byte-identical to the
+    bake/live path (no extra HLO).
 
     (A profile-grouped StreamPool runs this step once per group on the
     group's own lane state — see runtime/stream_pool._pool_round_grouped;
@@ -306,9 +353,8 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
     B, S, T = x.shape
     P2 = state.fdl.shape[2]
 
-    frame = jnp.concatenate([state.overlap, x], axis=-1)  # [B, S, 2T]
-    X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
-    X_km = _to_slot(X_planes, state.fdl.shape[0])  # [Kp, S, 1, 2, B]
+    u = fftmm.rfft_mm(x, params.wf).astype(state.fdl.dtype)  # [B, S, K, 2]
+    X_km = _to_slot(u, state.fdl.shape[0])  # [Kp, S, 1, 2, B]
 
     zero = jnp.zeros((), jnp.int32)
     w = state.write_pos.astype(jnp.int32)
@@ -323,19 +369,15 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
         state.fdl, X_km, (zero, zero, w, zero, zero),
     )
 
-    # Rotate HRIR spectra so slot j multiplies the block from (w - j) blocks
-    # ago: Hrev[j] = H[(w - j) % P2] = Hflip2[(P2 - 1 - w) + j].
+    # Rotate filter spectra so slot j multiplies the block from (w - j)
+    # blocks ago: Grev[j] = G[(w - j) % P2] = Gflip2[(P2 - 1 - w) + j].
     start = (P2 - 1) - state.write_pos
-    h_rev = jax.lax.dynamic_slice_in_dim(params.Hflip2, start, P2, axis=2)
+    g_rev = jax.lax.dynamic_slice_in_dim(params.Gflip2, start, P2, axis=2)
 
-    y = _mac_irfft(fdl, h_rev, params.wi).astype(x.dtype)
+    y = _mac_irfft(fdl, g_rev, params.wi).astype(x.dtype)
 
-    overlap = x
-    if active_mask is not None:
-        overlap = jnp.where(m[:, None, None], x, state.overlap)
     new_state = ConvState(
         fdl=fdl,
-        overlap=overlap,
         write_pos=(state.write_pos + 1) % P2,
     )
     return new_state, y
@@ -368,8 +410,7 @@ def conv_roll_lanes(state: ConvState, lane_idx: jax.Array,
     fdl = state.fdl.at[..., lane_idx].set(
         jnp.moveaxis(rolled, 0, -1), mode="drop"
     )
-    return ConvState(fdl=fdl, overlap=state.overlap,
-                     write_pos=state.write_pos)
+    return ConvState(fdl=fdl, write_pos=state.write_pos)
 
 
 def conv_roll_lanes_paged(state: "PagedConvState", lane_idx: jax.Array,
@@ -398,7 +439,7 @@ def conv_roll_lanes_paged(state: "PagedConvState", lane_idx: jax.Array,
         pg.at[..., lane_idx].set(rolled[i], mode="drop")
         for i, pg in enumerate(state.pages)
     )
-    return PagedConvState(pages=pages, overlap=state.overlap)
+    return PagedConvState(pages=pages)
 
 
 def conv_reset_paged(state: "PagedConvState",
@@ -410,7 +451,6 @@ def conv_reset_paged(state: "PagedConvState",
     if stream_mask is None:
         return PagedConvState(
             pages=tuple(jnp.zeros_like(pg) for pg in state.pages),
-            overlap=jnp.zeros_like(state.overlap),
         )
     m = stream_mask.astype(bool)
     return PagedConvState(
@@ -418,7 +458,6 @@ def conv_reset_paged(state: "PagedConvState",
             jnp.where(m[None, None, None, None, :], 0, pg)
             for pg in state.pages
         ),
-        overlap=jnp.where(m[:, None, None], 0, state.overlap),
     )
 
 
@@ -428,10 +467,11 @@ class PagedConvState(NamedTuple):
     unrolled by the page count — and the 'write' is just the analysis DFT's
     own output tensor becoming page 0. This removes the delay-line
     rewrite/update traffic entirely (both the windowed dynamic-update-slice
-    and the shift concat measured 1-5 ms/step on a 1 GB line)."""
+    and the shift concat measured 1-5 ms/step on a 1 GB line). Slots hold
+    half-window spectra (module docstring), so there is no overlap carry —
+    the pages ARE the whole convolution state."""
 
     pages: tuple  # each [Kp, S, C, M, B] float32, newest first
-    overlap: jax.Array  # [B, S, T]
 
 
 def make_conv_state_paged(batch: int, num_speakers: int, partition_count: int,
@@ -448,7 +488,6 @@ def make_conv_state_paged(batch: int, num_speakers: int, partition_count: int,
         # Distinct buffers per page — donation would reject one buffer
         # appearing in two carry slots.
         pages=tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_pages)),
-        overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
     )
 
 
@@ -518,12 +557,12 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
     tier): an inactive lane's history is preserved EXACTLY by recycling —
     its column of the outgoing oldest page is `where`d into the new page 0
     (so the rotation is cyclic for that lane: nothing is lost, its pages
-    are merely rotated one position per round) and its overlap row is kept.
-    After d idle rounds the lane's pages sit rotated by d; the pool repairs
-    that with conv_roll_lanes_paged before the lane next steps (a full
-    cycle is the identity, so ANY pause length is exact). An inactive
-    lane's output row is garbage and must not be delivered. With
-    active_mask=None this path is byte-identical to the bake chain."""
+    are merely rotated one position per round). After d idle rounds the
+    lane's pages sit rotated by d; the pool repairs that with
+    conv_roll_lanes_paged before the lane next steps (a full cycle is the
+    identity, so ANY pause length is exact). An inactive lane's output row
+    is garbage and must not be delivered. With active_mask=None this path
+    is byte-identical to the bake chain."""
     B, S, M, T = x.shape
     Kp = state.pages[0].shape[0]
     K = params.wf.shape[1]
@@ -531,44 +570,33 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
     P2 = n_pages * M
 
     wf_padded = jnp.pad(params.wf, ((0, 0), (0, Kp - K), (0, 0)))
+    # Half-window analysis: slot j of the new page is u of block M-1-j
+    # (newest first) — the matmul contracts T samples per slot and there is
+    # no window concat or overlap carry at all (module docstring).
     if _PAGED_LAYOUT == "kcsmb":
-        # Frames arranged [S, M, B, 2T] make [Kp, C, S, M, B] the analysis
+        # Blocks arranged [S, M, B, T] make [Kp, C, S, M, B] the analysis
         # dot's natural output order — the new page is born in the MAC's
         # operand layout, no copy (see _PAGED_LAYOUT).
-        xt = jnp.transpose(x, (1, 0, 2, 3)).reshape(S, B, M * T)
-        ov = jnp.transpose(state.overlap, (1, 0, 2))  # [S, B, T]
-        full = jnp.concatenate([ov, xt], axis=-1)  # [S, B, (M+1)T]
-        frames = jnp.stack(
-            [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
-            axis=1,
-        )  # [S, M, B, 2T], newest first
-        new_page = jnp.einsum("smbt,tkc->kcsmb", frames, wf_padded,
+        xnf = jnp.transpose(x[:, :, ::-1], (1, 2, 0, 3))  # [S, M, B, T]
+        new_page = jnp.einsum("smbt,tkc->kcsmb", xnf, wf_padded,
                               preferred_element_type=jnp.float32,
                               precision=fftmm.DFT_PRECISION)
     else:
-        full = jnp.concatenate(
-            [state.overlap, x.reshape(B, S, M * T)], axis=-1
-        )
-        frames = jnp.stack(
-            [full[..., m * T : (m + 2) * T] for m in range(M - 1, -1, -1)],
-            axis=2,
-        )  # [B, S, M, 2T], newest first
-        new_page = jnp.einsum("bsmt,tkc->kscmb", frames, wf_padded,
+        xnf = x[:, :, ::-1]  # [B, S, M, T], newest first
+        new_page = jnp.einsum("bsmt,tkc->kscmb", xnf, wf_padded,
                               preferred_element_type=jnp.float32,
                               precision=fftmm.DFT_PRECISION)
-    overlap = x[:, :, -1, :]
     if active_mask is not None:
         m_act = active_mask.astype(bool)
         # Recycle the outgoing oldest page for idle lanes (batch is the
         # minor axis of every page layout), making their rotation cyclic.
         new_page = jnp.where(m_act[None, None, None, None, :], new_page,
                              state.pages[-1])
-        overlap = jnp.where(m_act[:, None, None], overlap, state.overlap)
     pages = (new_page,) + tuple(state.pages[:-1])
 
-    # Hz: natural-order H behind M-1 zero partitions (params-derived — the
+    # Gz: natural-order G behind M-1 zero partitions (params-derived — the
     # whole block hoists out of a scan).
-    h_nat = params.Hflip2[:, :, :P2][:, :, ::-1]
+    h_nat = params.Gflip2[:, :, :P2][:, :, ::-1]
     hre, him = h_nat[..., 0], h_nat[..., 1]
     h2 = jnp.stack(
         [jnp.stack([hre, him], axis=-1), jnp.stack([-him, hre], axis=-1)],
@@ -581,7 +609,7 @@ def conv_step_paged_raw(params: ConvParams, state: PagedConvState,
         hz = jnp.transpose(h2, (3, 0, 4, 2, 1, 5))  # [Kp, S, C, P2+M-1, E, Q]
 
     Ykm = _paged_mac(params, pages, hz, M, acc_chunk)
-    return PagedConvState(pages=pages, overlap=overlap), Ykm
+    return PagedConvState(pages=pages), Ykm
 
 
 def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int,
@@ -771,27 +799,24 @@ def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
     B, S, T = x.shape
     P2 = state.fdl.shape[2]
 
-    frame = jnp.concatenate([state.overlap, x], axis=-1)
-    X_planes = fftmm.rfft_mm(frame, params.wf).astype(state.fdl.dtype)
-    X_km = _to_slot(X_planes, state.fdl.shape[0])
+    u = fftmm.rfft_mm(x, params.wf).astype(state.fdl.dtype)
+    X_km = _to_slot(u, state.fdl.shape[0])
 
     rolled = jnp.concatenate(
         [X_km, state.fdl[:, :, :-1]], axis=2
     )
-    # Slot j holds block t-j, so partition j multiplies slot j directly:
-    # un-flip the stored Hflip2 back to natural partition order.
-    h_natural = params.Hflip2[:, :, :P2][:, :, ::-1]
+    # Slot j holds block t-j, so coefficient j multiplies slot j directly:
+    # un-flip the stored Gflip2 back to natural partition order.
+    g_natural = params.Gflip2[:, :, :P2][:, :, ::-1]
     if active_mask is not None:
         m = active_mask.astype(bool)
         fdl = jnp.where(m[None, None, None, None, :], rolled, state.fdl)
-        overlap = jnp.where(m[:, None, None], x, state.overlap)
     else:
         fdl = rolled
-        overlap = x
 
-    y = _mac_irfft(fdl, h_natural, params.wi).astype(x.dtype)
+    y = _mac_irfft(fdl, g_natural, params.wi).astype(x.dtype)
 
-    return ConvState(fdl=fdl, overlap=overlap,
+    return ConvState(fdl=fdl,
                      write_pos=jnp.zeros_like(state.write_pos)), y
 
 
@@ -804,12 +829,10 @@ def conv_reset(state: ConvState, stream_mask: jax.Array | None = None) -> ConvSt
     if stream_mask is None:
         return ConvState(
             fdl=jnp.zeros_like(state.fdl),
-            overlap=jnp.zeros_like(state.overlap),
             write_pos=jnp.zeros_like(state.write_pos),
         )
     m = stream_mask.astype(bool)
     return ConvState(
         fdl=jnp.where(m[None, None, None, None, :], 0, state.fdl),
-        overlap=jnp.where(m[:, None, None], 0, state.overlap),
         write_pos=state.write_pos,
     )

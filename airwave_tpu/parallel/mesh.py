@@ -1,7 +1,7 @@
 """Multi-chip scaling: stream-sharded (and optionally speaker-sharded) render.
 
 Parallelism design (SURVEY.md §2.4): the natural axis is **data parallelism
-over streams** — each stream's carry (FDL, overlap, EQ state) stays
+over streams** — each stream's carry (FDL, EQ state) stays
 chip-local, so steady-state rendering needs **no collectives**; ICI traffic
 appears only if the virtual-speaker axis is also sharded (the binaural
 downmix sums over speakers -> one psum per block). There is no TP/PP analog:
@@ -52,7 +52,6 @@ def shard_chain_state(state: ChainState, mesh: Mesh,
         conv=upols.ConvState(
             # fdl is batch-minor: [Kp, S, P, 2, B] — streams on the last axis.
             fdl=put(state.conv.fdl, P(None, None, None, None, stream_axis)),
-            overlap=put(state.conv.overlap, P(stream_axis)),
             write_pos=put(state.conv.write_pos, P()),
         ),
         eq=eq_block.EqState(
@@ -68,7 +67,7 @@ def _param_shardings(mesh: Mesh):
     place the stream-DP parameter policy lives."""
     repl = NamedSharding(mesh, P())
     return (
-        upols.ConvParams(Hflip2=repl, wf=repl, wi=repl),
+        upols.ConvParams(Gflip2=repl, wf=repl, wi=repl),
         eq_block.EqParams(Hm=repl, O=repl, A_T=repl, G=repl),
     )
 
@@ -82,8 +81,7 @@ def chain_state_shardings(mesh: Mesh) -> ChainState:
     batched = NamedSharding(mesh, P("streams"))
     fdl_sharding = NamedSharding(mesh, P(None, None, None, None, "streams"))
     return ChainState(
-        conv=upols.ConvState(fdl=fdl_sharding, overlap=batched,
-                             write_pos=repl),
+        conv=upols.ConvState(fdl=fdl_sharding, write_pos=repl),
         eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
     )
 
@@ -95,7 +93,7 @@ def paged_chain_state_shardings(mesh: Mesh, n_pages: int) -> ChainState:
     batched = NamedSharding(mesh, P("streams"))
     page = NamedSharding(mesh, P(None, None, None, None, "streams"))
     return ChainState(
-        conv=upols.PagedConvState(pages=(page,) * n_pages, overlap=batched),
+        conv=upols.PagedConvState(pages=(page,) * n_pages),
         eq=eq_block.EqState(s_from=batched, s_to=batched, counter=batched),
     )
 
@@ -218,13 +216,12 @@ def stream_speaker_sharded_step(mesh: Mesh, transition_length: int = 960,
         return ChainState(conv_state, eq_state), y
 
     conv_specs = upols.ConvParams(
-        Hflip2=P("speakers", None, None, None, None), wf=P(), wi=P()
+        Gflip2=P("speakers", None, None, None, None), wf=P(), wi=P()
     )
     eq_specs = eq_block.EqParams(Hm=P(), O=P(), A_T=P(), G=P())
     state_specs = ChainState(
         conv=upols.ConvState(
             fdl=P(None, "speakers", None, None, "streams"),
-            overlap=P("streams", "speakers", None),
             write_pos=P(),
         ),
         eq=eq_block.EqState(

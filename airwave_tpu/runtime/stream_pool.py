@@ -71,7 +71,7 @@ from airwave_tpu.ops import eq_block, upols
 
 # Device-step lowering. "ring" (default): all lanes share one FDL write
 # cursor; a round's slot write is ONE in-place dynamic_update_slice (1/P2
-# of the line), inactive lanes' slot/overlap preserved by a cheap masked
+# of the line), inactive lanes' slot preserved by a cheap masked
 # read-back, and lanes that sat rounds out are re-aligned by a bucketed
 # per-lane roll before they next step (upols.conv_roll_lanes). "rolled"
 # keeps round 2's masked shift-register step (a full delay-line rewrite
@@ -129,10 +129,11 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
             transition_length, eq_enabled, eq_crossfading, variant,
         )
     conv_state, eq_state = state
-    B, S, T = conv_state.overlap.shape
+    B = conv_state.fdl.shape[-1]
+    S, T = blocks.shape[1], blocks.shape[-1]
     if variant in ("ring_all", "ring_id"):
         # ring_all: every ATTACHED lane is in this harvest (pump checks),
-        # so only free lanes are "inactive" — their slot/overlap/EQ
+        # so only free lanes are "inactive" — their slot/EQ
         # garbage is harmless (attach resets the lane) and the masking
         # machinery (slot read-back + wheres) is skipped entirely.
         # ring_id: additionally k == max_streams, and harvest order is
@@ -199,7 +200,8 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
     arange — pump verifies): the harvest rows ARE the dense batch, so the
     input scatter and output gather are skipped entirely."""
     conv_state, eq_state = state
-    B, S, T = conv_state.overlap.shape
+    B = conv_state.pages[0].shape[-1]
+    S, T = blocks.shape[1], blocks.shape[-1]
     M = blocks.shape[2]
     identity = variant == "paged_id"
     if identity:
@@ -262,9 +264,9 @@ def _pool_round_grouped(conv_params, eq_from, eq_to, state, blocks, idx,
     (BENCH_NOTES round-3 late)."""
     conv_states, eq_states = state.conv, state.eq
     G = len(conv_params)
-    Bg = conv_states[0].overlap.shape[0]
-    B = G * Bg
     paged = variant in ("paged", "paged_all", "paged_id")
+    Bg = (conv_states[0].pages[0] if paged else conv_states[0].fdl).shape[-1]
+    B = G * Bg
     identity = variant in ("ring_id", "paged_id")
     if identity:
         assert blocks.shape[0] == B, (blocks.shape, B)
@@ -358,7 +360,7 @@ class StreamPool:
         profiles=None,
     ) -> None:
         """`mesh`: an optional 1-D `jax.sharding.Mesh` whose single axis is
-        named "streams". The pool's lane state (FDL, overlap, EQ state)
+        named "streams". The pool's lane state (FDL, EQ state)
         shards over it, so one pool serves a whole slice: every jitted
         round runs SPMD with chip-local lane math (the scatter/gather of
         the harvested rows is the only cross-chip traffic, proportional to
@@ -591,13 +593,11 @@ class StreamPool:
                     )
                     for pg in conv.pages
                 ),
-                overlap=jax.device_put(conv.overlap, ns(P("streams"))),
             )
         return upols.ConvState(
             fdl=jax.device_put(
                 conv.fdl, ns(P(None, None, None, None, "streams"))
             ),
-            overlap=jax.device_put(conv.overlap, ns(P("streams"))),
             write_pos=jax.device_put(conv.write_pos, ns(P())),
         )
 

@@ -2,7 +2,7 @@
 
 The reference deliberately resets transient DSP state on reconfiguration and
 persists only configuration (SURVEY.md §5 "Checkpoint / resume"). The TPU
-framework's carries (FDL + overlap + EQ state + crossfade counters) are plain
+framework's carries (FDL + EQ state + crossfade counters) are plain
 pytrees, so long-running bakes and serving pools get snapshot/resume for
 free: save_pytree/load_pytree round-trip any NamedTuple-of-arrays carry to a
 single .npz with structure metadata.

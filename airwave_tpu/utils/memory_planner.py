@@ -58,10 +58,11 @@ def _padded_bins(block: int) -> int:
 
 
 def paged_partitions(hrir_taps: int, block: int, lookahead: int) -> int:
-    """Partition count of the paged line (exact mode): real partitions plus
-    M-1 zero tail slots, rounded up to whole pages (ops/upols
-    make_conv_params lookahead handling)."""
-    real = max(1, math.ceil(hrir_taps / block))
+    """Partition count of the paged line (exact mode): the half-window bank
+    (real partitions + 1 — ops/upols._half_window_bank) plus M-1 zero tail
+    slots, rounded up to whole pages (ops/upols make_conv_params lookahead
+    handling)."""
+    real = max(1, math.ceil(hrir_taps / block)) + 1
     need = real + lookahead - 1
     return need + (-need) % lookahead
 
@@ -148,7 +149,7 @@ def estimate_pool_lane_bytes(speakers: int, hrir_taps: int, block: int,
                              lookahead: int = 1, ears: int = 2,
                              eq_state_dim: int = 128) -> int:
     """Coarse per-lane HBM cost of a StreamPool slot: the carried state
-    (delay line, overlap, EQ cascades) plus the lane's share of a round's
+    (delay line, EQ cascades) plus the lane's share of a round's
     working set (frames in, analysis slot, Ykm, stereo out; doubled for
     dispatch overlap slack). Same ~2x fidelity contract as
     estimate_paged_bake — sizing guidance, not an allocator."""
@@ -156,11 +157,11 @@ def estimate_pool_lane_bytes(speakers: int, hrir_taps: int, block: int,
     if lookahead > 1:
         est = estimate_paged_bake(1, speakers, hrir_taps, block, lookahead,
                                   ears=ears)
-        carry = est.fdl_bytes + speakers * block * F32
+        carry = est.fdl_bytes
         working = est.live_term_bytes + est.working_bytes
     else:
-        p2 = max(1, math.ceil(hrir_taps / block))
-        carry = kp * speakers * p2 * 2 * F32 + speakers * block * F32
+        p2 = max(1, math.ceil(hrir_taps / block)) + 1
+        carry = kp * speakers * p2 * 2 * F32
         working = 2 * (
             speakers * block * F32          # harvested frames up
             + kp * speakers * 2 * F32       # analysis slot (+ read-back)

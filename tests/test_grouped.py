@@ -86,7 +86,9 @@ def test_make_conv_params_partitions_override_pads_and_validates():
         st2, y1 = upols.conv_step(params, st, jnp.asarray(x))
         _, y2 = upols.conv_step(params, st2, jnp.asarray(x))
         outs.append(np.concatenate([np.asarray(y1), np.asarray(y2)], -1))
-    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+    # The padded line contracts more (zero) rows, so the f32 reduction
+    # order differs slightly; the tail itself is exactly inert.
+    np.testing.assert_allclose(outs[0], outs[1], atol=5e-6)
 
 
 def _mk_states(singles, Bg, M=1):
@@ -254,8 +256,8 @@ def _run_schedule(pools_and_streams, signal, schedule, step_frames):
 def test_grouped_pool_matches_independent_pools_ragged():
     """G=2 grouped pool == 2 single-profile pools, ragged pauses, steady
     EQ (one group EQ'd, one unity)."""
-    r0 = _renderer(2 * BLOCK, 20, partitions=4)
-    r1 = _renderer(4 * BLOCK, 21, partitions=4)
+    r0 = _renderer(2 * BLOCK, 20, partitions=5)
+    r1 = _renderer(4 * BLOCK, 21, partitions=5)
     gpool = StreamPool(4, 48_000.0, block_size=BLOCK, profiles=[
         PoolProfile(r0, _eq_def(1)), PoolProfile(r1, None),
     ])
@@ -332,8 +334,8 @@ def test_grouped_pool_multi_block_tier_matches_independent():
     """blocks_per_step=2 grouped (paged line + folded per-group EQ) == 2
     single-profile multi-block pools under step-granular pauses."""
     M = 2
-    r0 = _renderer(2 * BLOCK, 24, lookahead=M, partitions=4)
-    r1 = _renderer(3 * BLOCK, 25, lookahead=M, partitions=4)
+    r0 = _renderer(2 * BLOCK, 24, lookahead=M, partitions=6)
+    r1 = _renderer(3 * BLOCK, 25, lookahead=M, partitions=6)
     gpool = StreamPool(4, 48_000.0, block_size=BLOCK, blocks_per_step=M,
                        profiles=[PoolProfile(r0, _eq_def(1)),
                                  PoolProfile(r1, _eq_def(2))])

@@ -67,7 +67,7 @@ def test_batched_multiblock_matches_oracle_through_partition_wrap():
     S=2 speakers, both ears, vs the single-stream f64 oracle."""
     rng = np.random.default_rng(7)
     T = 64
-    L = 300  # ceil(300/64) = 5 partitions -> P2 = 8
+    L = 300  # ceil(300/64) = 5 partitions -> half-window bank 6 -> P2 = 8
     B, S, E = 3, 2, 2
     hrir = rng.standard_normal((S, E, L)).astype(np.float32) * 0.3
     params = upols.make_conv_params(hrir, block_size=T)
@@ -107,8 +107,15 @@ def test_per_stream_reset_mask():
     x = np.ones((2, 1, 8), np.float32)
     state, _ = upols.conv_step(params, state, jnp.asarray(x))
     state = upols.conv_reset(state, stream_mask=jnp.array([True, False]))
-    assert np.all(np.asarray(state.overlap)[0] == 0)
-    assert np.all(np.asarray(state.overlap)[1] == 1)
+    fdl = np.asarray(state.fdl)  # [Kp, S, P2, 2, B] — batch minor
+    assert np.all(fdl[..., 0] == 0)
+    assert np.any(fdl[..., 1] != 0)
+    # A reset lane renders silence from then on; the kept lane does not.
+    state, y = upols.conv_step(params, state,
+                               jnp.zeros((2, 1, 8), jnp.float32))
+    y = np.asarray(y)
+    assert np.all(y[0] == 0)
+    assert np.any(y[1] != 0)
 
 
 # --- EQ block state-space -------------------------------------------------

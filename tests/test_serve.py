@@ -514,9 +514,10 @@ def test_build_serve_pool_profiles_keep_own_partition_counts(tmp_path):
     pool, _layout = build_serve_pool(args)
     assert pool.groups == 2
     # Heterogeneous bank lengths stay heterogeneous: each group carries
-    # its own delay line, so the short bank pays only its own partitions.
-    assert pool.renderers[0].partition_count == 2
-    assert pool.renderers[1].partition_count == 3
+    # its own delay line, so the short bank pays only its own partitions
+    # (half-window bank: HRIR partitions + 1).
+    assert pool.renderers[0].partition_count == 3
+    assert pool.renderers[1].partition_count == 4
     # Targets are observed at the first pump round; the constructor
     # publishes them.
     assert pool.eq_runtimes[0]._published is None
