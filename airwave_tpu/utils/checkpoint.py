@@ -265,14 +265,51 @@ def checkpoint_path(path: str) -> str:
     return _normalized(path)
 
 
+# Serving-checkpoint schema history (the persisted format VERSIONS, the
+# reference's DeviceProfileManager/ProductSetup pattern —
+# /root/reference/Airwave/DeviceProfileManager.swift:45,317-320 and
+# ProductSetup.swift:53-76 wrap every persisted store in a schemaVersion
+# envelope and migrate or reject):
+#   (unversioned, sidecar)  round-3 first iteration: metadata in a
+#                           .meta.json sidecar next to the npz.
+#   (unversioned, embedded) round-3 one-file format, FULL-window carry
+#                           (ConvState carried an `overlap` block).
+#   2                       half-window carry: no overlap leaf, the delay
+#                           line holds half-window analysis spectra and the
+#                           bank carries P+1 partitions (ops/upols.py
+#                           `_half_window_bank`). Files without a schema
+#                           field are by definition pre-half-window.
+# A schema mismatch is an UPGRADE event, not corruption: the loader names
+# both versions so the operator knows a matching build can still read the
+# file (serve moves it aside to `.incompatible`, never deletes).
+POOL_SNAPSHOT_SCHEMA = 2
+
+
+def _carry_format(state_tree) -> str:
+    """Structural tag for a pool carry, independent of the schema counter:
+    the sorted leaf-field names of the carried state tree. Catches a
+    future carry-layout change that forgets to bump POOL_SNAPSHOT_SCHEMA
+    (the exact omission that motivated versioning: the half-window commit
+    silently invalidated every existing snapshot)."""
+    paths = jax.tree_util.tree_flatten_with_path(state_tree)[0]
+    names = sorted({str(kp[-1]) for kp, _ in paths})
+    return ",".join(names)
+
+
 def save_pool_snapshot(path: str, snap: dict) -> None:
     """Persist a StreamPool.snapshot() to ONE file at `<path>.npz`,
     atomically (temp + os.replace): carry arrays plus control metadata
     (attached set, per-group EQ machines, debt, optional serving resume
     tokens) can never tear into mismatched generations. Pair with
     load_pool_snapshot on a pool of identical construction for a
-    bit-identical cross-process serving resume."""
+    bit-identical cross-process serving resume.
+
+    The meta carries POOL_SNAPSHOT_SCHEMA plus a structural carry tag
+    (pass `pool` to derive it from the live carry; snapshots are
+    self-describing about WHICH carry generation wrote them)."""
     meta = {
+        "schema": POOL_SNAPSHOT_SCHEMA,
+        "carry": _carry_format(snap["state"]),
         "attached": [int(s) for s in snap["attached"]],
         "eq_enabled": bool(snap["eq_enabled"]),
         "groups": int(snap.get("groups", 1)),
@@ -296,24 +333,50 @@ def load_pool_snapshot(path: str, pool) -> dict:
     `pool` supplies the expected carry structure (strict shape/dtype
     validation, as load_pytree); call `pool.restore(load_pool_snapshot(
     path, pool))` to resume. A serving checkpoint's `resume_tokens`
-    (lane -> secret) ride along for RenderServer(orphan_tokens=...)."""
+    (lane -> secret) ride along for RenderServer(orphan_tokens=...).
+
+    Schema versioning runs BEFORE the array load: a checkpoint from a
+    different format generation fails with a versioned, actionable error
+    naming both schemas — never a raw treedef/shape traceback."""
+    meta = load_pytree_extra(path)
+    if meta is None or "schema" not in (meta or {}):
+        # Pre-versioning formats: the .meta.json-sidecar first iteration
+        # and the unversioned one-file format, both written by the
+        # FULL-window carry (ConvState with an `overlap` block). The
+        # current carry cannot represent that state; fail loudly and
+        # name the generation so the operator knows a matching (round-3)
+        # build can still read the file.
+        kind = ("sidecar" if meta is None else "embedded-meta")
+        raise ValueError(
+            f"{checkpoint_path(path)}: checkpoint schema 1 "
+            f"({kind}, full-window carry) is incompatible with schema "
+            f"{POOL_SNAPSHOT_SCHEMA} (half-window carry: the delay line "
+            "now stores half-window analysis spectra and has no overlap "
+            "block). Re-create the snapshot with this build, or read it "
+            "with the build that wrote it."
+        )
+    if meta["schema"] != POOL_SNAPSHOT_SCHEMA:
+        raise ValueError(
+            f"{checkpoint_path(path)}: checkpoint schema {meta['schema']} "
+            f"is incompatible with this build's schema "
+            f"{POOL_SNAPSHOT_SCHEMA}. Re-create the snapshot with this "
+            "build, or read it with the build that wrote it."
+        )
     like = {
         "state": jax.tree_util.tree_map(np.asarray, pool._state),
         "debt": np.asarray(pool._debt),
     }
+    expected_carry = _carry_format(like["state"])
+    if meta.get("carry", expected_carry) != expected_carry:
+        raise ValueError(
+            f"{checkpoint_path(path)}: checkpoint carry format "
+            f"{meta['carry']!r} does not match this build's "
+            f"{expected_carry!r} at schema {POOL_SNAPSHOT_SCHEMA} — the "
+            "carry layout changed without a schema bump; treat as an "
+            "incompatible upgrade (re-create the snapshot with this "
+            "build)."
+        )
     data, meta = load_pytree(path, like, with_extra=True)
-    if meta is None:
-        # Legacy layout (first iteration of this format): metadata in a
-        # JSON sidecar next to the npz.
-        sidecar = checkpoint_path(path) + ".meta.json"
-        try:
-            with open(sidecar) as f:
-                meta = json.load(f)
-        except FileNotFoundError:
-            raise ValueError(
-                f"{checkpoint_path(path)} holds no pool metadata "
-                f"(and no legacy sidecar {sidecar})"
-            ) from None
     snap = {
         "state": data["state"],
         "debt": data["debt"],

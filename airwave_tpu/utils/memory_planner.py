@@ -205,11 +205,14 @@ def pool_capacity(speakers: int, hrir_taps, block: int,
     if lookahead > 1:
         p2s = [paged_partitions(t, block, lookahead) for t in taps_list]
     else:
-        p2s = [max(1, math.ceil(t / block)) for t in taps_list]
+        # Half-window bank: real partitions + 1 (ops/upols
+        # _half_window_bank), matching estimate_pool_lane_bytes.
+        p2s = [max(1, math.ceil(t / block)) + 1 for t in taps_list]
     n = eq_state_dim
     params = (
         sum(speakers * ears * 2 * p2 * k * 2 * F32 for p2 in p2s)  # banks
-        + 2 * block * k * 2 * F32 + k * 2 * block * F32    # DFT weights
+        # wf is the HALF-window analysis [T, K, 2]; wi [K, 2, T].
+        + block * k * 2 * F32 + k * 2 * block * F32        # DFT weights
         + 2 * groups * (block * block + 2 * block * n + n * n) * F32  # EQ
     )
     lanes = [estimate_pool_lane_bytes(speakers, t, block, lookahead,

@@ -148,7 +148,9 @@ def test_pool_capacity_planner_sizes_and_granularity():
     assert 75_000 < lane < 300_000, lane
 
     plan = pool_capacity(2, 4320, 512, hbm_bytes=16 * 2**30)
-    assert plan["partitions"] == 9
+    # 9 real partitions + the half-window bank's +1 coefficient: the FDL
+    # the renderer actually carries (ops/upols._half_window_bank).
+    assert plan["partitions"] == 10
     assert plan["max_streams"] > 8192  # a 16 GB chip fits the bench shape
 
     # Grouped + meshed: max_streams rounds to groups * mesh multiples and
@@ -173,9 +175,30 @@ def test_pool_capacity_planner_sizes_and_granularity():
     # only its own partitions, so capacity beats the all-long plan.
     het = pool_capacity(2, [4320, 1488], 512, groups=2,
                         hbm_bytes=16 * 2**30)
-    assert het["partitions"] == [9, 3]
+    assert het["partitions"] == [10, 4]
     assert het["per_group_lane_bytes"][1] < het["per_group_lane_bytes"][0]
     same = pool_capacity(2, 4320, 512, groups=2, hbm_bytes=16 * 2**30)
     assert het["max_streams"] > same["max_streams"]
     with pytest.raises(ValueError, match="entries"):
         pool_capacity(2, [4320, 1488, 99], 512, groups=2)
+
+
+def test_pool_capacity_partitions_match_the_real_bank():
+    """The planner's partition count IS the renderer's: pool_capacity must
+    track make_conv_params' half-window bank (exact mode, the renderer
+    default) so per-lane HBM sizing never undercounts the carried FDL."""
+    from airwave_tpu.ops.upols import make_conv_params
+    from airwave_tpu.utils.memory_planner import (paged_partitions,
+                                                  pool_capacity)
+
+    for taps in (300, 1488, 4320, 48_000):
+        hrir = np.zeros((2, 2, taps), np.float32)
+        real = make_conv_params(hrir, 512, pad_to_pow2=False).partition_count
+        plan = pool_capacity(2, taps, 512, hbm_bytes=16 * 2**30)
+        assert plan["partitions"] == real, (taps, plan["partitions"], real)
+
+    for taps, m in ((4320, 4), (48_000, 8)):
+        hrir = np.zeros((2, 2, taps), np.float32)
+        real = make_conv_params(hrir, 512, pad_to_pow2=False,
+                                lookahead=m).partition_count
+        assert paged_partitions(taps, 512, m) == real, (taps, m)

@@ -783,6 +783,90 @@ def test_tokenless_restored_lanes_expire_and_hostile_tokens_are_safe(
         srv.stop()
 
 
+def test_checkpoint_schema_versioning(tmp_path):
+    """Serving checkpoints are schema-versioned (the reference's
+    DeviceProfileManager/ProductSetup envelope pattern,
+    /root/reference/Airwave/DeviceProfileManager.swift:45,317-320): a
+    pre-upgrade snapshot fails with a versioned, actionable error naming
+    both schemas — never a raw treedef/shape traceback. The schema-1
+    fixture is PINNED in the repo so this error path is exercised
+    forever, across every future carry change."""
+    import os
+
+    import pytest
+
+    from airwave_tpu.shell.app import restore_serve_checkpoint
+    from airwave_tpu.utils.checkpoint import (POOL_SNAPSHOT_SCHEMA,
+                                              checkpoint_path,
+                                              load_pool_snapshot,
+                                              load_pytree_extra,
+                                              save_pool_snapshot,
+                                              save_pytree)
+
+    rng = np.random.default_rng(43)
+    audio14 = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+
+    # 1. The pinned round-3 fixture (unversioned embedded meta,
+    # full-window carry with an `overlap` leaf): versioned error, both
+    # schemas named, before any array/structure validation runs.
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "pool_snapshot_prehalfwindow.npz")
+    with pytest.raises(ValueError, match=r"schema 1.*full-window.*"
+                       rf"schema {POOL_SNAPSHOT_SCHEMA}"):
+        load_pool_snapshot(fixture, pool)
+
+    # 2. Sidecar-era file (no embedded meta at all): same versioned error.
+    sidecar_era = str(tmp_path / "sidecar_era")
+    save_pytree(sidecar_era, {"state": np.zeros(3, np.float32),
+                              "debt": np.zeros(4, np.int32)})
+    with pytest.raises(ValueError, match="schema 1"):
+        load_pool_snapshot(sidecar_era, pool)
+
+    # 3. A future schema is rejected symmetrically (no silent forward
+    # compatibility).
+    future = str(tmp_path / "future")
+    save_pytree(future, {"state": np.zeros(3, np.float32),
+                         "debt": np.zeros(4, np.int32)},
+                extra_json={"schema": POOL_SNAPSHOT_SCHEMA + 1})
+    with pytest.raises(ValueError, match=rf"schema {POOL_SNAPSHOT_SCHEMA + 1}"
+                       rf".*schema {POOL_SNAPSHOT_SCHEMA}"):
+        load_pool_snapshot(future, pool)
+
+    # 4. Carry-layout change WITHOUT a schema bump (the exact omission
+    # that motivated versioning) is still caught by the structural tag.
+    real = str(tmp_path / "real")
+    save_pool_snapshot(real, pool.snapshot())
+    meta = load_pytree_extra(real)
+    assert meta["schema"] == POOL_SNAPSHOT_SCHEMA
+    assert meta["carry"]  # self-describing snapshots
+    forgot_bump = str(tmp_path / "forgot_bump")
+    save_pytree(forgot_bump, {"state": np.zeros(3, np.float32),
+                              "debt": np.zeros(4, np.int32)},
+                extra_json=dict(meta, carry=meta["carry"] + ",.overlap"))
+    with pytest.raises(ValueError, match="carry format.*schema bump"):
+        load_pool_snapshot(forgot_bump, pool)
+
+    # 5. serve --checkpoint surfaces the versioned error cleanly: fresh
+    # start, file moved aside (never deleted or overwritten).
+    old = str(tmp_path / "old")
+    import shutil
+    shutil.copy(fixture, checkpoint_path(old))
+    resumed, tokens = restore_serve_checkpoint(old, pool)
+    assert resumed is False and tokens is None
+    assert not os.path.exists(checkpoint_path(old))
+    assert os.path.exists(checkpoint_path(old) + ".incompatible")
+
+    # 6. A current-format snapshot still round-trips.
+    pool.attach()
+    save_pool_snapshot(real, pool.snapshot())
+    fresh = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    fresh.restore(load_pool_snapshot(real, fresh))
+    assert len(fresh._attached) == 1
+
+
 def test_incompatible_checkpoint_degrades_to_fresh_start(tmp_path):
     """A serve checkpoint whose pool layout no longer matches (e.g. a
     pre-upgrade snapshot format, or a changed profile set) must not
