@@ -28,6 +28,13 @@ the reference's vDSP packed-real path does (ConvolutionEngine.swift:304-311).
 Complex numbers are split (re, im) float32 planes throughout (TPU Pallas has
 no complex dtype). Partition counts are exact (no pow2 padding): rotation is
 a dynamic slice of flip-doubled HRIR rows, so odd counts cost nothing.
+
+The delay line is the HALF-WINDOW form shared with the XLA path
+(ops/upols.py): slots hold half-window analysis spectra u_t, the
+overlap-save recombination is folded into the filter bank
+(ops/upols._half_window_bank, Q = P + 1 coefficients), the analysis matmul
+contracts T samples instead of 2T, and no overlap buffer is carried — ONE
+carry format across the package.
 """
 
 from __future__ import annotations
@@ -46,14 +53,19 @@ from airwave_tpu.ops.fftmm import rfft_mm as fftmm_rfft
 
 
 class PackedConvParams(NamedTuple):
-    # Flip-doubled HRIR spectra rows [E, S, 2P, K] per plane; slicing
-    # [.., start:start+P, :] rotates the partition axis for the current
-    # write position.
+    # Flip-doubled HALF-WINDOW filter-bank rows [E, S, 2Q, K] per plane,
+    # Q = P + 1 coefficients (ops/upols._half_window_bank: the overlap-save
+    # recombination is folded into the bank via the shift theorem, so the
+    # delay line stores half-window analysis spectra and the per-block
+    # analysis matmul contracts T samples instead of 2T). Slicing
+    # [.., start:start+Q, :] rotates the coefficient axis for the current
+    # write position — same carry format and partition math as the XLA
+    # path's ConvParams/ConvState (ops/upols.py), packed storage aside.
     h_re: jax.Array
     h_im: jax.Array
-    # Packed-bin MXU DFT weights (ops/fftmm): analysis of the 2T frame and
-    # second-half-only synthesis.
-    wf: jax.Array   # [2T, T, 2]
+    # Packed-bin MXU DFT weights (ops/fftmm): HALF-window analysis (first
+    # T rows of the 2T transform) and second-half-only synthesis.
+    wf: jax.Array   # [T, T, 2]
     wi: jax.Array   # [T, 2, T]
 
     @property
@@ -70,9 +82,11 @@ class PackedConvParams(NamedTuple):
 
 
 class PackedConvState(NamedTuple):
-    fdl_re: jax.Array   # [B, S*P, K] float32, rows s-major
-    fdl_im: jax.Array   # [B, S*P, K]
-    overlap: jax.Array  # [B, S, T] float32
+    # Slots hold half-window analysis spectra u_t — the raw previous block
+    # never needs carrying (no overlap buffer), exactly like ops/upols
+    # ConvState; rows s-major over the bank's Q = P + 1 coefficients.
+    fdl_re: jax.Array   # [B, S*Q, K] float32
+    fdl_im: jax.Array   # [B, S*Q, K]
     write_pos: jax.Array  # [] int32
 
 
@@ -101,39 +115,58 @@ ROW_ALIGN = 8  # Mosaic sublane tiling for f32
 
 
 def make_packed_params(hrir: np.ndarray, block_size: int) -> PackedConvParams:
-    """Time-domain HRIRs [S, E, L] -> flip-doubled packed spectra rows."""
-    from airwave_tpu.ops.upols import partition_spectra
+    """Time-domain HRIRs [S, E, L] -> flip-doubled packed HALF-WINDOW bank.
 
-    H = partition_spectra(hrir, block_size, pad_to_pow2=False)  # [S,E,P,K+1]
+    The bank is built in f64 (like ops/upols.make_conv_params) and packs
+    Q = P + 1 coefficients: G_0 = s⊙H_0, G_q = H_{q-1} + s⊙H_q, G_P =
+    H_{P-1} (ops/upols._half_window_bank). Both DC and Nyquist rows of G
+    stay real (s_0 = 1; s_T = (-1)^T with the fold applied on unpacked
+    complex bins before packing), so the vDSP-style bin-0 = (DC, Nyquist)
+    lanes pack exactly as before."""
+    import math
+
+    from airwave_tpu.ops.upols import _half_window_bank
+
+    hrir = np.asarray(hrir, np.float32)
+    length = hrir.shape[-1]
+    real_p = max(1, math.ceil(length / block_size))
+    lead = hrir.shape[:-1]
+    padded = np.zeros(lead + (real_p * block_size,), np.float64)
+    padded[..., :length] = hrir
+    parts = padded.reshape(lead + (real_p, block_size))
+    parts = np.concatenate([parts, np.zeros_like(parts)], axis=-1)
+    H = np.fft.rfft(parts, axis=-1)     # [S, E, P, K+1] complex128
+    G = _half_window_bank(H)            # [S, E, P+1, K+1]
     # Pack on the HOST (numpy) so only float planes are uploaded — tunneled
     # transports cannot transfer complex64 (utils/device_arrays).
-    re = np.real(H[..., :-1]).astype(np.float32)
-    im = np.imag(H[..., :-1]).astype(np.float32)
-    im[..., 0] = np.real(H[..., -1])
+    re = np.real(G[..., :-1]).astype(np.float32)
+    im = np.imag(G[..., :-1]).astype(np.float32)
+    im[..., 0] = np.real(G[..., -1]).astype(np.float32)
     re = np.concatenate([re[:, :, ::-1], re[:, :, ::-1]], axis=2)
     im = np.concatenate([im[:, :, ::-1], im[:, :, ::-1]], axis=2)
-    # [S, E, 2P, K] -> [E, S, 2P, K]
+    # [S, E, 2Q, K] -> [E, S, 2Q, K]
     from airwave_tpu.ops import fftmm
 
     n = 2 * block_size
     return PackedConvParams(
         h_re=jnp.asarray(np.transpose(re, (1, 0, 2, 3)).copy()),
         h_im=jnp.asarray(np.transpose(im, (1, 0, 2, 3)).copy()),
-        wf=fftmm.rfft_weights_packed(n),
+        wf=fftmm.rfft_weights_half_packed(n),
         wi=fftmm.irfft_weights_packed(n, block_size, block_size),
     )
 
 
 def make_packed_state(batch: int, num_speakers: int, partition_count: int,
                       block_size: int, dtype=jnp.float32) -> PackedConvState:
-    """dtype=jnp.bfloat16 is the opt-in "fast mode": halves the delay line's
-    HBM traffic (the chain's dominant cost) at ~3e-3 relative error — outside
-    the 1e-5 strict-parity contract, documented in docs/architecture.md."""
+    """`partition_count` is the bank's coefficient count Q = P + 1 (pass
+    params.partition_count). dtype=jnp.bfloat16 is the opt-in "fast mode":
+    halves the delay line's HBM traffic (the chain's dominant cost) at
+    ~3e-3 relative error — outside the 1e-5 strict-parity contract,
+    documented in docs/architecture.md."""
     rows = _round_up(num_speakers * partition_count, ROW_ALIGN)
     return PackedConvState(
         fdl_re=jnp.zeros((batch, rows, block_size), dtype),
         fdl_im=jnp.zeros((batch, rows, block_size), dtype),
-        overlap=jnp.zeros((batch, num_speakers, block_size), jnp.float32),
         write_pos=jnp.zeros((), jnp.int32),
     )
 
@@ -274,23 +307,24 @@ def conv_step_packed(params: PackedConvParams, state: PackedConvState,
     """One overlap-save block via the fused kernel.
 
     x: [B, S, T] float32 -> (state', y [B, E, T]). Drop-in semantics match
-    ops.upols.conv_step (same math, packed storage, exact partition count).
-    `batch_tile` is a request; it is clamped so the per-tile VMEM scratch
-    fits the budget (important for >=1 s impulse responses).
+    ops.upols.conv_step (same math and half-window carry format, packed
+    storage, exact coefficient count). The analysis contracts only the T
+    new samples (half-window delay line — the recombination lives in the
+    bank); `batch_tile` is a request, clamped so the per-tile VMEM
+    scratch fits the budget (important for >=1 s impulse responses).
     """
     B, S, T = x.shape
-    P = params.partition_count
+    Q = params.partition_count
     batch_tile = auto_batch_tile(
         B, state.fdl_re.shape[1], T, state.fdl_re.dtype.itemsize, batch_tile,
         ears=params.h_re.shape[0],
     )
 
-    frame = jnp.concatenate([state.overlap, x], axis=-1)
-    planes = fftmm_rfft(frame, params.wf)   # [B, S, T(packed), 2]
+    planes = fftmm_rfft(x, params.wf)   # [B, S, T(packed), 2]
     x_re = planes[..., 0]
     x_im = planes[..., 1]
 
-    fdl_re, fdl_im = _insert_slot(state, x_re, x_im, S, P)
+    fdl_re, fdl_im = _insert_slot(state, x_re, x_im, S, Q)
     y_re, y_im = _fdl_mac_call(
         params, fdl_re, fdl_im, state.write_pos, batch_tile, interpret
     )
@@ -302,7 +336,6 @@ def conv_step_packed(params: PackedConvParams, state: PackedConvState,
     new_state = PackedConvState(
         fdl_re=fdl_re,
         fdl_im=fdl_im,
-        overlap=x,
-        write_pos=(state.write_pos + 1) % P,
+        write_pos=(state.write_pos + 1) % Q,
     )
     return new_state, y

@@ -139,6 +139,15 @@ def rfft_weights_packed(n: int) -> jax.Array:
     return jnp.asarray(_rfft_weights_packed_np(n))
 
 
+def rfft_weights_half_packed(n: int) -> jax.Array:
+    """First n//2 rows of the packed-bin analysis weights: the half-window
+    transform in the kernels' vDSP-style bin-0=(DC, Nyquist) layout —
+    see rfft_weights_half for the shift-theorem recombination the
+    consumer's filter bank folds in (both DC and Nyquist carry s_k=+1 for
+    even n/2, so the packed bin-0 lanes fold exactly like every other)."""
+    return jnp.asarray(_rfft_weights_packed_np(n)[: n // 2])
+
+
 def irfft_weights_packed(n: int, start: int, length: int) -> jax.Array:
     return jnp.asarray(_irfft_weights_packed_np(n, start, length))
 

@@ -69,3 +69,9 @@ run_job config6          python bench.py --speakers 12 --batch 8192
 run_job m16              python bench.py --blocks-per-step 16
 
 note "round-4 queue drain done"
+
+# --- post-port Pallas path (half-window packed kernel) ---
+run_job acc-pallas       python scripts/validate_accuracy.py --pallas
+run_job pallas           python bench.py --pallas --batch 8192
+run_job pallas-bf16      python bench.py --pallas --batch 8192 --fdl-dtype bf16
+note "pallas addendum drain done"

@@ -33,7 +33,9 @@ def test_packed_conv_matches_oracle_and_jnp(hrir_len, n_blocks):
 
     packed_params = kp.make_packed_params(hrir, T)
     P = packed_params.partition_count
-    assert P == int(np.ceil(hrir_len / T))  # exact, no pow2 padding
+    # Exact (no pow2 padding) + the half-window bank's +1 coefficient —
+    # the same partition math as ops.upols.make_conv_params exact mode.
+    assert P == int(np.ceil(hrir_len / T)) + 1
     packed_state = kp.make_packed_state(B, S, P, T)
 
     ref_params = upols.make_conv_params(hrir, T)
@@ -69,7 +71,7 @@ def test_identity_impulse_through_kernel():
     hrir = np.zeros((1, 2, 8), np.float32)
     hrir[0, :, 0] = 1.0
     params = kp.make_packed_params(hrir, 8)
-    state = kp.make_packed_state(8, 1, 1, 8)
+    state = kp.make_packed_state(8, 1, params.partition_count, 8)
     x = np.tile(
         np.array([0.25, -0.5, 1, 0.75, -1, 0.125, 0.5, -0.25], np.float32),
         (8, 1, 1),
