@@ -1,7 +1,13 @@
-.PHONY: test gate bench-smoke bench bench-pool bench-pool-grouped bench-serve soak soak-device accuracy plan dryrun release-check
+.PHONY: test test-full gate bench-smoke bench bench-pool bench-pool-grouped bench-serve soak soak-device accuracy plan dryrun release-check
 
+# Fast dev tier (~2 min: heavy differentials deselected by pyproject
+# addopts). `make test-full` is the pre-land gate (~7 min, everything
+# except the wall-clock soak).
 test:
 	python -m pytest tests/ -q
+
+test-full:
+	python -m pytest tests/ -q -m 'not soak'
 
 gate:
 	python scripts/check_hot_path.py
@@ -45,7 +51,7 @@ dryrun:
 # The release workflow's local dress rehearsal (no tagging/publishing).
 release-check:
 	python scripts/validate_release_version.py 999.0.0 "" --skip-metadata
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m 'not soak'
 	python scripts/check_hot_path.py
 	python bench.py --smoke --strict
 	python bench.py --smoke --pool --strict

@@ -184,26 +184,6 @@ class ConvState(NamedTuple):
     write_pos: jax.Array  # [] int32
 
 
-def partition_spectra(hrir: np.ndarray, block_size: int,
-                      pad_to_pow2: bool = True) -> np.ndarray:
-    """FFT the HRIR into overlap-save partition spectra.
-
-    hrir: [..., L] float; returns [..., P2, K] complex64 where
-    P2 = next_pow2(ceil(L / block_size)) (or exact P if pad_to_pow2=False)
-    and K = block_size + 1.
-    """
-    hrir = np.asarray(hrir, np.float32)
-    length = hrir.shape[-1]
-    partitions = max(1, math.ceil(length / block_size))
-    p2 = 1 << (partitions - 1).bit_length() if pad_to_pow2 else partitions
-    lead = hrir.shape[:-1]
-    padded = np.zeros(lead + (p2 * block_size,), np.float32)
-    padded[..., :length] = hrir
-    parts = padded.reshape(lead + (p2, block_size))
-    parts = np.concatenate([parts, np.zeros_like(parts)], axis=-1)
-    return np.fft.rfft(parts, axis=-1).astype(np.complex64)
-
-
 def _half_window_bank(H: np.ndarray) -> np.ndarray:
     """Fold the overlap-save window recombination into the filter bank.
 
@@ -264,15 +244,21 @@ def make_conv_params(hrir: np.ndarray, block_size: int,
     G = _half_window_bank(H)                   # [S, E, P+1, K]
     base = G.shape[2]
     need = base
+    # pow2 bucketing buckets the REAL partition count, then adds the
+    # half-window bank's +1 coefficient (and the lookahead tail): a
+    # 4-partition HRIR buckets to 4+1 = 5 slots, not pow2(5) = 8. Bucket
+    # membership is decided by pow2(P) alone, so shape stability across
+    # preset swaps is identical — without doubling the delay line and MAC
+    # at exact-power-of-two boundary shapes.
     if lookahead > 1:
         # conv_step_paged needs (a) >= M-1 zero tail partitions and (b) a
         # partition count divisible by M (whole pages).
-        need = base + lookahead - 1
         if pad_to_pow2:
-            need = 1 << (need - 1).bit_length()
+            need = (1 << (real_p - 1).bit_length()) + 1
+        need += lookahead - 1
         need += (-need) % lookahead
     elif pad_to_pow2:
-        need = 1 << (need - 1).bit_length()
+        need = (1 << (real_p - 1).bit_length()) + 1
     if partitions is not None:
         partitions = int(partitions)
         if partitions < need:

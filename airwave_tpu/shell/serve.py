@@ -127,6 +127,10 @@ class RenderServer:
         self._listener = socket.create_server((host, port))
         self.address = self._listener.getsockname()
         self._threads: list[threading.Thread] = []
+        # Live client sockets: stop() shuts these down so serving threads
+        # blocked in recv() unblock immediately instead of each riding out
+        # a join timeout (a lingering client must not stall shutdown).
+        self._conns: set = set()
         self._threads_lock = threading.Lock()
         self._accept_thread: Optional[threading.Thread] = None
         self._pump_thread: Optional[threading.Thread] = None
@@ -251,6 +255,15 @@ class RenderServer:
 
     def stop(self) -> None:
         self._stopping = True
+        # shutdown() BEFORE close(): on Linux, close() alone does not wake
+        # a thread blocked in accept() (the fd stays blocked until a
+        # connection arrives), so every stop() rode out the full join
+        # timeout. shutdown(SHUT_RDWR) on the listening socket interrupts
+        # the accept immediately.
+        try:
+            self._listener.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._listener.close()
         except OSError:
@@ -260,6 +273,12 @@ class RenderServer:
             self._accept_thread.join(timeout=5)
         with self._threads_lock:
             threads = list(self._threads)
+            conns = list(self._conns)
+        for conn in conns:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
         for thread in threads:
             thread.join(timeout=5)
         if self._pump_thread is not None:
@@ -358,6 +377,8 @@ class RenderServer:
         stream: Optional[int] = None
         clean = False
         suppress_eof = False
+        with self._threads_lock:
+            self._conns.add(conn)
         try:
             conn.settimeout(self.client_timeout)
             header_bytes = b""
@@ -522,6 +543,8 @@ class RenderServer:
                 with self._lock:
                     self._lane_tokens.pop(stream, None)
                     self.pool.detach(stream)
+            with self._threads_lock:
+                self._conns.discard(conn)
             try:
                 conn.close()
             except OSError:

@@ -10,6 +10,7 @@ import numpy as np
 from airwave_tpu.models.binaural import ChainState
 from airwave_tpu.ops import eq_block, upols
 from airwave_tpu.utils import checkpoint, profiling
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -136,6 +137,7 @@ def test_hot_path_gate_catches_violations(tmp_path):
     assert "jax.debug.print" in found
 
 
+@pytest.mark.heavy
 def test_preset_validator_on_converted_output(tmp_path):
     from tests.test_tools import write_sofa, FULL_RING
     from airwave_tpu.tools.convert import convert_file

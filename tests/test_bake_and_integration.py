@@ -10,6 +10,7 @@ from airwave_tpu.ops import biquad_design as bd
 from airwave_tpu.io.apo import EqualizerDefinition, EqualizerFilter, FilterType
 from airwave_tpu.oracle.eq_oracle import EqCascadeOracle
 from airwave_tpu.oracle.upols_oracle import UPOLSOracle
+import pytest
 
 
 def test_bake_matches_oracle_and_resumes():
@@ -177,6 +178,7 @@ def test_end_to_end_determinism_across_fresh_jits():
     np.testing.assert_array_equal(y1, y2)
 
 
+@pytest.mark.heavy
 def test_bake_blocks_per_step_matches_single_block_path():
     """The M-block lookahead bake is output-identical (f32 tolerance) to
     the classic per-block bake, including continuation across two calls."""

@@ -409,6 +409,7 @@ def test_eq_retarget_skew_host_vs_block_granular():
     assert skew.max() - skew.min() <= length + block
 
 
+@pytest.mark.heavy
 def test_adapter_every_callback_size_1_to_4096_finite():
     """Reference parity (RealtimeAudioProcessorTests
     testAllRequiredCallbackSizesWriteFiniteOutput): EVERY callback size

@@ -107,6 +107,7 @@ def _mk_states(singles, Bg, M=1):
 
 
 @pytest.mark.parametrize("crossfading", [False, True])
+@pytest.mark.heavy
 def test_grouped_round_matches_per_group_rounds(crossfading):
     """pool_step_body with G-tuple params/state == G independent ungrouped
     rounds on the lane segments (masked ring variant, ragged harvests,
@@ -155,6 +156,7 @@ def test_grouped_round_matches_per_group_rounds(crossfading):
 
 
 @pytest.mark.parametrize("crossfading", [False, True])
+@pytest.mark.heavy
 def test_grouped_paged_round_matches_per_group(crossfading):
     """The multi-block tier's grouped round (folded EQ in steady state,
     dual-cascade during ramps) == per-group ungrouped rounds."""
@@ -330,6 +332,7 @@ def test_grouped_pool_per_group_eq_retarget_crossfades_one_segment():
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.heavy
 def test_grouped_pool_multi_block_tier_matches_independent():
     """blocks_per_step=2 grouped (paged line + folded per-group EQ) == 2
     single-profile multi-block pools under step-granular pauses."""
@@ -487,6 +490,7 @@ def test_grouped_pool_snapshot_restore():
         single.restore(snap)
 
 
+@pytest.mark.heavy
 def test_grouped_pool_over_mesh_matches_unsharded():
     import jax
     from airwave_tpu.parallel import mesh as pmesh
@@ -513,6 +517,7 @@ def test_grouped_pool_over_mesh_matches_unsharded():
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.heavy
 def test_grouped_server_churn_across_groups():
     """CI-scale churn: waves of clients across both groups with live
     per-group retargets between waves; no slot leaks, per-group free
@@ -574,6 +579,7 @@ def test_grouped_server_churn_across_groups():
 
 
 @pytest.mark.parametrize("M", [1, 2])
+@pytest.mark.heavy
 def test_grouped_pool_randomized_differential_with_churn(M):
     """Seeded fuzz (both serving tiers): grouped pool vs per-group pools
     under random ragged schedules, detach/attach churn, and per-group EQ

@@ -94,6 +94,7 @@ np.save(OUT_PATH, np.stack(outs))
     {"AIRWAVE_PAGED_MAC_GROUPING": "1"},
     {"AIRWAVE_PAGED_ACC_CHUNK": "2"},
 ])
+@pytest.mark.heavy
 def test_env_flag_paged_variants_match_default(tmp_path, env):
     """The opt-in paged-MAC lowerings (kept for re-measurement) are
     module-level env flags, so their parity needs subprocess runs — this

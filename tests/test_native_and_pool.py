@@ -191,6 +191,7 @@ def test_conv_step_rolled_mask_freezes_inactive_streams():
     assert not np.array_equal(np.asarray(state.fdl)[..., 0], frozen_fdl)
 
 
+@pytest.mark.heavy
 def test_conv_step_masked_ring_with_debt_roll_matches_rolled():
     """The pool's shared-cursor ring lowering: inactive lanes preserved by
     the masked slot write, rejoining lanes re-aligned by conv_roll_lanes.
@@ -499,6 +500,7 @@ np.save(OUT_PATH, np.stack([pool.pull(s, n * block) for s in streams]))
 """
 
 
+@pytest.mark.heavy
 def test_pool_step_env_variants_match(tmp_path):
     """AIRWAVE_POOL_STEP is a module-level env flag (the rolled
     shift-register lowering is kept for re-measurement) — subprocess
@@ -931,6 +933,7 @@ def _settle_eq_ramp(pools, streams_per_pool, step_frames):
             pool.pull(s, rounds * step_frames)
 
 
+@pytest.mark.heavy
 def test_stream_pool_multiblock_matches_single_block_ragged():
     """blocks_per_step=M (paged line + folded EQ + page-granular debt
     rolls) must render the same audio as the single-block ring pool for
@@ -1068,6 +1071,7 @@ def test_multiblock_pool_validates_renderer_lookahead():
                    blocks_per_step=0)
 
 
+@pytest.mark.heavy
 def test_stream_pool_multiblock_prewarm_and_recycle():
     """prewarm() on the multi-block tier is a semantic no-op, and
     attach/detach recycles lanes cleanly (a zeroed lane is
@@ -1102,6 +1106,7 @@ def test_stream_pool_multiblock_prewarm_and_recycle():
     np.testing.assert_array_equal(warm.pull(s2, step), 0)
 
 
+@pytest.mark.heavy
 def test_stream_pool_multiblock_sharded_over_mesh_matches_unsharded():
     """The throughput tier shards over a streams mesh like the default
     pool: SPMD rounds with page-granular debt rolls crossing shards."""

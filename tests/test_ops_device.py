@@ -67,11 +67,11 @@ def test_batched_multiblock_matches_oracle_through_partition_wrap():
     S=2 speakers, both ears, vs the single-stream f64 oracle."""
     rng = np.random.default_rng(7)
     T = 64
-    L = 300  # ceil(300/64) = 5 partitions -> half-window bank 6 -> P2 = 8
+    L = 300  # ceil(300/64) = 5 real partitions -> pow2 bucket 8 -> bank 9
     B, S, E = 3, 2, 2
     hrir = rng.standard_normal((S, E, L)).astype(np.float32) * 0.3
     params = upols.make_conv_params(hrir, block_size=T)
-    assert params.partition_count == 8
+    assert params.partition_count == 9
     state = upols.make_conv_state(B, S, params.partition_count, T)
 
     n_blocks = 20  # > P2: exercises wraparound

@@ -82,6 +82,7 @@ def test_identity_impulse_through_kernel():
     np.testing.assert_allclose(np.asarray(y)[:, 1], x[:, 0], atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_bf16_fast_mode_accuracy_and_auto_tile():
     """bf16 delay line: documented ~3e-3 accuracy class; auto tile clamps
     for long impulse responses."""

@@ -185,6 +185,7 @@ def test_stream_sharded_bake_multi_matches_bake(devices):
     assert "all-reduce" not in hlo and "collective-permute" not in hlo
 
 
+@pytest.mark.heavy
 def test_two_process_multihost_parity(tmp_path):
     """VERDICT #7: a REAL 2-process jax.distributed run (4 virtual CPU
     devices each, 8 global) exercising host_shard_spec + make_global_array

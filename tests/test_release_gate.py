@@ -60,6 +60,7 @@ def test_real_pyproject_declares_releasable_version():
     assert gate.build_number(declared) > 0
 
 
+@pytest.mark.heavy
 def test_cli_contract(tmp_path):
     script = REPO / "scripts" / "validate_release_version.py"
     ok = subprocess.run(

@@ -236,6 +236,7 @@ def test_churn_soak(server):
     assert len(srv.pool._free) == srv.pool.max_streams
 
 
+@pytest.mark.heavy
 def test_live_renderer_swap_through_server(server):
     """RenderServer.set_renderer swaps the pool's HRIR mid-serving
     (conv history restarts, reference semantics) and prewarm-compiles a
@@ -299,6 +300,7 @@ def test_pump_thread_survives_render_exceptions(server):
         srv.pool.pump = real_pump
 
 
+@pytest.mark.heavy
 def test_full_pool_rejects_connection_cleanly():
     """A connection beyond max_streams is refused with a clean close (and
     counted) instead of killing its serving thread."""
@@ -338,6 +340,7 @@ def test_full_pool_rejects_connection_cleanly():
         srv.stop()
 
 
+@pytest.mark.heavy
 def test_roundtrip_through_multiblock_pool_matches_oracle():
     """The throughput tier behind the server: blocks_per_step=M renders M
     blocks per lane per round; the wire contract is unchanged (exact frame
@@ -380,6 +383,7 @@ def test_roundtrip_through_multiblock_pool_matches_oracle():
         srv.stop()
 
 
+@pytest.mark.heavy
 def test_grouped_server_routes_clients_to_their_profiles():
     """Two profile groups, concurrent clients in each: every client's
     render matches a single-profile server running its group's HRIR bank
@@ -444,6 +448,7 @@ def test_grouped_server_routes_clients_to_their_profiles():
             s.stop()
 
 
+@pytest.mark.heavy
 def test_grouped_server_eq_groups_match_single_profile_sequentially():
     """One client at a time (deterministic round clock): a grouped
     server's EQ'd group matches a single-profile EQ server, and its
@@ -488,6 +493,7 @@ def test_grouped_server_eq_groups_match_single_profile_sequentially():
         srv_plain.stop()
 
 
+@pytest.mark.heavy
 def test_build_serve_pool_profiles_keep_own_partition_counts(tmp_path):
     """--profile specs with different HRIR lengths build one grouped pool
     (shorter banks padded onto the shared partition count)."""
@@ -583,6 +589,7 @@ def test_client_cli_roundtrip(server, tmp_path):
     np.testing.assert_allclose(rendered.audio, direct, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_server_restart_resume_continues_stream(tmp_path):
     """Checkpoint -> restart -> {"resume": lane}: the stream's DSP history
     continues across the server generation (output equals an
@@ -722,6 +729,7 @@ def test_server_restart_resume_continues_stream(tmp_path):
         srv_c.stop()
 
 
+@pytest.mark.heavy
 def test_tokenless_restored_lanes_expire_and_hostile_tokens_are_safe(
         tmp_path):
     """A library-style checkpoint (no resume tokens) restored under a

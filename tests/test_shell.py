@@ -187,6 +187,7 @@ def test_render_cli_714_input_drops_heights(tmp_path, capsys):
     assert rel < 1e-5, rel
 
 
+@pytest.mark.heavy
 def test_serve_cli_builds_mesh_sharded_pool(tmp_path):
     """The serve CLI's --mesh-devices wiring: a pool built over N local
     devices serves a loopback client identically to the plain path."""
@@ -499,6 +500,7 @@ def test_render_cli_unparseable_eq_is_nonfatal(tmp_path, capsys):
     assert json.loads(captured.out)["equalizer"] is False
 
 
+@pytest.mark.heavy
 def test_serve_cli_builds_multiblock_pool(tmp_path):
     """--blocks-per-step wiring: the CLI prepares the renderer with the
     matching lookahead and the pool serves a loopback client through the

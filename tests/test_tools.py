@@ -340,6 +340,7 @@ def test_minimum_phase_preserves_magnitude_and_energy():
     assert np.sum(mp[:64] ** 2) > 0.8 * np.sum(mp**2)
 
 
+@pytest.mark.heavy
 def test_synthesize_variants_hit_decay_targets_and_validate():
     reference = make_bank(seed=7)
     ref_metrics = spatial.bank_metrics(reference, 48_000)
@@ -369,6 +370,7 @@ def test_synthesize_variants_hit_decay_targets_and_validate():
     np.testing.assert_array_equal(full, again)
 
 
+@pytest.mark.heavy
 def test_generate_cli_end_to_end(tmp_path):
     from airwave_tpu.tools import generate
 
@@ -499,6 +501,7 @@ def test_condition_to_reference_projects_tone_and_ild():
     assert after < mid < before + 1e-9
 
 
+@pytest.mark.heavy
 def test_generate_v2_v3_sets(tmp_path):
     from airwave_tpu.tools import generate
 
