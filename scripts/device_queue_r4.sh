@@ -75,3 +75,19 @@ run_job acc-pallas       python scripts/validate_accuracy.py --pallas
 run_job pallas           python bench.py --pallas --batch 8192
 run_job pallas-bf16      python bench.py --pallas --batch 8192 --fdl-dtype bf16
 note "pallas addendum drain done"
+
+# --- floor-map re-profile + planner-vs-measured HBM (VERDICT r3 #1/#5) ---
+# Full per-fusion tables go to PROFILE_r4_*.txt; the log gets the JSON tail.
+note "START profile-headline"
+timeout --signal=TERM --kill-after=60 900 python scripts/profile_chain.py \
+  --batch 8192 --blocks-per-step 8 > PROFILE_r4_headline.txt 2>/dev/null \
+  && note "OK profile-headline $(tail -1 PROFILE_r4_headline.txt)" \
+  || note "FAIL profile-headline rc=$?"
+note "START profile-pool"
+timeout --signal=TERM --kill-after=60 900 python scripts/profile_chain.py \
+  --batch 8192 --pool > PROFILE_r4_pool.txt 2>/dev/null \
+  && note "OK profile-pool $(tail -1 PROFILE_r4_pool.txt)" \
+  || note "FAIL profile-pool rc=$?"
+run_job hbm-pool         python scripts/measure_pool_hbm.py --batch 2048
+run_job hbm-pool-m8      python scripts/measure_pool_hbm.py --batch 1024 --blocks-per-step 8
+note "profile addendum drain done"

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Validate plan_capacity's per-lane HBM math against a LIVE pool.
+
+Builds a real StreamPool at --batch lanes, runs one full round, reads the
+device allocator's peak bytes (jax memory_stats), and prints both the
+measured per-lane cost and the planner's estimate with their ratio. The
+planner's contract is ~2x fidelity (utils/memory_planner docstring); this
+script is the measurement that keeps that claim honest after carry-format
+changes (VERDICT r3 #5: "plan_capacity output validated against a
+measured HBM footprint at HEAD").
+
+    python scripts/measure_pool_hbm.py --batch 2048
+    python scripts/measure_pool_hbm.py --batch 1024 --blocks-per-step 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--blocks-per-step", type=int, default=1)
+    ap.add_argument("--hrir-seconds", type=float, default=0.09)
+    ap.add_argument("--speakers", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.io.wav import WAVData
+    from airwave_tpu.runtime.stream_pool import StreamPool
+    from airwave_tpu.utils.memory_planner import pool_capacity
+
+    dev = jax.devices()[0]
+
+    def stats(key):
+        s = dev.memory_stats() or {}
+        return int(s.get(key, 0))
+
+    sr = 48_000.0
+    taps = int(round(args.hrir_seconds * sr))
+    rng = np.random.default_rng(0)
+    n_in = 14 if args.speakers == 2 else 2 * args.speakers
+    audio = (rng.standard_normal((n_in, taps)) * 0.05).astype(np.float32)
+    layout = cm.STEREO if args.speakers == 2 else cm.SURROUND_7_1
+    base = stats("bytes_in_use")
+    renderer = prepare_renderer(WAVData(sr, audio), layout, sr, args.block,
+                                lookahead=args.blocks_per_step)
+    pool = StreamPool(args.batch, sr, renderer, block_size=args.block,
+                      blocks_per_step=args.blocks_per_step)
+    for lane in range(min(args.batch, 8)):
+        pool.attach()
+    step = args.blocks_per_step * args.block
+    for _ in range(2):
+        for lane in range(min(args.batch, 8)):
+            pool.push(lane, (rng.standard_normal((2, step)) * 0.3
+                             ).astype(np.float32))
+        pool.pump()
+    # Fetch a checksum so the round really executed (tunnel rule: never
+    # trust completion without a readback).
+    _ = float(np.abs(pool.pull(0, pool.available(0))).sum())
+    peak = stats("peak_bytes_in_use")
+    in_use = stats("bytes_in_use")
+
+    plan = pool_capacity(args.speakers, taps, args.block,
+                         lookahead=args.blocks_per_step,
+                         hbm_bytes=16 * 2**30)
+    est_total = plan["per_lane_bytes"] * args.batch + plan["params_bytes"]
+    measured = max(peak - base, in_use - base)
+    out = {
+        "metric": "pool HBM footprint vs planner estimate",
+        "batch": args.batch,
+        "blocks_per_step": args.blocks_per_step,
+        "measured_bytes": measured,
+        "estimated_bytes": int(est_total),
+        "est_over_measured": round(est_total / measured, 3) if measured
+        else None,
+        "per_lane_measured": measured // args.batch if measured else None,
+        "per_lane_estimated": plan["per_lane_bytes"],
+        "within_2x": bool(measured and 0.5 <= est_total / measured <= 2.0),
+        "device": str(dev),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
