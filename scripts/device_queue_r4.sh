@@ -91,3 +91,8 @@ timeout --signal=TERM --kill-after=60 900 python scripts/profile_chain.py \
 run_job hbm-pool         python scripts/measure_pool_hbm.py --batch 2048
 run_job hbm-pool-m8      python scripts/measure_pool_hbm.py --batch 1024 --blocks-per-step 8
 note "profile addendum drain done"
+
+# --- tier knee: M=2/M=4 fill the latency/throughput tradeoff table ---
+run_job pool-blocks2     python bench.py --pool --pool-blocks 2
+run_job pool-blocks4     python bench.py --pool --pool-blocks 4
+note "tier-knee addendum drain done"
