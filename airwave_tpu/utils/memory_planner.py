@@ -104,6 +104,15 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
         PlanAttempt(lookahead, 0, "full speed"),
         PlanAttempt(lookahead, 2,
                     "acc chunking bounds live Ykm terms (~2% slower)"),
+        # Half-batch split BEFORE any reduced-lookahead rung: sequential
+        # half-batch groups at full lookahead keep near-full per-stream
+        # throughput (config-5 B=16384 measured 20,255x on this rung,
+        # round 3), while the reduced-M rungs pay superlinearly for the
+        # lost lookahead batching (M=2/chunk=1/unroll<=4 measured 2,772x
+        # = 63 ms/block on the same shape, round 4 — a 7x regression the
+        # old ordering actually shipped).
+        PlanAttempt(lookahead, 2,
+                    "half-batch split (two sequential groups)", 0, 2),
     ]
     m = lookahead
     while m > 2:
@@ -117,12 +126,11 @@ def plan_paged_bake(batch: int, speakers: int, hrir_taps: int, block: int,
         # stay live (costs a page-rotation copy per unrolled group).
         candidates.append(PlanAttempt(
             2, 1, "minimum-memory M=2, chunk=1, unroll<=4", 4))
-    # Terminal rung: halve the resident batch and run two sequential
-    # groups, paired with acc chunking (the proven-to-fit half-batch
-    # configuration, ~2% slower than unchunked) — completes whenever
-    # the half-batch workload fits.
+    # Terminal rung: quarter the resident batch at full lookahead —
+    # completes whenever a quarter-batch workload fits, still at the
+    # full-speed step's per-stream throughput.
     candidates.append(PlanAttempt(
-        lookahead, 2, "half-batch split (two sequential groups)", 0, 2))
+        lookahead, 2, "quarter-batch split (four sequential groups)", 0, 4))
 
     if hbm_bytes is None:
         return candidates

@@ -96,3 +96,8 @@ note "profile addendum drain done"
 run_job pool-blocks2     python bench.py --pool --pool-blocks 2
 run_job pool-blocks4     python bench.py --pool --pool-blocks 4
 note "tier-knee addendum drain done"
+
+# --- re-measure config5-b16384 after the ladder reorder (expects the
+# half-batch split rung ~20k, was 2.8k on the M=2 rung) ---
+run_job config5-b16384-v2 python bench.py --hrir-seconds 1.0 --batch 16384
+note "ladder-fix addendum drain done"

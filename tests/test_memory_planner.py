@@ -37,18 +37,23 @@ def test_plan_ladder_ordering_and_pruning():
     # Generous HBM: full-speed first, ladder intact behind it.
     plan = mp.plan_paged_bake(8192, 2, 4320, 512, 8, hbm_bytes=1e12)
     assert plan[0] == mp.PlanAttempt(8, 0, "full speed")
-    # Tight HBM: hopeless attempts pruned; the terminal batch-split rung
-    # (whose half-batch workload is predicted to fit) survives, so the
-    # workload always completes.
+    # Tight HBM: hopeless attempts pruned; batch-split rungs survive so
+    # the workload always completes. The HALF-BATCH split must come
+    # BEFORE any reduced-lookahead rung: measured at config-5 B=16384,
+    # the split rung runs 20,255x while M=2/chunk=1 runs 2,772x.
     plan = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8, hbm_bytes=16e9)
     assert plan, "ladder must never be empty"
-    assert plan[-1].batch_split == 2
+    split_idx = min(i for i, a in enumerate(plan) if a.batch_split == 2)
+    reduced = [i for i, a in enumerate(plan) if a.lookahead < 8]
+    assert not reduced or split_idx < min(reduced), plan
+    assert plan[-1].batch_split == 4  # terminal: quarter-batch
     assert all(a.lookahead <= 8 for a in plan)
     # No HBM estimate: the full ladder comes back for runtime-OOM walking.
     full = mp.plan_paged_bake(16_384, 2, 48_000, 512, 8)
     assert full[0].acc_chunk == 0
     assert any(a.acc_chunk == 1 for a in full)
-    assert full[-1].batch_split == 2
+    assert full[2].batch_split == 2
+    assert full[-1].batch_split == 4
 
 
 def test_acc_chunk_parameter_matches_unchunked():
