@@ -116,42 +116,6 @@ def irfft_mm(planes: jax.Array, weights: jax.Array) -> jax.Array:
                       precision=DFT_PRECISION)
 
 
-@functools.lru_cache(maxsize=16)
-def _rfft_weights_packed_np(n: int) -> np.ndarray:
-    """Packed-bin analysis weights [n, n//2, 2]: bin 0 = (DC, Nyquist) —
-    the kernels' vDSP-style layout (kernels/upols_pallas.py)."""
-    full = _rfft_weights_np(n)              # [n, K, 2]
-    packed = full[:, : n // 2, :].copy()
-    packed[:, 0, 1] = full[:, n // 2, 0]    # Nyquist real -> bin0 imag lane
-    return packed
-
-
-@functools.lru_cache(maxsize=16)
-def _irfft_weights_packed_np(n: int, start: int, length: int) -> np.ndarray:
-    """Packed-bin synthesis weights [n//2, 2, length]."""
-    full = _irfft_weights_np(n, start, length)   # [K, 2, length]
-    packed = full[: n // 2].copy()
-    packed[0, 1, :] = full[n // 2, 0, :]         # bin0 imag = Nyquist real
-    return packed
-
-
-def rfft_weights_packed(n: int) -> jax.Array:
-    return jnp.asarray(_rfft_weights_packed_np(n))
-
-
-def rfft_weights_half_packed(n: int) -> jax.Array:
-    """First n//2 rows of the packed-bin analysis weights: the half-window
-    transform in the kernels' vDSP-style bin-0=(DC, Nyquist) layout —
-    see rfft_weights_half for the shift-theorem recombination the
-    consumer's filter bank folds in (both DC and Nyquist carry s_k=+1 for
-    even n/2, so the packed bin-0 lanes fold exactly like every other)."""
-    return jnp.asarray(_rfft_weights_packed_np(n)[: n // 2])
-
-
-def irfft_weights_packed(n: int, start: int, length: int) -> jax.Array:
-    return jnp.asarray(_irfft_weights_packed_np(n, start, length))
-
-
 # --- Two-stage (Cooley-Tukey) matmul DFT ------------------------------------
 #
 # n = n1*n2 with t = n1*t2 + t1 and k = K2 + n2*k1. Two short-contraction

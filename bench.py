@@ -145,8 +145,7 @@ def _finish_build(batch: int, hrir, conv_params, lookahead: int = 1):
     return conv_params, eq_params, state, x
 
 
-def make_runner(blocks_per_call: int, use_pallas: bool = False,
-                batch_tile: int = 256, blocks_per_step: int = 1,
+def make_runner(blocks_per_call: int, blocks_per_step: int = 1,
                 acc_chunk: int = 0, max_unroll: int = 0):
     """One jit: scan `blocks_per_call` chained render blocks; return final
     state + a [8, 128] checksum that depends on every block's output.
@@ -157,31 +156,6 @@ def make_runner(blocks_per_call: int, use_pallas: bool = False,
     import jax.numpy as jnp
 
     from airwave_tpu.models.binaural import chain_step_fn, chain_step_multi_fn
-    from airwave_tpu.kernels import upols_pallas as kp
-    from airwave_tpu.ops import eq_block
-
-    if use_pallas:
-        interpret = jax.default_backend() == "cpu"
-
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def run(conv_params, eq_params, state, x):
-            def body(carry, _):
-                (conv_state, eq_state), acc = carry
-                conv_state, y = kp.conv_step_packed(
-                    conv_params, conv_state, x, batch_tile=batch_tile,
-                    interpret=interpret,
-                )
-                eq_state, y = eq_block.eq_step(
-                    eq_params, eq_params, eq_state, y, 960,
-                    crossfade_active=False,
-                )
-                acc = acc + jnp.sum(y.reshape(-1, 8, 128), axis=0)
-                return ((conv_state, eq_state), acc), None
-            acc0 = jnp.zeros((8, 128), jnp.float32)
-            (s, acc), _ = jax.lax.scan(body, (state, acc0), None,
-                                       length=blocks_per_call)
-            return s, acc
-        return run
 
     if blocks_per_step > 1:
         M = blocks_per_step
@@ -645,8 +619,7 @@ def measure_serve(clients: int, blocks_each: int, calls: int,
 
 
 def measure(batch: int, blocks_per_call: int, calls: int,
-            use_pallas: bool = False, batch_tile: int = 256,
-            hrir_seconds: float = None, fdl_dtype: str = "float32",
+            hrir_seconds: float = None,
             blocks_per_step: int = 1, speakers: int = 2,
             acc_chunk: int = 0, max_unroll: int = 0,
             batch_split: int = 1):
@@ -667,7 +640,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
         import jax
         import jax.numpy as jnp
 
-        runner = make_runner(blocks_per_call, use_pallas, batch_tile,
+        runner = make_runner(blocks_per_call,
                              blocks_per_step, acc_chunk, max_unroll)
         # One carry allocation for ALL groups: group g+1's fresh (zero)
         # carry is group g's buffers donate-reset in place — rebuilding a
@@ -705,32 +678,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
                                              lookahead=blocks_per_step,
                                              speakers=speakers)
-    if use_pallas:
-        from airwave_tpu.kernels import upols_pallas as kp
-        from airwave_tpu.graph.renderer import build_hrir_time_domain
-        from airwave_tpu.assets import channel_maps as cm
-        from airwave_tpu.io import wav
-        from airwave_tpu.ops import eq_block
-
-        import jax.numpy as jnp
-
-        if hrir_seconds:
-            rng = np.random.default_rng(0)
-            n = int(hrir_seconds * SAMPLE_RATE)
-            hrir = (rng.standard_normal((2, 2, n)) * 0.02).astype(np.float32)
-            hrir *= np.exp(-np.arange(n) / (0.3 * SAMPLE_RATE))
-            hrir[:, :, 0] += 0.8
-        else:
-            data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
-            hrir = build_hrir_time_domain(data, cm.STEREO, SAMPLE_RATE)
-        conv_params = kp.make_packed_params(hrir, BLOCK)
-        dtype = jnp.bfloat16 if fdl_dtype == "bf16" else jnp.float32
-        state = (
-            kp.make_packed_state(batch, 2, conv_params.partition_count, BLOCK,
-                                 dtype=dtype),
-            eq_block.make_eq_state(batch),
-        )
-    runner = make_runner(blocks_per_call, use_pallas, batch_tile,
+    runner = make_runner(blocks_per_call,
                          blocks_per_step, acc_chunk, max_unroll)
 
     # Warmup: compile + one real execution, checksum fetched (true sync).
@@ -759,9 +707,6 @@ def main():
     parser.add_argument("--blocks", type=int, default=None,
                         help="chained blocks per jit call")
     parser.add_argument("--calls", type=int, default=3)
-    parser.add_argument("--pallas", action="store_true",
-                        help="use the fused Pallas FDL kernel for the conv")
-    parser.add_argument("--batch-tile", type=int, default=256)
     parser.add_argument("--hrir-seconds", type=_hrir_seconds_arg,
                         default=None,
                         help="config-5 stress: synthetic IR of this length; "
@@ -772,9 +717,6 @@ def main():
     parser.add_argument("--speakers", type=int, default=2,
                         help="input/virtual-speaker count (8 = BASELINE "
                              "config 3, 7.1 surround to binaural)")
-    parser.add_argument("--fdl-dtype", choices=["float32", "bf16"],
-                        default="float32",
-                        help="bf16 = fast mode (pallas path only)")
     parser.add_argument("--blocks-per-step", type=int, default=8,
                         help="M-block lookahead per delay-line read "
                              "(1 = classic per-block stepping)")
@@ -818,9 +760,6 @@ def main():
         if len(args.hrir_seconds) != args.pool_groups:
             parser.error(f"--hrir-seconds lists {len(args.hrir_seconds)} "
                          f"lengths but --pool-groups is {args.pool_groups}")
-    if args.pallas:
-        args.blocks_per_step = 1  # the fused kernel path is single-block
-
     if args.smoke:
         import jax
 
@@ -985,10 +924,7 @@ def main():
             try:
                 multiple, per_block = measure(
                     batch, step_blocks, args.calls,
-                    use_pallas=args.pallas,
-                    batch_tile=args.batch_tile,
                     hrir_seconds=args.hrir_seconds,
-                    fdl_dtype=args.fdl_dtype,
                     blocks_per_step=m,
                     speakers=args.speakers,
                     acc_chunk=chunk,

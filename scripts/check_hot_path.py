@@ -39,8 +39,7 @@ HOT_MODULES = {
                                     "eq_begin_transition", "eq_reset",
                                     "eq_apply_folded"},
     "airwave_tpu/models/binaural.py": {"chain_step_fn", "chain_step_multi_fn"},
-    "airwave_tpu/kernels/upols_pallas.py": {"conv_step_packed", "_mac_kernel",
-                                            "_fdl_mac_call", "_rotate_h"},
+    "airwave_tpu/kernels/mac_kmajor.py": {"mac_kmajor", "_mac_body"},
     "airwave_tpu/runtime/stream_pool.py": {"pool_step_body"},
 }
 

@@ -27,7 +27,6 @@ def main() -> int:
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--blocks", type=int, default=24)
-    parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--blocks-per-step", type=int, default=1,
                         help="validate the M-block lookahead (paged) chain")
     parser.add_argument("--pool", action="store_true",
@@ -169,31 +168,6 @@ def main() -> int:
             pool.pump()
         outs = None
         got = np.stack([pool.pull(s, N * T) for s in streams])
-    elif args.pallas:
-        from airwave_tpu.kernels import upols_pallas as kp
-
-        conv_params = kp.make_packed_params(hrir, T)
-        conv_state = kp.make_packed_state(B, S, conv_params.partition_count, T)
-        eq_state = eq_block.make_eq_state(B)
-        interpret = jax.default_backend() == "cpu"
-
-        import functools
-
-        @jax.jit
-        def step(conv_params, eq_params, cs, es, xb):
-            cs, y = kp.conv_step_packed(conv_params, cs, xb,
-                                        batch_tile=min(B, 8),
-                                        interpret=interpret)
-            es, y = eq_block.eq_step(eq_params, eq_params, es, y, 960, False)
-            return cs, es, y
-
-        outs = []
-        for i in range(N):
-            conv_state, eq_state, y = step(
-                conv_params, eq_params, conv_state, eq_state,
-                jnp.asarray(x[:, :, i * T:(i + 1) * T]),
-            )
-            outs.append(np.asarray(y))
     elif args.blocks_per_step > 1:
         from airwave_tpu.models.binaural import chain_step_multi_fn
 
@@ -268,7 +242,6 @@ def main() -> int:
         "pass": worst <= 1e-5,
         "backend": _jax.default_backend(),
         "device": str(_jax.devices()[0]),
-        "pallas": bool(args.pallas),
         "pool": bool(args.pool),
         "pool_groups": args.pool_groups,
         "blocks_per_step": args.blocks_per_step,

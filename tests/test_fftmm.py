@@ -49,19 +49,3 @@ def test_two_stage_first_half_synthesis():
     full = np.fft.irfft(np.fft.rfft(x), n=n)
     np.testing.assert_allclose(got, full[..., : n // 2], atol=2e-5)
 
-
-def test_packed_weights_roundtrip():
-    n = 128
-    rng = np.random.default_rng(3)
-    x = rng.standard_normal((2, n)).astype(np.float32)
-    packed = np.asarray(fftmm.rfft_mm(x, fftmm.rfft_weights_packed(n)))
-    ref = np.fft.rfft(x)
-    np.testing.assert_allclose(packed[..., 1:, 0], ref.real[..., 1:-1],
-                               atol=2e-3)
-    np.testing.assert_allclose(packed[..., 0, 0], ref.real[..., 0], atol=2e-3)
-    np.testing.assert_allclose(packed[..., 0, 1], ref.real[..., -1], atol=2e-3)
-    got = np.asarray(fftmm.irfft_mm(
-        packed, fftmm.irfft_weights_packed(n, n // 2, n // 2)
-    ))
-    full = np.fft.irfft(ref, n=n)
-    np.testing.assert_allclose(got, full[..., n // 2:], atol=2e-5)
