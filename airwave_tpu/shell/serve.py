@@ -197,6 +197,15 @@ class RenderServer:
             self._lat_samples.append(seconds)
             self._lat_count += 1
 
+    def reset_latency(self) -> None:
+        """Drop all recorded wire-to-wire latency samples AND the
+        cumulative count (e.g. to scope stats to a measurement window —
+        bench.py resets after warmup so count matches the percentiles'
+        backing data)."""
+        with self._lat_lock:
+            self._lat_samples.clear()
+            self._lat_count = 0
+
     def latency_stats(self) -> dict:
         """p50/p90/p99/max wire-to-wire chunk latency (seconds) over the
         recent reservoir, plus the cumulative delivered-chunk count."""

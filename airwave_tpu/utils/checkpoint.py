@@ -107,7 +107,8 @@ def load_pytree_extra(path: str) -> Any:
         return json.loads(bytes(data["__extra__"]).decode())
 
 
-def load_pytree(path: str, like: Any, with_extra: bool = False) -> Any:
+def load_pytree(path: str, like: Any, with_extra: bool = False,
+                extra_check=None) -> Any:
     """Restore a pytree saved by save_pytree into the structure of `like`.
 
     The stored structure metadata and every leaf's shape and dtype must
@@ -115,8 +116,17 @@ def load_pytree(path: str, like: Any, with_extra: bool = False) -> Any:
     (or precision policy) is an error, never a silent cast.
 
     with_extra=True returns (tree, extra_json_or_None) from the same
-    archive open (load_pytree_extra exists for extra-only reads)."""
+    archive open (load_pytree_extra exists for extra-only reads).
+    `extra_check(extra_or_None)`, if given, runs BEFORE any structure or
+    leaf validation (still within the single archive open) — the hook
+    schema-versioned formats use to fail with a versioned error instead
+    of a raw structure mismatch."""
     with np.load(_normalized(path)) as data:
+        if extra_check is not None:
+            extra_check(
+                json.loads(bytes(data["__extra__"]).decode())
+                if "__extra__" in data else None
+            )
         if "__treedef__" in data:
             saved_structure = json.loads(bytes(data["__treedef__"]).decode())
             if saved_structure != _treedef_repr(like):
@@ -305,8 +315,8 @@ def save_pool_snapshot(path: str, snap: dict) -> None:
     bit-identical cross-process serving resume.
 
     The meta carries POOL_SNAPSHOT_SCHEMA plus a structural carry tag
-    (pass `pool` to derive it from the live carry; snapshots are
-    self-describing about WHICH carry generation wrote them)."""
+    derived from snap["state"], so snapshots are self-describing about
+    WHICH carry generation wrote them."""
     meta = {
         "schema": POOL_SNAPSHOT_SCHEMA,
         "carry": _carry_format(snap["state"]),
@@ -335,48 +345,75 @@ def load_pool_snapshot(path: str, pool) -> dict:
     path, pool))` to resume. A serving checkpoint's `resume_tokens`
     (lane -> secret) ride along for RenderServer(orphan_tokens=...).
 
-    Schema versioning runs BEFORE the array load: a checkpoint from a
-    different format generation fails with a versioned, actionable error
-    naming both schemas — never a raw treedef/shape traceback."""
-    meta = load_pytree_extra(path)
-    if meta is None or "schema" not in (meta or {}):
-        # Pre-versioning formats: the .meta.json-sidecar first iteration
-        # and the unversioned one-file format, both written by the
-        # FULL-window carry (ConvState with an `overlap` block). The
-        # current carry cannot represent that state; fail loudly and
-        # name the generation so the operator knows a matching (round-3)
-        # build can still read the file.
-        kind = ("sidecar" if meta is None else "embedded-meta")
-        raise ValueError(
-            f"{checkpoint_path(path)}: checkpoint schema 1 "
-            f"({kind}, full-window carry) is incompatible with schema "
-            f"{POOL_SNAPSHOT_SCHEMA} (half-window carry: the delay line "
-            "now stores half-window analysis spectra and has no overlap "
-            "block). Re-create the snapshot with this build, or read it "
-            "with the build that wrote it."
-        )
-    if meta["schema"] != POOL_SNAPSHOT_SCHEMA:
-        raise ValueError(
-            f"{checkpoint_path(path)}: checkpoint schema {meta['schema']} "
-            f"is incompatible with this build's schema "
-            f"{POOL_SNAPSHOT_SCHEMA}. Re-create the snapshot with this "
-            "build, or read it with the build that wrote it."
-        )
+    Schema versioning runs BEFORE the array validation (same archive
+    open): a checkpoint from a different format generation fails with a
+    versioned, actionable error naming both schemas — never a raw
+    treedef/shape traceback. One nuance: the unversioned one-file format
+    was written by BOTH carry generations (round 3 shipped the
+    half-window fold before schema versioning existed), so a schema-less
+    file is not rejected outright — the strict structure validation
+    decides, and only if THAT fails is the error upgraded to the
+    versioned pre-versioning explanation."""
     like = {
         "state": jax.tree_util.tree_map(np.asarray, pool._state),
         "debt": np.asarray(pool._debt),
     }
     expected_carry = _carry_format(like["state"])
-    if meta.get("carry", expected_carry) != expected_carry:
-        raise ValueError(
-            f"{checkpoint_path(path)}: checkpoint carry format "
-            f"{meta['carry']!r} does not match this build's "
-            f"{expected_carry!r} at schema {POOL_SNAPSHOT_SCHEMA} — the "
-            "carry layout changed without a schema bump; treat as an "
-            "incompatible upgrade (re-create the snapshot with this "
-            "build)."
-        )
-    data, meta = load_pytree(path, like, with_extra=True)
+    seen = {}
+
+    def _schema_check(meta):
+        seen["meta"] = meta
+        if meta is None:
+            # Sidecar-era file (metadata lived in a .meta.json next to
+            # the npz): predates both the one-file format and the
+            # half-window carry; its control metadata is not in the
+            # archive, so it cannot be restored by this build even if
+            # the arrays happened to match.
+            raise ValueError(
+                f"{checkpoint_path(path)}: checkpoint schema 1 (sidecar "
+                "layout, full-window era) is incompatible with schema "
+                f"{POOL_SNAPSHOT_SCHEMA}. Re-create the snapshot with "
+                "this build, or read it with the build that wrote it."
+            )
+        if "schema" not in meta:
+            return  # pre-versioning one-file format: structure decides
+        if meta["schema"] != POOL_SNAPSHOT_SCHEMA:
+            raise ValueError(
+                f"{checkpoint_path(path)}: checkpoint schema "
+                f"{meta['schema']} is incompatible with this build's "
+                f"schema {POOL_SNAPSHOT_SCHEMA}. Re-create the snapshot "
+                "with this build, or read it with the build that wrote "
+                "it."
+            )
+        if meta.get("carry", expected_carry) != expected_carry:
+            raise ValueError(
+                f"{checkpoint_path(path)}: checkpoint carry format "
+                f"{meta['carry']!r} does not match this build's "
+                f"{expected_carry!r} at schema {POOL_SNAPSHOT_SCHEMA} — "
+                "the carry layout changed without a schema bump; treat "
+                "as an incompatible upgrade (re-create the snapshot "
+                "with this build)."
+            )
+
+    try:
+        data, meta = load_pytree(path, like, with_extra=True,
+                                 extra_check=_schema_check)
+    except ValueError as exc:
+        meta = seen.get("meta")
+        if meta is not None and "schema" not in meta:
+            # Pre-versioning one-file format whose arrays do NOT match
+            # this build: almost certainly the FULL-window carry
+            # (ConvState with an `overlap` block).
+            raise ValueError(
+                f"{checkpoint_path(path)}: checkpoint predates schema "
+                "versioning and its carry does not match this build — "
+                "schema 1 (full-window carry: overlap block, P "
+                "partitions) vs this build's schema "
+                f"{POOL_SNAPSHOT_SCHEMA} (half-window carry). Re-create "
+                "the snapshot with this build, or read it with the "
+                f"build that wrote it. (Underlying mismatch: {exc})"
+            ) from exc
+        raise
     snap = {
         "state": data["state"],
         "debt": data["debt"],

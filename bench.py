@@ -595,10 +595,10 @@ def measure_serve(clients: int, blocks_each: int, calls: int,
             t.join()
 
         best = float("inf")
-        # Latency over the TIMED rounds only (drop warmup/untimed samples):
-        # reset by draining the reservoir before the measured fleet runs.
-        with server._lat_lock:
-            server._lat_samples.clear()
+        # Latency over the TIMED rounds only (drop warmup/untimed samples
+        # and their count, so count matches the percentiles' backing
+        # data).
+        server.reset_latency()
         for _ in range(calls):
             outs = [None] * clients
             threads = [threading.Thread(target=one, args=(outs, j))

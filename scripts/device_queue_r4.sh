@@ -70,11 +70,8 @@ run_job m16              python bench.py --blocks-per-step 16
 
 note "round-4 queue drain done"
 
-# --- post-port Pallas path (half-window packed kernel) ---
-run_job acc-pallas       python scripts/validate_accuracy.py --pallas
-run_job pallas           python bench.py --pallas --batch 8192
-run_job pallas-bf16      python bench.py --pallas --batch 8192 --fdl-dtype bf16
-note "pallas addendum drain done"
+# (pallas jobs ran 04:09-04:13 at d706661 and are logged; the kernel
+# and its bench/validate flags were retired at 60be625 — do not re-run.)
 
 # --- floor-map re-profile + planner-vs-measured HBM (VERDICT r3 #1/#5) ---
 # Full per-fusion tables go to PROFILE_r4_*.txt; the log gets the JSON tail.

@@ -41,10 +41,8 @@ run_job config5-b16384-v2 python bench.py --hrir-seconds 1.0 --batch 16384
 run_job pool-blocks2     python bench.py --pool --pool-blocks 2
 run_job pool-blocks4     python bench.py --pool --pool-blocks 4
 
-# post-port Pallas path (half-window packed kernel)
-run_job acc-pallas       python scripts/validate_accuracy.py --pallas
-run_job pallas           python bench.py --pallas --batch 8192
-run_job pallas-bf16      python bench.py --pallas --batch 8192 --fdl-dtype bf16
+# (pallas jobs ran 04:09-04:13 at d706661 and are logged; the kernel
+# and its bench/validate flags were retired at 60be625 — do not re-run.)
 
 # floor-map re-profile + planner-vs-measured HBM
 note "START profile-headline"

@@ -66,9 +66,10 @@ def main() -> int:
     for lane in range(min(args.batch, 8)):
         pool.attach()
     step = args.blocks_per_step * args.block
+    ch = renderer.num_speakers  # push full-width frames for any layout
     for _ in range(2):
         for lane in range(min(args.batch, 8)):
-            pool.push(lane, (rng.standard_normal((2, step)) * 0.3
+            pool.push(lane, (rng.standard_normal((ch, step)) * 0.3
                              ).astype(np.float32))
         pool.pump()
     # Fetch a checksum so the round really executed (tunnel rule: never

@@ -908,6 +908,28 @@ def test_checkpoint_schema_versioning(tmp_path):
     with pytest.raises(ValueError, match="schema 1"):
         load_pool_snapshot(sidecar_era, pool)
 
+    # 2b. A schema-less one-file snapshot whose arrays DO match this
+    # build (what round-3 HEAD wrote after the half-window fold but
+    # before versioning existed) must still load — rejecting it would
+    # spuriously drop every lane's DSP state across that upgrade.
+    pool.attach()
+    snap_now = pool.snapshot()
+    legacy_meta = {
+        "attached": [int(s) for s in snap_now["attached"]],
+        "eq_enabled": bool(snap_now["eq_enabled"]),
+        "groups": 1,
+        "eq_runtime": {"active": None, "transition_from": None,
+                       "pending": None, "samples_into_transition": 0,
+                       "reset_requested": False},
+    }
+    legacy_ok = str(tmp_path / "legacy_ok")
+    save_pytree(legacy_ok, {"state": snap_now["state"],
+                            "debt": np.asarray(snap_now["debt"])},
+                extra_json=legacy_meta)
+    restored = load_pool_snapshot(legacy_ok, pool)
+    assert restored["attached"] == legacy_meta["attached"]
+    pool.detach(pool.snapshot()["attached"][0])
+
     # 3. A future schema is rejected symmetrically (no silent forward
     # compatibility).
     future = str(tmp_path / "future")
