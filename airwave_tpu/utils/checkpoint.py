@@ -282,13 +282,15 @@ def checkpoint_path(path: str) -> str:
 # envelope and migrate or reject):
 #   (unversioned, sidecar)  round-3 first iteration: metadata in a
 #                           .meta.json sidecar next to the npz.
-#   (unversioned, embedded) round-3 one-file format, FULL-window carry
-#                           (ConvState carried an `overlap` block).
+#   (unversioned, embedded) round-3 one-file format. Written by BOTH
+#                           carry generations (the half-window fold
+#                           shipped before versioning existed), so a
+#                           schema-less one-file snapshot is decided by
+#                           structure validation, not rejected outright.
 #   2                       half-window carry: no overlap leaf, the delay
 #                           line holds half-window analysis spectra and the
 #                           bank carries P+1 partitions (ops/upols.py
-#                           `_half_window_bank`). Files without a schema
-#                           field are by definition pre-half-window.
+#                           `_half_window_bank`).
 # A schema mismatch is an UPGRADE event, not corruption: the loader names
 # both versions so the operator knows a matching build can still read the
 # file (serve moves it aside to `.incompatible`, never deletes).

@@ -63,18 +63,17 @@ def main() -> int:
                                 lookahead=args.blocks_per_step)
     pool = StreamPool(args.batch, sr, renderer, block_size=args.block,
                       blocks_per_step=args.blocks_per_step)
-    for lane in range(min(args.batch, 8)):
-        pool.attach()
+    lanes = [pool.attach() for _ in range(min(args.batch, 8))]
     step = args.blocks_per_step * args.block
     ch = renderer.num_speakers  # push full-width frames for any layout
     for _ in range(2):
-        for lane in range(min(args.batch, 8)):
+        for lane in lanes:
             pool.push(lane, (rng.standard_normal((ch, step)) * 0.3
                              ).astype(np.float32))
         pool.pump()
     # Fetch a checksum so the round really executed (tunnel rule: never
     # trust completion without a readback).
-    _ = float(np.abs(pool.pull(0, pool.available(0))).sum())
+    _ = float(np.abs(pool.pull(lanes[0], pool.available(lanes[0]))).sum())
     peak = stats("peak_bytes_in_use")
     in_use = stats("bytes_in_use")
 

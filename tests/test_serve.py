@@ -912,7 +912,7 @@ def test_checkpoint_schema_versioning(tmp_path):
     # build (what round-3 HEAD wrote after the half-window fold but
     # before versioning existed) must still load — rejecting it would
     # spuriously drop every lane's DSP state across that upgrade.
-    pool.attach()
+    legacy_lane = pool.attach()
     snap_now = pool.snapshot()
     legacy_meta = {
         "attached": [int(s) for s in snap_now["attached"]],
@@ -928,7 +928,7 @@ def test_checkpoint_schema_versioning(tmp_path):
                 extra_json=legacy_meta)
     restored = load_pool_snapshot(legacy_ok, pool)
     assert restored["attached"] == legacy_meta["attached"]
-    pool.detach(pool.snapshot()["attached"][0])
+    pool.detach(legacy_lane)
 
     # 3. A future schema is rejected symmetrically (no silent forward
     # compatibility).
