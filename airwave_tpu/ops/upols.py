@@ -369,6 +369,66 @@ def conv_step(params: ConvParams, state: ConvState, x: jax.Array,
     return new_state, y
 
 
+def migrate_full_window_fdl(fdl_old: np.ndarray, overlap: np.ndarray,
+                            write_pos: int,
+                            debt: np.ndarray | None = None) -> np.ndarray:
+    """Convert a FULL-window delay line (the pre-half-window carry: slots
+    hold 2T-window spectra X_t, plus the carried previous block
+    `overlap`) into the half-window line (slots hold u_t) — host-side
+    numpy, f64 recursion.
+
+    The shift theorem that motivates the half-window bank also makes the
+    old carry exactly convertible: X_t = u_{t-1} + s ⊙ u_t with
+    s_k = (-1)^k, so from u_t = DFT_2T([b_t, 0]) (analysis of `overlap`,
+    the last block) every earlier u unwinds by backward recursion
+    u_{t-j-1} = X_{t-j} - s ⊙ u_{t-j}. P full-window slots + the overlap
+    yield exactly the P+1 half-window slots the new carry needs. The
+    recursion runs in float64; a resumed stream continues within f64
+    rounding of the uninterrupted render (not bit-identical — the old
+    carry never contained the device-f32 u bits).
+
+    fdl_old: [Kp, S, P, 2, B] (pad bin rows beyond K = T+1 are zero),
+    overlap: [B, S, T], write_pos: the old cursor (slot (w-1-j) mod P
+    holds X_{t-j}); debt: optional [B] per-lane missed-cursor counts,
+    repaid here (the returned line is debt-free — conv_roll_lanes
+    semantics applied per lane before the recursion).
+
+    Returns the new [Kp, S, P+1, 2, B] line under the SAME cursor value
+    (valid: w < P < P+1): slot (w-1-j) mod (P+1) holds u_{t-j}."""
+    kp, S, P, _, B = fdl_old.shape
+    T = overlap.shape[-1]
+    K = T + 1
+    assert overlap.shape == (B, S, T), (overlap.shape, (B, S, T))
+    w = int(write_pos)
+
+    fdl = np.asarray(fdl_old, np.float64)
+    if debt is not None:
+        d = np.asarray(debt, np.int64) % P
+        for b in np.nonzero(d)[0]:
+            # conv_roll_lanes: new slot p takes old slot (p - d) mod P.
+            src = (np.arange(P) - d[b]) % P
+            fdl[:, :, :, :, b] = np.take(fdl[:, :, :, :, b], src, axis=2)
+
+    # u_t from the carried last block: DFT_2T([b_t, 0]), bins 0..T.
+    padded = np.zeros((B, S, 2 * T), np.float64)
+    padded[..., :T] = np.asarray(overlap, np.float64)
+    u = np.fft.rfft(padded, axis=-1)               # [B, S, K] complex128
+    u = np.transpose(u, (2, 1, 0))                 # [K, S, B]
+    s = ((-1.0) ** np.arange(K))[:, None, None]
+
+    new = np.zeros((kp, S, P + 1, 2, B), np.float64)
+    for j in range(P + 1):
+        slot = (w - 1 - j) % (P + 1)
+        new[:K, :, slot, 0, :] = u.real
+        new[:K, :, slot, 1, :] = u.imag
+        if j < P:
+            old_slot = (w - 1 - j) % P
+            X = (fdl[:K, :, old_slot, 0, :]
+                 + 1j * fdl[:K, :, old_slot, 1, :])
+            u = X - s * u                          # u_{t-j-1}
+    return new.astype(np.float32)
+
+
 def conv_roll_lanes(state: ConvState, lane_idx: jax.Array,
                     shift: jax.Array) -> ConvState:
     """Re-align paused lanes to the shared ring cursor.

@@ -308,6 +308,95 @@ def _carry_format(state_tree) -> str:
     return ",".join(names)
 
 
+# The round-3 full-window conv carry, reconstructed for migration: the
+# class NAME and field order must match what round 3 pickled into the
+# treedef string (jax renders namedtuples by name, so a shim suffices).
+import collections as _collections
+
+_LegacyConvState = _collections.namedtuple(
+    "ConvState", ["fdl", "overlap", "write_pos"]
+)
+
+
+def _migrate_full_window_snapshot(path: str, pool, like):
+    """Try to read `path` as a round-3 FULL-window pool snapshot and
+    convert it to this build's half-window carry (see
+    ops/upols.migrate_full_window_fdl for the math). Returns the migrated
+    StreamPool.restore() dict, or None if the file does not have the
+    full-window layout (caller raises the versioned error)."""
+    import jax.numpy as jnp  # noqa: F401 (keep jax import style local)
+
+    from airwave_tpu.ops import upols as _upols
+
+    if getattr(pool, "blocks_per_step", 1) != 1:
+        return None  # paged-tier carries have no migration path
+    T = int(pool.block_size)
+
+    # A grouped pool's state is ONE PoolState whose `conv`/`eq` fields
+    # are per-group TUPLES (runtime/stream_pool: per-group lane-state
+    # design); ungrouped is a bare ConvState. Same shape in round 3.
+    def conv_to_legacy(conv):
+        if not hasattr(conv, "fdl") or np.asarray(conv.fdl).ndim != 5:
+            raise ValueError("not a single-block conv carry")
+        kp, S, p2, c, B = np.asarray(conv.fdl).shape
+        if p2 < 2 or c != 2:
+            raise ValueError("unexpected conv carry shape")
+        return _LegacyConvState(
+            fdl=np.zeros((kp, S, p2 - 1, c, B), np.float32),
+            overlap=np.zeros((B, S, T), np.float32),
+            write_pos=np.zeros((), np.int32),
+        )
+
+    state_new = like["state"]
+    conv_new = state_new.conv
+    grouped = not hasattr(conv_new, "_fields")
+    try:
+        legacy_conv = (tuple(conv_to_legacy(c) for c in conv_new)
+                       if grouped else conv_to_legacy(conv_new))
+        like_old = {"state": state_new._replace(conv=legacy_conv),
+                    "debt": like["debt"]}
+        data, meta = load_pytree(path, like_old, with_extra=True)
+    except (ValueError, KeyError):
+        return None
+
+    debt = np.asarray(data["debt"], np.int64)
+    convs_old = data["state"].conv if grouped else (data["state"].conv,)
+    groups = len(convs_old)
+    lanes_per_group = debt.shape[0] // max(1, groups)
+
+    def convert(conv, g):
+        d = debt[g * lanes_per_group:(g + 1) * lanes_per_group]
+        new_fdl = _upols.migrate_full_window_fdl(
+            conv.fdl, conv.overlap, int(conv.write_pos), d
+        )
+        return _upols.ConvState(
+            fdl=new_fdl,
+            write_pos=np.asarray(conv.write_pos, np.int32),
+        )
+
+    converted = tuple(convert(c, g) for g, c in enumerate(convs_old))
+    state = data["state"]._replace(
+        conv=converted if grouped else converted[0]
+    )
+    snap = {
+        "state": state,
+        "debt": np.zeros_like(debt),  # repaid inside the migration
+        "attached": meta["attached"],
+        "eq_enabled": meta["eq_enabled"],
+        "groups": meta["groups"],
+        "eq_runtime": _unpack_eq_runtime(meta["eq_runtime"]),
+        "migrated_from": "full-window (schema 1)",
+    }
+    if "eq_runtimes" in meta:
+        snap["eq_runtimes"] = [_unpack_eq_runtime(s)
+                               for s in meta["eq_runtimes"]]
+    if "resume_tokens" in meta:
+        snap["resume_tokens"] = {
+            int(k): v for k, v in meta["resume_tokens"].items()
+        }
+    return snap
+
+
 def save_pool_snapshot(path: str, snap: dict) -> None:
     """Persist a StreamPool.snapshot() to ONE file at `<path>.npz`,
     atomically (temp + os.replace): carry arrays plus control metadata
@@ -404,13 +493,20 @@ def load_pool_snapshot(path: str, pool) -> dict:
         meta = seen.get("meta")
         if meta is not None and "schema" not in meta:
             # Pre-versioning one-file format whose arrays do NOT match
-            # this build: almost certainly the FULL-window carry
-            # (ConvState with an `overlap` block).
+            # this build: the FULL-window carry (ConvState with an
+            # `overlap` block). MIGRATE it (the reference's
+            # ProductSetup v1->v2 migrate-on-load pattern,
+            # /root/reference/Airwave/ProductSetup.swift:53-76): the
+            # shift theorem makes the old carry exactly convertible —
+            # see ops/upols.migrate_full_window_fdl.
+            migrated = _migrate_full_window_snapshot(path, pool, like)
+            if migrated is not None:
+                return migrated
             raise ValueError(
                 f"{checkpoint_path(path)}: checkpoint predates schema "
-                "versioning and its carry does not match this build — "
-                "schema 1 (full-window carry: overlap block, P "
-                "partitions) vs this build's schema "
+                "versioning and its carry neither matches this build "
+                "nor fits the round-3 full-window layout this build "
+                "can migrate — schema 1 vs this build's schema "
                 f"{POOL_SNAPSHOT_SCHEMA} (half-window carry). Re-create "
                 "the snapshot with this build, or read it with the "
                 f"build that wrote it. (Underlying mismatch: {exc})"
