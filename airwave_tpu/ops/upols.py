@@ -401,13 +401,22 @@ def migrate_full_window_fdl(fdl_old: np.ndarray, overlap: np.ndarray,
     assert overlap.shape == (B, S, T), (overlap.shape, (B, S, T))
     w = int(write_pos)
 
-    fdl = np.asarray(fdl_old, np.float64)
+    # Peak host memory matters here (production resume can carry a
+    # multi-GB line on a small host): the line stays f32 throughout —
+    # only the recursion's working set (u and one slot's X at a time)
+    # is f64. Identical values to an all-f64 pipeline: every stored
+    # slot is the same f64 u downcast once.
+    fdl = np.asarray(fdl_old, np.float32)
     if debt is not None:
         d = np.asarray(debt, np.int64) % P
-        for b in np.nonzero(d)[0]:
-            # conv_roll_lanes: new slot p takes old slot (p - d) mod P.
-            src = (np.arange(P) - d[b]) % P
-            fdl[:, :, :, :, b] = np.take(fdl[:, :, :, :, b], src, axis=2)
+        lanes = np.nonzero(d)[0]
+        if lanes.size:
+            fdl = fdl.copy()  # don't mutate the caller's snapshot
+            for b in lanes:
+                # conv_roll_lanes: new slot p takes old slot (p-d) mod P.
+                src = (np.arange(P) - d[b]) % P
+                fdl[:, :, :, :, b] = np.take(
+                    fdl[:, :, :, :, b], src, axis=2)
 
     # u_t from the carried last block: DFT_2T([b_t, 0]), bins 0..T.
     padded = np.zeros((B, S, 2 * T), np.float64)
@@ -416,17 +425,17 @@ def migrate_full_window_fdl(fdl_old: np.ndarray, overlap: np.ndarray,
     u = np.transpose(u, (2, 1, 0))                 # [K, S, B]
     s = ((-1.0) ** np.arange(K))[:, None, None]
 
-    new = np.zeros((kp, S, P + 1, 2, B), np.float64)
+    new = np.zeros((kp, S, P + 1, 2, B), np.float32)
     for j in range(P + 1):
         slot = (w - 1 - j) % (P + 1)
         new[:K, :, slot, 0, :] = u.real
         new[:K, :, slot, 1, :] = u.imag
         if j < P:
             old_slot = (w - 1 - j) % P
-            X = (fdl[:K, :, old_slot, 0, :]
-                 + 1j * fdl[:K, :, old_slot, 1, :])
+            X = (fdl[:K, :, old_slot, 0, :].astype(np.float64)
+                 + 1j * fdl[:K, :, old_slot, 1, :].astype(np.float64))
             u = X - s * u                          # u_{t-j-1}
-    return new.astype(np.float32)
+    return new
 
 
 def conv_roll_lanes(state: ConvState, lane_idx: jax.Array,

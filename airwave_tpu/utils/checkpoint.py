@@ -324,8 +324,6 @@ def _migrate_full_window_snapshot(path: str, pool, like):
     ops/upols.migrate_full_window_fdl for the math). Returns the migrated
     StreamPool.restore() dict, or None if the file does not have the
     full-window layout (caller raises the versioned error)."""
-    import jax.numpy as jnp  # noqa: F401 (keep jax import style local)
-
     from airwave_tpu.ops import upols as _upols
 
     if getattr(pool, "blocks_per_step", 1) != 1:
