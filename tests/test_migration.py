@@ -14,6 +14,7 @@ render."""
 import os
 
 import numpy as np
+import pytest
 
 from airwave_tpu.assets import channel_maps as cm
 from airwave_tpu.graph.renderer import prepare_renderer
@@ -27,6 +28,68 @@ FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 def _rel_rms(a, b):
     return (np.sqrt(np.mean((a - b) ** 2))
             / max(np.sqrt(np.mean(b ** 2)), 1e-12))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_migration_recursion_property(seed):
+    """The gold fixtures pin two real configurations; this locks the
+    conversion math itself across random partition counts, cursor
+    positions and per-lane debts. Construct the full-window line
+    directly from its definition (slot j holds X_{t-j} = u_{t-j-1} +
+    s (.) u_{t-j}, s_k = (-1)^k, u from DFT_2T([b,0])), migrate, and
+    compare every slot against the independently-built half-window
+    truth. The backward recursion's f32->f64 error walk stays well
+    under the 1e-5 chain contract even at config-5-scale P."""
+    from airwave_tpu.ops.upols import migrate_full_window_fdl
+
+    rng = np.random.default_rng(seed)
+    T = 64
+    K = T + 1
+    P = int(rng.integers(1, 9)) if seed < 3 else 94   # long-IR stress
+    S, B = 2, 3
+    kp = K + int(rng.integers(0, 4))   # pad rows beyond K are zero
+    w = int(rng.integers(0, P))
+
+    # P+1 consecutive analysis spectra u_{t-P} .. u_t, from f32 blocks.
+    blocks = rng.standard_normal((P + 1, B, S, T)).astype(np.float32)
+    padded = np.zeros((P + 1, B, S, 2 * T), np.float64)
+    padded[..., :T] = blocks
+    u = np.fft.rfft(padded, axis=-1)               # [P+1, B, S, K]
+    u = np.transpose(u, (0, 3, 2, 1))              # [P+1, K, S, B]
+    s = ((-1.0) ** np.arange(K))[:, None, None]
+
+    # Full-window slots: (w-1-j) mod P holds X_{t-j}, j = 0..P-1.
+    fdl_old = np.zeros((kp, S, P, 2, B), np.float32)
+    for j in range(P):
+        X = u[P - j - 1] + s * u[P - j]            # u_{t-j-1}+s(.)u_{t-j}
+        slot = (w - 1 - j) % P
+        fdl_old[:K, :, slot, 0, :] = X.real
+        fdl_old[:K, :, slot, 1, :] = X.imag
+    overlap = np.transpose(blocks[P], (0, 1, 2))   # [B, S, T] = b_t
+
+    # Per-lane debt: the stored (pre-roll) line satisfies
+    # roll(stored, d)[p] = stored[(p-d) mod P] = debt-free[p].
+    debt = rng.integers(0, P + 3, size=B)
+    stored = fdl_old.copy()
+    for b in range(B):
+        src = (np.arange(P) + debt[b]) % P
+        stored[:, :, :, :, b] = np.take(fdl_old[:, :, :, :, b], src,
+                                        axis=2)
+
+    got = migrate_full_window_fdl(stored, overlap, w, debt)
+    assert got.shape == (kp, S, P + 1, 2, B)
+    assert got.dtype == np.float32
+
+    tol = 1e-5
+    for j in range(P + 1):
+        slot = (w - 1 - j) % (P + 1)
+        want = u[P - j]
+        for plane, part in ((0, want.real), (1, want.imag)):
+            g = got[:K, :, slot, plane, :]
+            err = (np.abs(g - part).max()
+                   / max(np.abs(part).max(), 1e-12))
+            assert err < tol, (j, plane, err)
+    assert not np.any(got[K:])                     # pad rows stay zero
 
 
 def test_round3_full_window_checkpoint_migrates_and_continues():
