@@ -155,6 +155,86 @@ def test_wire_limits_close_cleanly(server):
     assert not srv.pool._attached
 
 
+def test_hostile_payloads_do_not_leak_across_lanes(server):
+    """Tenant isolation through the SHARED batched device step: one
+    client streaming NaN/Inf PCM must corrupt only its own lane — the
+    batch axis is data-parallel through every contraction, so a
+    well-behaved neighbor's output must be BIT-IDENTICAL to a solo
+    render — and a client that dies mid-payload (length prefix sent,
+    floats truncated) must release its slot without wedging the pump."""
+    import json
+    import socket
+    import struct
+    import threading
+    import time
+
+    srv, _ = server
+    rng = np.random.default_rng(7)
+    good = (rng.standard_normal((2, 4 * BLOCK)) * 0.3).astype(np.float32)
+
+    # Solo reference render first (fresh lane; conv state resets per
+    # attach, so a later identical stream reproduces it exactly).
+    solo = render_via_server(srv.address, good)
+
+    # Hostile client: valid header, then NaN/Inf blocks, concurrent
+    # with the good client so both ride the same pump rounds.
+    def hostile():
+        conn = socket.create_connection(srv.address, timeout=10)
+        try:
+            conn.sendall(json.dumps({"channels": 2}).encode() + b"\n")
+            evil = np.full((2, BLOCK), np.nan, np.float32)
+            evil[0, ::3] = np.inf
+            payload = evil.T.reshape(-1).tobytes()
+            for _ in range(4):
+                conn.sendall(struct.pack("<I", BLOCK) + payload)
+                time.sleep(0.005)
+            conn.sendall(struct.pack("<I", 0))
+            _read_until_eof(conn)
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=hostile)
+    t.start()
+    try:
+        got = render_via_server(srv.address, good)
+    finally:
+        t.join()
+    assert np.all(np.isfinite(got))
+    # Same lane values to f32 rounding: rounds with different occupancy
+    # dispatch different compiled harvest variants (ring_id vs masked),
+    # whose fusions round differently in the last ulp — but a NaN/Inf
+    # neighbor must not perturb the lane beyond that.
+    rel = (np.sqrt(np.mean((got - solo) ** 2))
+           / np.sqrt(np.mean(solo ** 2)))
+    assert rel < 1e-6, f"NaN lane leaked into a neighbor (rel {rel})"
+
+    # Truncated payload: length prefix promises BLOCK frames, half
+    # arrive, connection dies. Slot must come back, pump must survive.
+    conn = socket.create_connection(srv.address, timeout=10)
+    conn.sendall(json.dumps({"channels": 2}).encode() + b"\n")
+    conn.sendall(struct.pack("<I", BLOCK))
+    conn.sendall(b"\x00" * (BLOCK * 2 * 4 // 2))
+    conn.close()
+
+    deadline = time.monotonic() + 5
+    while srv.pool._attached and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert not srv.pool._attached, "truncated client leaked its slot"
+    assert srv.pump_errors == 0
+
+    # Post-hostile solo render: finite and within f32 rounding of the
+    # original. (Not bit-exact by design: the shared ring cursor has
+    # advanced, and the rotated-bank MAC's partition-sum ORDER follows
+    # the cursor phase — same-phase renders are bit-equal, as
+    # test_roundtrip determinism shows; different-phase renders agree
+    # to rounding.)
+    again = render_via_server(srv.address, good)
+    assert np.all(np.isfinite(again))
+    rel2 = (np.sqrt(np.mean((again - solo) ** 2))
+            / np.sqrt(np.mean(solo ** 2)))
+    assert rel2 < 1e-6, f"hostile traffic left residue (rel {rel2})"
+
+
 def test_concurrent_clients_share_device_steps(server):
     """The whole point of the pool: N clients ride shared _pool_step calls.
 
