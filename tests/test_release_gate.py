@@ -82,3 +82,31 @@ def test_cli_contract(tmp_path):
         capture_output=True, text=True,
     )
     assert mismatch.returncode == 1 and "pyproject" in mismatch.stderr
+
+
+def test_bench_emit_stamps_noncontract_precision(monkeypatch, capsys):
+    """A bench JSON produced under the opt-in fast mode must self-describe:
+    the accuracy contract holds only at HIGHEST (BENCH_NOTES precision
+    ladder), so _emit stamps matmul_precision + accuracy_contract=false on
+    anything else — a fast-mode number can never masquerade as the
+    headline in a recorded artifact."""
+    import json
+
+    import bench
+
+    monkeypatch.delenv("AIRWAVE_MATMUL_PRECISION", raising=False)
+    bench._emit({"metric": "m", "value": 1.0})
+    clean = json.loads(capsys.readouterr().out)
+    assert "matmul_precision" not in clean
+    assert "accuracy_contract" not in clean
+
+    for fast in ("default", "high", "HIGH"):
+        monkeypatch.setenv("AIRWAVE_MATMUL_PRECISION", fast)
+        bench._emit({"metric": "m", "value": 1.0})
+        stamped = json.loads(capsys.readouterr().out)
+        assert stamped["matmul_precision"] == fast.lower()
+        assert stamped["accuracy_contract"] is False
+
+    monkeypatch.setenv("AIRWAVE_MATMUL_PRECISION", "highest")
+    bench._emit({"metric": "m", "value": 1.0})
+    assert "accuracy_contract" not in json.loads(capsys.readouterr().out)
