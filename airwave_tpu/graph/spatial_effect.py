@@ -42,8 +42,14 @@ class SpatialEffect:
     def is_ready(self) -> bool:
         return self.engine.spatial_ready
 
-    def set_renderer(self, renderer: Optional[RendererState]) -> None:
-        self.engine.set_renderer(renderer)
+    def set_renderer(self, renderer: Optional[RendererState],
+                     crossfade: bool = True) -> None:
+        """Swap the published renderer. A crossfaded same-shape swap
+        (see BinauralEngine.set_renderer) keeps the frame adapter's
+        buffered samples too — the stream is continuous end to end; a
+        resetting swap drops them with the history (the reference's
+        fresh-pipeline semantics)."""
+        crossfaded = self.engine.set_renderer(renderer, crossfade=crossfade)
         if renderer is None:
             self.adapter = None
             return
@@ -59,7 +65,7 @@ class SpatialEffect:
                 block_size=self.block_size,
                 max_frames_per_callback=self.config.max_frames_per_callback,
             )
-        else:
+        elif not crossfaded:
             self.adapter.reset()
 
     def reset(self) -> None:

@@ -44,8 +44,14 @@ def chain_step_fn(
     spatial_enabled: bool,
     eq_enabled: bool,
     eq_crossfading: bool = True,
+    xfade_ramp: Optional[jax.Array] = None,
 ):
     """x [B, S, T] -> (state', y [B, 2, T]). Spatial THEN eq (fixed order).
+
+    `xfade_ramp` [T] (with conv_params = upols.xfade_conv_params(old, new))
+    runs one block of a glitch-free HRIR hot-swap: the dual-ear bank's
+    halves blend per sample BEFORE the EQ, so the EQ state is driven by
+    the blended signal exactly as a physical time-varying filter would.
 
     The bake path's EQ-into-synthesis fold was measured on THIS step too
     (upols.conv_step posts=...) and REJECTED: the dual projection outputs
@@ -57,6 +63,8 @@ def chain_step_fn(
     conv_state, eq_state = state
     if spatial_enabled:
         conv_state, y = upols.conv_step(conv_params, conv_state, x)
+        if xfade_ramp is not None:
+            y = upols.xfade_blend(y, xfade_ramp)
     else:
         # Passthrough: stereo input forwarded, mono duplicated
         # (ref AudioEffectGraph.swift:223-245).
@@ -159,6 +167,13 @@ class BinauralEngine:
         self._eq_active = False
         self.renderer: Optional[RendererState] = None
         self._state: Optional[ChainState] = None
+        # Active device bank (may be the renderer's params zero-padded to
+        # the carry's partition count after a crossfaded shorter-HRIR
+        # swap), plus the hot-swap crossfade in flight: the dual-ear bank
+        # and the per-block ramp segments still to play.
+        self._conv_params: Optional[upols.ConvParams] = None
+        self._xfade_params: Optional[upols.ConvParams] = None
+        self._xfade_segments: list = []
         if renderer is not None:
             self.set_renderer(renderer)
         else:
@@ -180,23 +195,66 @@ class BinauralEngine:
             ),
         )
 
-    def set_renderer(self, renderer: Optional[RendererState]) -> None:
-        """Hot-swap the HRIR renderer; conv history starts fresh."""
-        old_shape = (
-            None
-            if self.renderer is None
-            else (self.renderer.num_speakers, self.renderer.partition_count)
-        )
+    def set_renderer(self, renderer: Optional[RendererState],
+                     crossfade: bool = True) -> bool:
+        """Hot-swap the HRIR renderer.
+
+        With `crossfade=True` (default) a same-shape swap is GLITCH-FREE:
+        the delay line stores bank-independent input spectra, so the full
+        conv history (the reverb tail) is preserved exactly and the next
+        ~20 ms of output blends old->new per sample (the ideal
+        time-varying filter — upols.xfade_conv_params). A shorter new
+        bank is zero-padded onto the current carry shape automatically.
+        Returns True when the swap crossfaded; False when history reset
+        (crossfade=False, no prior renderer, or an incompatible shape —
+        the reference's fresh-engines semantics,
+        HRIRManager.swift:406-415). A second swap mid-fade is
+        newest-wins: the fade restarts toward the newest bank."""
+        old = self.renderer
+        old_params = self._conv_params
         self.renderer = renderer
         if renderer is None:
-            return
-        new_shape = (renderer.num_speakers, renderer.partition_count)
-        if old_shape != new_shape or self._state is None:
-            self._alloc_state(*new_shape)
+            self._conv_params = None
+            self._xfade_params = None
+            self._xfade_segments = []
+            return False
+        if (crossfade and old is not None and old_params is not None
+                and self._state is not None
+                and old.num_speakers == renderer.num_speakers
+                and renderer.partition_count
+                <= old_params.partition_count):
+            cur_p = old_params.partition_count
+            # Fade FROM whatever the output currently hears: mid-fade that
+            # is the previous fade's NEW half (newest-wins).
+            self._conv_params = upols.pad_conv_params(
+                renderer.conv_params, cur_p
+            )
+            self._xfade_params = upols.xfade_conv_params(
+                old_params, self._conv_params
+            )
+            T = self.block_size
+            fade = max(1, int(round(
+                self.sample_rate
+                * self.config.crossfade_duration_seconds)))
+            full = upols.xfade_ramp(fade, fade + (-fade) % T)
+            self._xfade_segments = [
+                jnp.asarray(full[i:i + T])
+                for i in range(0, len(full), T)
+            ]
+            return True
+        self._conv_params = renderer.conv_params
+        self._xfade_params = None
+        self._xfade_segments = []
+        if (old is None or self._state is None
+                or (old.num_speakers, old_params.partition_count)
+                != (renderer.num_speakers, renderer.partition_count)):
+            self._alloc_state(renderer.num_speakers,
+                              renderer.partition_count)
         else:
             self._state = ChainState(
                 conv=upols.conv_reset(self._state.conv), eq=self._state.eq
             )
+        return False
 
     @property
     def spatial_ready(self) -> bool:
@@ -220,6 +278,9 @@ class BinauralEngine:
                 conv=upols.conv_reset(self._state.conv),
                 eq=self._state.eq,
             )
+        # A zeroed history has nothing to blend: jump to the fade target.
+        self._xfade_params = None
+        self._xfade_segments = []
         self.eq_runtime.reset()
 
     # --- render path ------------------------------------------------------------
@@ -241,11 +302,16 @@ class BinauralEngine:
         self.eq_runtime.drain_retired_states()
         eq_state, p_from, p_to, _ = self.eq_runtime.begin_block(self._state.eq)
         state = ChainState(self._state.conv, eq_state)
-        conv_params = (
-            self.renderer.conv_params
-            if spatial
-            else _dummy_conv_params(self.block_size)
-        )
+        xfade_ramp = None
+        if spatial and self._xfade_segments:
+            conv_params = self._xfade_params
+            xfade_ramp = self._xfade_segments.pop(0)
+            if not self._xfade_segments:
+                self._xfade_params = None
+        elif spatial:
+            conv_params = self._conv_params
+        else:
+            conv_params = _dummy_conv_params(self.block_size)
         crossfading = (
             self.eq_runtime.is_transitioning
             or self.eq_runtime.pending_target is not None
@@ -260,6 +326,7 @@ class BinauralEngine:
             spatial,
             self._eq_active,
             crossfading,
+            xfade_ramp=xfade_ramp,
         )
         self._state = state
         self.eq_runtime.after_block(self.block_size)

@@ -836,6 +836,103 @@ def _mac_irfft(fdl: jax.Array, h: jax.Array, wi: jax.Array):
     return fftmm.irfft_mm(Y[:, :, :K], wi)
 
 
+def pad_conv_params(params: ConvParams, partitions: int) -> ConvParams:
+    """Zero-pad a bank's partition count to `partitions` (tail zeros).
+
+    The padded bank is mathematically identical — zero tail partitions
+    convolve nothing — but matches a LARGER delay-line shape, so a
+    shorter-HRIR preset can hot-swap onto an existing carry without
+    reallocating (and, with xfade_conv_params, without resetting) it.
+    Reconstructs the natural-order bank from the stored flip-doubled
+    planes, pads, and re-derives the rotation layout. Padding preserves
+    any lookahead zero tail (zeros extend zeros), but the caller owns the
+    divisibility check for paged lookahead (partitions % M)."""
+    P2 = params.partition_count
+    partitions = int(partitions)
+    if partitions == P2:
+        return params
+    if partitions < P2:
+        raise ValueError(
+            f"pad_conv_params cannot shrink: bank has {P2} partitions, "
+            f"asked for {partitions}"
+        )
+    g_nat = params.Gflip2[:, :, :P2][:, :, ::-1]  # [S, E, P2, K, 2]
+    pad = partitions - P2
+    g_nat = jnp.pad(g_nat, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    g_flip = g_nat[:, :, ::-1]
+    return ConvParams(
+        Gflip2=jnp.concatenate([g_flip, g_flip], axis=2),
+        wf=params.wf,
+        wi=params.wi,
+    )
+
+
+def xfade_conv_params(old: ConvParams, new: ConvParams) -> ConvParams:
+    """Dual-bank params for a glitch-free crossfaded HRIR hot-swap.
+
+    The delay line stores BANK-INDEPENDENT input spectra (u_t = W1 @ b_t —
+    the analysis weights depend only on the block size), so a same-shape
+    bank swap can keep the full input history exactly; the only thing a
+    20 ms crossfade needs is both banks' outputs for the fade window. This
+    stacks the two banks along the EAR axis (E -> 2E; ears [0, E) are OLD,
+    [E, 2E) are NEW), so ANY existing step variant (conv_step,
+    conv_step_rolled, conv_step_paged) runs unchanged, reads the delay
+    line ONCE, and emits y2 [..., 2E, T]; xfade_blend then mixes the
+    halves per sample. Cost: double MAC output columns for the one or two
+    fade rounds — the line read (the dominant term) is not doubled.
+
+    (The reference CANNOT do this: its engines couple input history to the
+    filter and rebuild per activation, HRIRManager.swift:406-415 — every
+    swap truncates the reverb tail. Here the ideal time-varying filter is
+    nearly free.)"""
+    if old.Gflip2.shape != new.Gflip2.shape:
+        raise ValueError(
+            f"crossfade banks must share [S, E, partitions, K]: "
+            f"{old.Gflip2.shape} vs {new.Gflip2.shape} "
+            f"(pad_conv_params can grow the smaller one)"
+        )
+    return ConvParams(
+        Gflip2=jnp.concatenate([old.Gflip2, new.Gflip2], axis=1),
+        wf=new.wf,
+        wi=new.wi,
+    )
+
+
+def xfade_ramp(fade: int, total: int) -> np.ndarray:
+    """Linear blend weights for one crossfade window: [total] f32 rising
+    to 1.0 over the first `fade` samples (the EQ ramp's convention:
+    w[t] = (t+1)/fade, eq_block.eq_step), then holding 1.0."""
+    fade = max(1, int(fade))
+    r = (np.arange(total, dtype=np.float32) + 1.0) / float(fade)
+    return np.minimum(r, 1.0)
+
+
+def xfade_blend(y2: jax.Array, ramp: jax.Array,
+                lane_mask: jax.Array | None = None) -> jax.Array:
+    """Mix a dual-bank step's output halves: y2 [B, 2E, T] (or
+    [B, M, 2E, T]) -> [B, E, T] (or [B, M, E, T]).
+
+    y = y_old * (1 - r) + y_new * r with r the per-sample ramp —
+    `ramp` is [T] for the single-block step or [M*T] spanning the whole
+    round for the paged step. `lane_mask` [B] bool selects which lanes
+    blend; unmasked lanes take the pure NEW half (lanes that already
+    crossfaded, or attached fresh after the swap)."""
+    E = y2.shape[-2] // 2
+    y_old, y_new = y2[..., :E, :], y2[..., E:, :]
+    r = ramp.astype(y2.dtype)
+    if y2.ndim == 4:
+        r = r.reshape(1, y2.shape[1], 1, y2.shape[-1])
+    else:
+        r = r.reshape(1, 1, y2.shape[-1])
+    y = y_old * (1.0 - r) + y_new * r
+    if lane_mask is not None:
+        m = lane_mask.astype(bool).reshape(
+            (y2.shape[0],) + (1,) * (y2.ndim - 1)
+        )
+        y = jnp.where(m, y, y_new)
+    return y
+
+
 def conv_step_rolled(params: ConvParams, state: ConvState, x: jax.Array,
                      active_mask: jax.Array | None = None):
     """Shift-register variant: slot 0 is always the newest block, so streams
