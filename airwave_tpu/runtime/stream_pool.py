@@ -99,7 +99,7 @@ class PoolProfile(NamedTuple):
 
 def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
                    transition_length, eq_enabled, eq_crossfading,
-                   variant=_POOL_STEP):
+                   variant=_POOL_STEP, xfade_ramp=None, xfade_mask=None):
     """One pool round: scatter the harvested rows into the dense batch on
     device, step the masked chain, gather the harvested rows back.
 
@@ -113,6 +113,14 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
     runs the M-block lookahead chain (paged delay line + folded EQ) —
     see _pool_round_paged.
 
+    `xfade_ramp` [round frames] + `xfade_mask` [B] bool run a glitch-free
+    HRIR hot-swap round (StreamPool.set_renderer): conv_params is the
+    dual-ear bank (upols.xfade_conv_params — ear axis doubled, ears [0,2)
+    OLD / [2,4) NEW) over the UNCHANGED delay line, and masked lanes blend
+    old->new per sample before the EQ (unmasked lanes take the pure new
+    half). On a grouped pool only the swapped groups' params are dual;
+    single-bank groups ignore the ramp.
+
     NOTE: the bake path's EQ-into-synthesis fold was measured on the
     SINGLE-block step too and REJECTED (fused 10.5 vs plain 8.5 ms/block
     at B=8192 — the dual projections re-constrain layouts; BENCH_NOTES.md
@@ -122,11 +130,13 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
         return _pool_round_grouped(
             conv_params, eq_from, eq_to, state, blocks, idx,
             transition_length, eq_enabled, eq_crossfading, variant,
+            xfade_ramp, xfade_mask,
         )
     if variant in ("paged", "paged_all", "paged_id"):
         return _pool_round_paged(
             conv_params, eq_from, eq_to, state, blocks, idx,
             transition_length, eq_enabled, eq_crossfading, variant,
+            xfade_ramp, xfade_mask,
         )
     conv_state, eq_state = state
     B = conv_state.fdl.shape[-1]
@@ -150,6 +160,8 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
             x = jnp.zeros((B, S, T), jnp.float32).at[idx].set(
                 blocks, mode="drop")
         conv_state, y = upols.conv_step(conv_params, conv_state, x)
+        if xfade_ramp is not None:
+            y = upols.xfade_blend(y, xfade_ramp, xfade_mask)
         if eq_enabled:
             eq_state, y = eq_block.eq_step(
                 eq_from, eq_to, eq_state, y, transition_length,
@@ -166,6 +178,8 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
         )
     else:
         conv_state, y = upols.conv_step(conv_params, conv_state, x, mask)
+    if xfade_ramp is not None:
+        y = upols.xfade_blend(y, xfade_ramp, xfade_mask)
     if eq_enabled:
         new_eq, y = eq_block.eq_step(
             eq_from, eq_to, eq_state, y, transition_length, eq_crossfading
@@ -182,7 +196,7 @@ def pool_step_body(conv_params, eq_from, eq_to, state, blocks, idx,
 
 def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
                       transition_length, eq_enabled, eq_crossfading,
-                      variant):
+                      variant, xfade_ramp=None, xfade_mask=None):
     """One multi-block pool round (the blocks_per_step=M throughput tier):
     blocks [kb, S, M, T] -> y_rows [kb, M, E, T].
 
@@ -213,7 +227,11 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
     mask = None
     if variant == "paged":
         mask = jnp.zeros((B,), jnp.bool_).at[idx].set(True, mode="drop")
-    if eq_enabled and not eq_crossfading:
+    # A hot-swap round blends the dual bank's halves BEFORE the EQ (the
+    # blended signal drives the EQ state, as a physical time-varying
+    # filter would), so the EQ-into-synthesis fold — which never
+    # materializes the spatial output — is bypassed for that one round.
+    if eq_enabled and not eq_crossfading and xfade_ramp is None:
         conv_state, new_eq, y = eq_block.eq_folded_paged_round(
             conv_params, eq_to, conv_state, eq_state, x, active_mask=mask
         )
@@ -221,6 +239,8 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
         conv_state, y = upols.conv_step_paged(
             conv_params, conv_state, x, active_mask=mask
         )
+        if xfade_ramp is not None:
+            y = upols.xfade_blend(y, xfade_ramp, xfade_mask)
         new_eq = eq_state
         if eq_enabled:
             outs = []
@@ -249,7 +269,7 @@ def _pool_round_paged(conv_params, eq_from, eq_to, state, blocks, idx,
 
 def _pool_round_grouped(conv_params, eq_from, eq_to, state, blocks, idx,
                         transition_length, eq_enabled, eq_crossfading,
-                        variant):
+                        variant, xfade_ramp=None, xfade_mask=None):
     """One round of a PROFILE-GROUPED pool: G independent per-group chains
     over each group's OWN lane state (conv_params / eq_from / eq_to /
     state.conv / state.eq are G-tuples; lane b belongs to group
@@ -282,9 +302,17 @@ def _pool_round_grouped(conv_params, eq_from, eq_to, state, blocks, idx,
         xg = jax.lax.slice_in_dim(x, g * Bg, (g + 1) * Bg, axis=0)
         mg = (None if mask is None
               else jax.lax.slice_in_dim(mask, g * Bg, (g + 1) * Bg, axis=0))
+        # A group mid hot-swap carries the dual-ear bank (ears doubled,
+        # see pool_step_body): blend its halves before the EQ. Single-bank
+        # groups run untouched — dual-ness is a static shape, so the
+        # per-group branch is trace-time.
+        dual = xfade_ramp is not None and conv_params[g].num_ears == 4
+        mxf = (None if not dual or xfade_mask is None
+               else jax.lax.slice_in_dim(xfade_mask, g * Bg, (g + 1) * Bg,
+                                         axis=0))
         es = eq_states[g]
         if paged:
-            if eq_enabled and not eq_crossfading:
+            if eq_enabled and not eq_crossfading and not dual:
                 cs, es, y = eq_block.eq_folded_paged_round(
                     conv_params[g], eq_to[g], conv_states[g], eq_states[g],
                     xg, active_mask=mg,
@@ -293,6 +321,8 @@ def _pool_round_grouped(conv_params, eq_from, eq_to, state, blocks, idx,
                 cs, y = upols.conv_step_paged(
                     conv_params[g], conv_states[g], xg, active_mask=mg
                 )
+                if dual:
+                    y = upols.xfade_blend(y, xfade_ramp, mxf)
                 if eq_enabled:
                     outs_m = []
                     for m in range(y.shape[1]):
@@ -306,6 +336,8 @@ def _pool_round_grouped(conv_params, eq_from, eq_to, state, blocks, idx,
             step = (upols.conv_step_rolled if variant == "rolled"
                     else upols.conv_step)
             cs, y = step(conv_params[g], conv_states[g], xg, mg)
+            if dual:
+                y = upols.xfade_blend(y, xfade_ramp, mxf)
             if eq_enabled:
                 es, y = eq_block.eq_step(
                     eq_from[g], eq_to[g], es, y, transition_length,
@@ -427,6 +459,18 @@ class StreamPool:
                     f"partition counts (HRIR lengths) may differ, each "
                     f"group carries its own delay line"
                 )
+        # The carry's per-group partition count. After a crossfaded
+        # shorter-HRIR hot-swap the ACTIVE bank is the renderer's params
+        # zero-padded onto this (unchanged) carry shape, so it may exceed
+        # the renderer's own partition_count.
+        self._bank_partitions = [r.partition_count for r in self.renderers]
+        # In-flight hot-swap crossfade: the dual-ear bank(s)
+        # (upols.xfade_conv_params; a {group: params} dict on a grouped
+        # pool) plus the host-side per-lane pending mask — a pending lane
+        # blends old->new on its NEXT rendered round, then clears.
+        self._xfade_params = None
+        self._xfade_pending = np.zeros(max_streams, bool)
+        self._xfade_ramp = None
         self._rebuild_conv_params()
         if mesh is not None:
             if tuple(mesh.axis_names) != ("streams",):
@@ -493,20 +537,30 @@ class StreamPool:
         """Device conv params for the round step: the single renderer's, or
         a G-tuple of per-group banks (each group's chain runs single-bank —
         see _pool_round_grouped). Also refreshes the per-lane debt modulus
-        (groups may have different partition counts, hence cycles)."""
+        (groups may have different partition counts, hence cycles).
+
+        Each bank is zero-padded to the CARRY's partition count
+        (_bank_partitions — a no-op except after a crossfaded
+        shorter-HRIR hot-swap, where the padded tail lets the new bank
+        run on the preserved delay line)."""
         if self.groups == 1:
-            self._conv_params = self.renderers[0].conv_params
+            self._conv_params = upols.pad_conv_params(
+                self.renderers[0].conv_params, self._bank_partitions[0]
+            )
         else:
             self._conv_params = tuple(
-                r.conv_params for r in self.renderers
+                upols.pad_conv_params(r.conv_params,
+                                      self._bank_partitions[g])
+                for g, r in enumerate(self.renderers)
             )
         # Per-lane alignment-debt modulus: one full rotation of the lane's
         # own carry is the identity — P2 cursor advances for the ring FDL,
-        # n_pages rounds for the paged line.
+        # n_pages rounds for the paged line. The CARRY's partition count,
+        # not the renderer's.
         M = self.blocks_per_step
         cycles = np.empty(self.max_streams, np.int64)
-        for g, r in enumerate(self.renderers):
-            p = r.conv_params.partition_count
+        for g in range(self.groups):
+            p = self._bank_partitions[g]
             cycles[g * self.group_size:(g + 1) * self.group_size] = (
                 p // M if M > 1 else p
             )
@@ -545,16 +599,19 @@ class StreamPool:
             )
 
     def _fresh_group_conv(self, g: int):
-        """Fresh (zeroed) conv carry for one group's lane segment."""
+        """Fresh (zeroed) conv carry for one group's lane segment, at the
+        ACTIVE bank's partition count (which may exceed the renderer's own
+        after a crossfaded shorter-HRIR swap — _bank_partitions)."""
         r = self.renderers[g]
         lanes = self.group_size if self.groups > 1 else self.max_streams
         if self.blocks_per_step > 1:
             return upols.make_conv_state_paged(
-                lanes, r.num_speakers, r.partition_count,
+                lanes, r.num_speakers, self._bank_partitions[g],
                 self.block_size, self.blocks_per_step,
             )
         return upols.make_conv_state(
-            lanes, r.num_speakers, r.partition_count, self.block_size,
+            lanes, r.num_speakers, self._bank_partitions[g],
+            self.block_size,
         )
 
     def _fresh_state(self) -> PoolState:
@@ -648,13 +705,17 @@ class StreamPool:
         self._out.reset_stream(stream)
         self._reset_state_rows(stream)
         # A zeroed lane is rotation-invariant: valid at any shared-cursor
-        # position, so a fresh stream joins with no alignment debt.
+        # position, so a fresh stream joins with no alignment debt. It
+        # also owes no hot-swap fade: a fresh history hears the active
+        # (new) bank directly.
         self._debt[stream] = 0
+        self._xfade_pending[stream] = False
         return stream
 
     def detach(self, stream: int) -> None:
         if self._attached.pop(stream, None):
             self._attached_mask[stream] = False
+            self._xfade_pending[stream] = False
             self._free_by_group[self.group_of(stream)].append(stream)
             self._pending_out.pop(stream, None)
             self.assembler.reset_stream(stream)
@@ -719,16 +780,39 @@ class StreamPool:
         self._eq_enabled = True
 
     def set_renderer(self, renderer: RendererState,
-                     group: Optional[int] = None) -> None:
-        """HRIR hot-swap: conv history restarts for the affected streams
-        (the reference builds fresh engines per activation). A speaker- or
-        partition-count change reallocates the conv carry.
+                     group: Optional[int] = None,
+                     crossfade: bool = True) -> bool:
+        """HRIR hot-swap. Returns True when the swap CROSSFADED (history
+        preserved), False when it reset.
 
-        On a grouped pool, `group=g` swaps only that profile group's bank
-        and replaces only its own conv carry (each group owns its delay
-        line, so the swap may change the group's partition count — a
-        zeroed lane is rotation-invariant and rejoins with no alignment
-        work)."""
+        With `crossfade=True` (default) a swap whose new bank fits the
+        group's carry (same speakers; partition count <= the carry's, a
+        shorter bank zero-pads) is GLITCH-FREE: the delay line stores
+        bank-independent input spectra, so every lane keeps its full conv
+        history (the reverb tail) exactly, and each pending lane's next
+        rendered round runs the dual-ear bank, blending old->new per
+        sample over min(20 ms, one round) before the EQ — the ideal
+        time-varying filter, which the reference cannot do (its engines
+        couple history to the filter and rebuild per activation,
+        HRIRManager.swift:406-415). Lanes render their fade round
+        whenever they are next harvested (paused lanes fade at rejoin);
+        lanes attached after the swap hear the new bank directly. A
+        second swap while fades are pending is newest-wins: pending lanes
+        re-arm toward the newest bank (a lane that never rendered the
+        earlier fade starts its blend from the newer old-half — a one-
+        round cosmetic, not a state error, since the carry is
+        bank-independent). Alignment debt is untouched — the carry never
+        moves.
+
+        A shape-incompatible swap (more partitions than the carry, or
+        crossfade=False) keeps the reset semantics: conv history restarts
+        for the affected streams and a partition-count change reallocates
+        the group's carry (a zeroed lane is rotation-invariant and
+        rejoins with no alignment work).
+
+        The dual-bank round is a new jit shape; call
+        `prewarm(include_hotswap=True)` at startup to keep the first
+        swap's rounds compile-free."""
         self._check_renderer_lookahead(renderer)
         if self.groups > 1:
             if group is None:
@@ -746,49 +830,96 @@ class StreamPool:
                     f"grouped swap must keep the pool's (speakers, block) "
                     f"= ({cur.num_speakers}, {cur.block_size})"
                 )
-            self.renderers[group] = renderer
-            if group == 0:
-                self.renderer = renderer
-            self._rebuild_conv_params()
-            lo, hi = group * self.group_size, (group + 1) * self.group_size
+            g = group
+        else:
+            if group not in (None, 0):
+                raise ValueError(
+                    f"group {group} out of range for a single-profile pool"
+                )
+            g = 0
+            if renderer.num_speakers != self.renderers[0].num_speakers:
+                raise ValueError(
+                    "renderer speaker count must match the pool's input "
+                    "layout"
+                )
+        old = self.renderers[g]
+        lo, hi = g * self.group_size, (g + 1) * self.group_size
+        can_fade = (
+            crossfade
+            and renderer.num_speakers == old.num_speakers
+            and renderer.partition_count <= self._bank_partitions[g]
+        )
+        self.renderers[g] = renderer
+        if g == 0:
+            self.renderer = renderer
+        if can_fade:
+            old_active = (self._conv_params[g] if self.groups > 1
+                          else self._conv_params)
+            self._rebuild_conv_params()  # pads onto the unchanged carry
+            new_active = (self._conv_params[g] if self.groups > 1
+                          else self._conv_params)
+            dual = upols.xfade_conv_params(old_active, new_active)
+            if self.groups > 1:
+                if not isinstance(self._xfade_params, dict):
+                    self._xfade_params = {}
+                self._xfade_params[g] = dual
+            else:
+                self._xfade_params = dual
+            self._xfade_pending[lo:hi] = self._attached_mask[lo:hi]
+            if self._xfade_ramp is None:
+                L = self.step_frames
+                fade = max(1, int(round(
+                    self.sample_rate
+                    * self.config.crossfade_duration_seconds)))
+                self._xfade_ramp = jnp.asarray(
+                    upols.xfade_ramp(min(fade, L), L)
+                )
+            return True
+        # Reset path: fresh history, carry re-sized to the new bank.
+        self._bank_partitions[g] = renderer.partition_count
+        self._clear_xfade(g)
+        self._rebuild_conv_params()
+        if self.groups > 1:
             conv = tuple(
-                self._place_group_conv(self._fresh_group_conv(group))
-                if i == group else c
+                self._place_group_conv(self._fresh_group_conv(g))
+                if i == g else c
                 for i, c in enumerate(self._state.conv)
             )
             self._state = PoolState(conv=conv, eq=self._state.eq)
-            self._debt[lo:hi] = 0
+        else:
+            cur_carry_p = (
+                len(self._state.conv.pages) * self.blocks_per_step
+                if self.blocks_per_step > 1
+                else self._state.conv.fdl.shape[2]
+            )
+            if (old.num_speakers == renderer.num_speakers
+                    and renderer.partition_count == cur_carry_p):
+                # Same carry shape: zero in place instead of reallocating.
+                reset = (upols.conv_reset_paged if self.blocks_per_step > 1
+                         else upols.conv_reset)
+                self._state = PoolState(
+                    conv=reset(self._state.conv), eq=self._state.eq
+                )
+            else:
+                self._state = PoolState(
+                    conv=self._place(self._fresh_state()).conv,
+                    eq=self._state.eq,
+                )
+        self._debt[lo:hi] = 0
+        return False
+
+    def _clear_xfade(self, group: Optional[int] = None) -> None:
+        """Drop in-flight hot-swap fades (for `group`, or all)."""
+        if group is None or self.groups == 1:
+            self._xfade_params = None
+            self._xfade_pending[:] = False
             return
-        if group not in (None, 0):
-            raise ValueError(
-                f"group {group} out of range for a single-profile pool"
-            )
-        old = self.renderer
-        self.renderer = renderer
-        self.renderers[0] = renderer
-        same_shape = (
-            old.num_speakers == renderer.num_speakers
-            and old.partition_count == renderer.partition_count
-        )
-        if same_shape:
-            self._rebuild_conv_params()
-            reset = (upols.conv_reset_paged if self.blocks_per_step > 1
-                     else upols.conv_reset)
-            self._state = PoolState(
-                conv=reset(self._state.conv), eq=self._state.eq
-            )
-            self._debt[:] = 0
-            return
-        if old.num_speakers != renderer.num_speakers:
-            raise ValueError(
-                "renderer speaker count must match the pool's input layout"
-            )
-        self._rebuild_conv_params()
-        self._state = PoolState(
-            conv=self._place(self._fresh_state()).conv,
-            eq=self._state.eq,
-        )
-        self._debt[:] = 0
+        self._xfade_pending[group * self.group_size:
+                            (group + 1) * self.group_size] = False
+        if isinstance(self._xfade_params, dict):
+            self._xfade_params.pop(group, None)
+            if not self._xfade_params:
+                self._xfade_params = None
 
     # --- checkpoint / resume ----------------------------------------------------------
 
@@ -860,6 +991,11 @@ class StreamPool:
 
         self._state = self._place(state)
         self._debt[:] = debt
+        # An in-flight hot-swap fade is not checkpointed: the carry is
+        # bank-independent, so restored lanes are exact under the active
+        # bank — pending lanes simply complete their fade as a jump (one
+        # round of cosmetic blend forgone, never a state error).
+        self._clear_xfade()
         self._attached = {s: True for s in attached}
         self._attached_mask[:] = False
         self._attached_mask[attached] = True
@@ -908,7 +1044,8 @@ class StreamPool:
             b <<= 1
         return min(b, self.max_streams)
 
-    def prewarm(self, up_to: Optional[int] = None) -> None:
+    def prewarm(self, up_to: Optional[int] = None,
+                include_hotswap: bool = False) -> None:
         """Compile-and-warm every device-step shape serving can hit.
 
         Serving stalls on a mid-flight jit compile are fatal to latency
@@ -925,6 +1062,13 @@ class StreamPool:
         swaps to a different partition/speaker shape. Run prewarm before
         traffic, not during: on tunneled devices the executions are the
         slow/wedge-prone part and belong in startup.
+
+        include_hotswap=True also warms the crossfaded HRIR hot-swap
+        rounds (the dual-ear bank shape — only shapes key the jit cache,
+        so self-crossfade params stand in for any future same-shape
+        swap; per-group patterns on a grouped pool). Without it the first
+        `set_renderer` crossfade after startup pays one compile per
+        bucket it hits.
         """
         limit = self.max_streams if up_to is None else min(
             int(up_to), self.max_streams
@@ -969,16 +1113,34 @@ class StreamPool:
                     ("paged_id",) if paged else
                     (("ring_id",) if _POOL_STEP == "ring" else ())
                 )
+            param_sets = [(self._conv_params, None, None)]
+            if include_hotswap:
+                ramp = jnp.zeros((self.step_frames,), jnp.float32)
+                mask = jnp.zeros((self.max_streams,), jnp.bool_)
+                if self.groups == 1:
+                    dual = upols.xfade_conv_params(self._conv_params,
+                                                   self._conv_params)
+                    param_sets.append((dual, ramp, mask))
+                else:
+                    for gd in range(self.groups):
+                        param_sets.append((tuple(
+                            upols.xfade_conv_params(p, p) if gi == gd else p
+                            for gi, p in enumerate(self._conv_params)
+                        ), ramp, mask))
             for crossfading in crossfades:
                 for variant in variants:
-                    _pool_step(
-                        self._conv_params, eq_p, eq_p, throwaway(),
-                        blocks, idx,
-                        transition_length=self.eq_runtime.transition_length,
-                        eq_enabled=self._eq_enabled,
-                        eq_crossfading=crossfading,
-                        variant=variant,
-                    )
+                    for cp, ramp, mask in param_sets:
+                        _pool_step(
+                            cp, eq_p, eq_p, throwaway(),
+                            blocks, idx,
+                            transition_length=(
+                                self.eq_runtime.transition_length),
+                            eq_enabled=self._eq_enabled,
+                            eq_crossfading=crossfading,
+                            variant=variant,
+                            xfade_ramp=ramp,
+                            xfade_mask=mask,
+                        )
             roll = (_roll_lanes_paged if paged
                     else (_roll_lanes if _POOL_STEP == "ring" else None))
             if roll is not None:
@@ -1177,15 +1339,52 @@ class StreamPool:
                     # the step skips the input scatter + output gather
                     # (two full-batch layout passes).
                     variant = variant[:-3] + "id"
+                # Hot-swap crossfade round: if any harvested lane still
+                # owes its fade, run the dual-ear bank(s) and blend
+                # per lane (pending lanes old->new over the ramp; already-
+                # faded lanes take the pure new half). One round per lane,
+                # whenever that lane is next harvested.
+                conv_params = self._conv_params
+                xfade_ramp = xfade_mask = None
+                if (self._xfade_params is not None
+                        and self._xfade_pending[indices].any()):
+                    if self.groups == 1:
+                        conv_params = self._xfade_params
+                    else:
+                        conv_params = tuple(
+                            self._xfade_params.get(gi, p)
+                            for gi, p in enumerate(self._conv_params)
+                        )
+                    xfade_ramp = self._xfade_ramp
+                    # COPY: jnp.asarray may zero-copy an aligned numpy
+                    # buffer on CPU backends, and _xfade_pending is
+                    # mutated right after this (async) dispatch.
+                    xfade_mask = jnp.asarray(self._xfade_pending.copy())
                 state, y_rows = _pool_step(
-                    self._conv_params, p_from, p_to,
+                    conv_params, p_from, p_to,
                     PoolState(self._state.conv, eq_state),
                     jnp.asarray(blocks), jnp.asarray(idx_up),
                     transition_length=self.eq_runtime.transition_length,
                     eq_enabled=self._eq_enabled,
                     eq_crossfading=crossfading,
                     variant=variant,
+                    xfade_ramp=xfade_ramp,
+                    xfade_mask=xfade_mask,
                 )
+                if xfade_ramp is not None:
+                    self._xfade_pending[indices] = False
+                    live = self._xfade_pending & self._attached_mask
+                    if self.groups == 1:
+                        if not live.any():
+                            self._xfade_params = None
+                    else:
+                        for gi in list(self._xfade_params):
+                            seg = live[gi * self.group_size:
+                                       (gi + 1) * self.group_size]
+                            if not seg.any():
+                                self._xfade_params.pop(gi)
+                        if not self._xfade_params:
+                            self._xfade_params = None
                 self._state = state
                 for rt in self.eq_runtimes:
                     rt.after_block(step_frames)
@@ -1215,6 +1414,7 @@ class StreamPool:
             # stays usable for the next round.
             self._state = self._place(self._fresh_state())
             self._debt[:] = 0
+            self._clear_xfade()  # zeroed histories have nothing to blend
             self.render_errors += 1
             raise
         return rounds
@@ -1314,4 +1514,7 @@ class StreamPool:
             ),
             "eq_transitioning": [rt.is_transitioning
                                  for rt in self.eq_runtimes],
+            "hotswap_fading": int(
+                (self._xfade_pending & self._attached_mask).sum()
+            ),
         }

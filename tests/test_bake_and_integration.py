@@ -74,8 +74,10 @@ def test_pool_renderer_hot_swap():
     pool.pump()
     pool.pull(s, block)
 
-    # Same shape: state reset in place.
-    pool.set_renderer(renderer_with(100, 2))
+    # Same shape, crossfade opted out: state reset in place (the
+    # reference's fresh-engines semantics; the glitch-free default is
+    # differential-tested in test_hotswap.py).
+    assert pool.set_renderer(renderer_with(100, 2), crossfade=False) is False
     pool.push(s, np.zeros((2, block), np.float32))
     pool.pump()
     np.testing.assert_array_equal(pool.pull(s, block), 0)  # fresh history
@@ -92,8 +94,9 @@ def test_config4_resampled_hrir_chain_with_midstream_swap():
     """BASELINE config 4 end-to-end: a 44.1 kHz HRIR preset renders
     through the 48 kHz chain (resampled at preparation), a second preset
     hot-swaps MID-STREAM, and both segments match their own oracle built
-    from the same resampled IRs (the swap restarts conv history, the
-    reference's fresh-engines semantics)."""
+    from the same resampled IRs (crossfade=False restarts conv history —
+    the reference's fresh-engines semantics; the glitch-free crossfaded
+    default is covered in test_hotswap.py)."""
     from airwave_tpu.ops.resample import resample_linear
     from airwave_tpu.runtime.stream_pool import StreamPool
 
@@ -116,7 +119,7 @@ def test_config4_resampled_hrir_chain_with_midstream_swap():
         pool.push(s, sig[:, i * block:(i + 1) * block])
         pool.pump()
     seg1 = pool.pull(s, n * block)
-    pool.set_renderer(r2)  # mid-stream profile hot-swap
+    pool.set_renderer(r2, crossfade=False)  # mid-stream swap, fresh history
     for i in range(n, 2 * n):
         pool.push(s, sig[:, i * block:(i + 1) * block])
         pool.pump()

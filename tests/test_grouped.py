@@ -430,7 +430,9 @@ def test_grouped_pool_set_renderer_resets_only_that_group():
         p0.push(s_r0, sig[0][sl])
         gpool.pump()
         p0.pump()
-    gpool.set_renderer(r1b, group=1)
+    # crossfade=False pins the reset semantics (the crossfaded default is
+    # differential-tested in test_hotswap.py).
+    gpool.set_renderer(r1b, group=1, crossfade=False)
     p1b = StreamPool(2, 48_000.0, r1b, block_size=BLOCK)
     s_r1 = p1b.attach()
     for t in range(3, 6):

@@ -167,6 +167,193 @@ def test_engine_longer_hrir_falls_back_to_reset():
     np.testing.assert_allclose(y, 0.0, atol=1e-6)  # history was dropped
 
 
+# --- StreamPool tiers --------------------------------------------------------
+
+from airwave_tpu.assets import channel_maps as cm  # noqa: E402
+from airwave_tpu.graph.renderer import (  # noqa: E402
+    build_hrir_time_domain, prepare_renderer,
+)
+from airwave_tpu.io.apo import EqualizerDefinition  # noqa: E402
+from airwave_tpu.io.wav import WAVData  # noqa: E402
+from airwave_tpu.runtime.stream_pool import PoolProfile, StreamPool  # noqa: E402
+
+SR48 = 48_000.0
+
+
+def _pool_renderer(seed: int, frames: int = 700, block: int = BLOCK,
+                   lookahead: int = 1):
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal((14, frames)) * 0.2).astype(np.float32)
+    wav = WAVData(SR48, audio)
+    r = prepare_renderer(wav, cm.STEREO, SR48, block, lookahead=lookahead)
+    h = build_hrir_time_domain(wav, cm.STEREO, SR48)
+    return r, h
+
+
+def _lane_ref(x: np.ndarray, h_old: np.ndarray, h_new: np.ndarray,
+              fade_start: int, fade: int) -> np.ndarray:
+    """Per-lane oracle: old/new full-history convolutions blended from
+    the lane's own fade round (the lane's OUTPUT timeline — a paused lane
+    fades at rejoin)."""
+    n = x.shape[-1]
+    r = _ramp(n, fade_start, fade)
+    return (1.0 - r) * _full_conv(x, h_old) + r * _full_conv(x, h_new)
+
+
+def test_pool_ring_crossfade_ragged_pause_matches_oracle():
+    """Single-block serving tier: swap mid-traffic with one lane paused
+    across the swap. Every lane keeps its full history; active lanes
+    blend on the swap round, the paused lane blends at rejoin (after its
+    debt roll), and a lane attached after the swap hears the new bank
+    directly."""
+    rng = np.random.default_rng(21)
+    r_old, h_old = _pool_renderer(31)
+    r_new, h_new = _pool_renderer(32)
+    pool = StreamPool(4, SR48, r_old, block_size=BLOCK)
+    lanes = [pool.attach() for _ in range(3)]
+    sigs = [(rng.standard_normal((2, 12 * BLOCK)) * 0.3).astype(np.float32)
+            for _ in range(4)]
+    sched = {0: set(range(10)), 1: set(range(10)),
+             2: {0, 1, 5, 6, 7, 8, 9}}  # lane 2 pauses across the swap
+    fed = [0, 0, 0, 0]
+    swap_iter = 4
+    late = None
+    for it in range(10):
+        if it == swap_iter:
+            assert pool.set_renderer(r_new) is True
+            assert pool.stats()["hotswap_fading"] == 3
+        if it == 6:
+            late = pool.attach()
+        for i, s in enumerate(lanes):
+            if it in sched[i]:
+                pool.push(s, sigs[i][:, fed[i] * BLOCK:(fed[i] + 1) * BLOCK])
+                fed[i] += 1
+        if late is not None and it >= 6:
+            pool.push(late, sigs[3][:, fed[3] * BLOCK:(fed[3] + 1) * BLOCK])
+            fed[3] += 1
+        pool.pump()
+
+    # fade = min(20 ms @ 48k = 960, one 64-sample round) = 64
+    starts = {0: 4 * BLOCK, 1: 4 * BLOCK, 2: 2 * BLOCK}
+    for i, s in enumerate(lanes):
+        y = pool.pull(s, fed[i] * BLOCK)
+        ref = _lane_ref(sigs[i][:, :fed[i] * BLOCK], h_old, h_new,
+                        starts[i], BLOCK)
+        assert _rel_rms(y, ref) < 1e-5, f"lane {i}"
+    # The late lane never blends: pure new bank over its own history.
+    y = pool.pull(late, fed[3] * BLOCK)
+    ref = _full_conv(sigs[3][:, :fed[3] * BLOCK], h_new)
+    assert _rel_rms(y, ref) < 1e-5
+    # Everyone faded: the dual bank is retired.
+    assert pool._xfade_params is None
+    assert pool.stats()["hotswap_fading"] == 0
+
+
+def test_pool_paged_crossfade_with_folded_eq_matches_oracle():
+    """Multi-block throughput tier (M=4, EQ enabled): the hot-swap round
+    bypasses the EQ-into-synthesis fold for exactly one round (the blend
+    must drive the EQ), then returns to the folded steady state. Oracle:
+    preamp gain applied to the blended full-history convolution."""
+    rng = np.random.default_rng(22)
+    M = 4
+    r_old, h_old = _pool_renderer(33, lookahead=M)
+    r_new, h_new = _pool_renderer(34, lookahead=M)
+    eq = EqualizerDefinition(preamp_db=-6.0)
+    pool = StreamPool(2, SR48, r_old, eq_definition=eq, block_size=BLOCK,
+                      blocks_per_step=M, ring_blocks=64)
+    lanes = [pool.attach() for _ in range(2)]
+    n_rounds, swap_round = 12, 6
+    L = M * BLOCK
+    sigs = [(rng.standard_normal((2, n_rounds * L)) * 0.3).astype(np.float32)
+            for _ in range(2)]
+    for it in range(n_rounds):
+        if it == swap_round:
+            assert pool.set_renderer(r_new) is True
+        for i, s in enumerate(lanes):
+            pool.push(s, sigs[i][:, it * L:(it + 1) * L])
+        pool.pump()
+    gain = 10.0 ** (-6.0 / 20.0)
+    fade = min(int(round(SR48 * 0.020)), L)  # 256 (round-clamped)
+    for i, s in enumerate(lanes):
+        y = pool.pull(s, n_rounds * L)
+        ref = gain * _lane_ref(sigs[i], h_old, h_new, swap_round * L, fade)
+        # Skip the pool's initial unity->preamp EQ ramp (960 samples at
+        # 48 kHz); everything after is steady-state EQ.
+        cut = 4 * L
+        assert _rel_rms(y[:, cut:], ref[:, cut:]) < 1e-5, f"lane {i}"
+    assert pool._xfade_params is None
+
+
+def test_pool_grouped_crossfade_swaps_one_group_only():
+    """Grouped multi-tenant pool: group 1 hot-swaps (dual bank, blend);
+    group 0's lanes keep rendering their own bank untouched."""
+    rng = np.random.default_rng(23)
+    r_a, h_a = _pool_renderer(35)
+    r_b, h_b = _pool_renderer(36)
+    r_b2, h_b2 = _pool_renderer(37)
+    pool = StreamPool(4, SR48, profiles=[PoolProfile(r_a), PoolProfile(r_b)],
+                      block_size=BLOCK)
+    s0 = pool.attach(group=0)
+    s1 = pool.attach(group=1)
+    sigs = [(rng.standard_normal((2, 8 * BLOCK)) * 0.3).astype(np.float32)
+            for _ in range(2)]
+    for it in range(8):
+        if it == 3:
+            assert pool.set_renderer(r_b2, group=1) is True
+            assert pool.stats()["hotswap_fading"] == 1
+        pool.push(s0, sigs[0][:, it * BLOCK:(it + 1) * BLOCK])
+        pool.push(s1, sigs[1][:, it * BLOCK:(it + 1) * BLOCK])
+        pool.pump()
+    y0 = pool.pull(s0, 8 * BLOCK)
+    y1 = pool.pull(s1, 8 * BLOCK)
+    assert _rel_rms(y0, _full_conv(sigs[0], h_a)) < 1e-5
+    ref1 = _lane_ref(sigs[1], h_b, h_b2, 3 * BLOCK, BLOCK)
+    assert _rel_rms(y1, ref1) < 1e-5
+    assert pool._xfade_params is None
+
+
+def test_pool_shorter_hrir_pads_longer_resets():
+    """A shorter new bank crossfades onto the padded carry; a longer one
+    reports a reset (False) and reallocates."""
+    rng = np.random.default_rng(24)
+    r_old, h_old = _pool_renderer(38, frames=700)
+    r_short, h_short = _pool_renderer(39, frames=300)
+    r_long, _ = _pool_renderer(40, frames=2000)
+    pool = StreamPool(2, SR48, r_old, block_size=BLOCK)
+    s = pool.attach()
+    sig = (rng.standard_normal((2, 8 * BLOCK)) * 0.3).astype(np.float32)
+    for it in range(8):
+        if it == 3:
+            assert pool.set_renderer(r_short) is True  # pads 5 -> 11 slots
+        pool.push(s, sig[:, it * BLOCK:(it + 1) * BLOCK])
+        pool.pump()
+    y = pool.pull(s, 8 * BLOCK)
+    ref = _lane_ref(sig, h_old, h_short, 3 * BLOCK, BLOCK)
+    assert _rel_rms(y, ref) < 1e-5
+    assert pool.set_renderer(r_long) is False  # grows: reset semantics
+    assert pool._xfade_params is None
+
+
+def test_pool_prewarm_include_hotswap_smoke():
+    """prewarm(include_hotswap=True) compiles the dual-bank rounds; a
+    subsequent swap + pump stays correct."""
+    rng = np.random.default_rng(25)
+    r_old, h_old = _pool_renderer(41)
+    r_new, h_new = _pool_renderer(42)
+    pool = StreamPool(2, SR48, r_old, block_size=BLOCK)
+    pool.prewarm(include_hotswap=True)
+    s = pool.attach()
+    sig = (rng.standard_normal((2, 6 * BLOCK)) * 0.3).astype(np.float32)
+    for it in range(6):
+        if it == 2:
+            assert pool.set_renderer(r_new) is True
+        pool.push(s, sig[:, it * BLOCK:(it + 1) * BLOCK])
+        pool.pump()
+    y = pool.pull(s, 6 * BLOCK)
+    ref = _lane_ref(sig, h_old, h_new, 2 * BLOCK, BLOCK)
+    assert _rel_rms(y, ref) < 1e-5
+
+
 def test_pad_conv_params_is_mathematically_identity():
     """Padded bank == unpadded bank on the same input (tail partitions
     convolve nothing)."""
