@@ -290,6 +290,20 @@ class RenderServer:
                 pass
         for thread in threads:
             thread.join(timeout=5)
+        # Belt and braces for the register-after-snapshot race (see
+        # _serve_client's _stopping check): any conn that slipped in
+        # between the snapshot and the handlers observing _stopping gets
+        # its shutdown() now, then one more join pass.
+        with self._threads_lock:
+            stragglers = [c for c in self._conns if c not in conns]
+            late_threads = [t for t in self._threads if t not in threads]
+        for conn in stragglers:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+        for thread in late_threads:
+            thread.join(timeout=5)
         if self._pump_thread is not None:
             self._pump_thread.join(timeout=5)
 
@@ -387,6 +401,19 @@ class RenderServer:
         clean = False
         suppress_eof = False
         with self._threads_lock:
+            # A connection accepted in the same instant stop() fired
+            # would register AFTER stop()'s _conns snapshot and never get
+            # the shutdown() wake-up — its recv() could ride out the full
+            # client_timeout past the join pass. _stopping is set before
+            # stop() takes this lock, so checking it under the lock
+            # closes the window: either stop() sees this conn, or this
+            # thread sees _stopping.
+            if self._stopping:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
             self._conns.add(conn)
         try:
             conn.settimeout(self.client_timeout)

@@ -297,6 +297,14 @@ def checkpoint_path(path: str) -> str:
 POOL_SNAPSHOT_SCHEMA = 2
 
 
+class SnapshotCompatError(ValueError):
+    """A pool snapshot from an incompatible format generation (schema or
+    carry mismatch). Subclasses ValueError so existing move-aside handlers
+    (shell/app.py serve resume) keep working; exists as its own type so
+    the loader can tell its OWN versioned errors from raw structural
+    mismatches and never re-wrap one."""
+
+
 def _carry_format(state_tree) -> str:
     """Structural tag for a pool carry, independent of the schema counter:
     the sorted leaf-field names of the carried state tree. Catches a
@@ -355,6 +363,15 @@ def _migrate_full_window_snapshot(path: str, pool, like):
                     "debt": like["debt"]}
         data, meta = load_pytree(path, like_old, with_extra=True)
     except (ValueError, KeyError):
+        return None
+    # A pre-versioning file that lacks any of the control-metadata keys
+    # this build restores is from an even earlier generation than the
+    # round-3 one-file format; fall through to the versioned error rather
+    # than raising a raw KeyError (shell/app.py's move-aside path catches
+    # ValueError).
+    if not isinstance(meta, dict) or not (
+        {"attached", "eq_enabled", "groups", "eq_runtime"} <= meta.keys()
+    ):
         return None
 
     debt = np.asarray(data["debt"], np.int64)
@@ -458,7 +475,7 @@ def load_pool_snapshot(path: str, pool) -> dict:
             # half-window carry; its control metadata is not in the
             # archive, so it cannot be restored by this build even if
             # the arrays happened to match.
-            raise ValueError(
+            raise SnapshotCompatError(
                 f"{checkpoint_path(path)}: checkpoint schema 1 (sidecar "
                 "layout, full-window era) is incompatible with schema "
                 f"{POOL_SNAPSHOT_SCHEMA}. Re-create the snapshot with "
@@ -467,7 +484,7 @@ def load_pool_snapshot(path: str, pool) -> dict:
         if "schema" not in meta:
             return  # pre-versioning one-file format: structure decides
         if meta["schema"] != POOL_SNAPSHOT_SCHEMA:
-            raise ValueError(
+            raise SnapshotCompatError(
                 f"{checkpoint_path(path)}: checkpoint schema "
                 f"{meta['schema']} is incompatible with this build's "
                 f"schema {POOL_SNAPSHOT_SCHEMA}. Re-create the snapshot "
@@ -475,7 +492,7 @@ def load_pool_snapshot(path: str, pool) -> dict:
                 "it."
             )
         if meta.get("carry", expected_carry) != expected_carry:
-            raise ValueError(
+            raise SnapshotCompatError(
                 f"{checkpoint_path(path)}: checkpoint carry format "
                 f"{meta['carry']!r} does not match this build's "
                 f"{expected_carry!r} at schema {POOL_SNAPSHOT_SCHEMA} — "
@@ -488,6 +505,8 @@ def load_pool_snapshot(path: str, pool) -> dict:
         data, meta = load_pytree(path, like, with_extra=True,
                                  extra_check=_schema_check)
     except ValueError as exc:
+        if isinstance(exc, SnapshotCompatError):
+            raise  # already one of our versioned errors — never re-wrap
         meta = seen.get("meta")
         if meta is not None and "schema" not in meta:
             # Pre-versioning one-file format whose arrays do NOT match
@@ -500,7 +519,7 @@ def load_pool_snapshot(path: str, pool) -> dict:
             migrated = _migrate_full_window_snapshot(path, pool, like)
             if migrated is not None:
                 return migrated
-            raise ValueError(
+            raise SnapshotCompatError(
                 f"{checkpoint_path(path)}: checkpoint predates schema "
                 "versioning and its carry neither matches this build "
                 "nor fits the round-3 full-window layout this build "
@@ -509,7 +528,22 @@ def load_pool_snapshot(path: str, pool) -> dict:
                 "the snapshot with this build, or read it with the "
                 f"build that wrote it. (Underlying mismatch: {exc})"
             ) from exc
-        raise
+        # Same schema AND same carry tag, yet the arrays still don't
+        # match: either this pool is constructed differently from the
+        # writer (lanes / block size / IR partitions / groups), or a
+        # carry relayout kept the leaf field names while changing
+        # shapes/axis order without a schema bump. Either way the
+        # docstring's contract holds — versioned and actionable, never a
+        # raw treedef/shape traceback.
+        raise SnapshotCompatError(
+            f"{checkpoint_path(path)}: checkpoint matches this build's "
+            f"schema {POOL_SNAPSHOT_SCHEMA} and carry format but its "
+            "arrays do not fit this pool — the writing pool was "
+            "constructed differently (lanes, block size, IR partitions, "
+            "profile groups), or the carry layout changed without a "
+            "schema bump. Load it with an identically-constructed pool, "
+            f"or re-create the snapshot. (Underlying mismatch: {exc})"
+        ) from exc
     snap = {
         "state": data["state"],
         "debt": data["debt"],

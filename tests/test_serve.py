@@ -1053,6 +1053,39 @@ def test_checkpoint_schema_versioning(tmp_path):
     fresh.restore(load_pool_snapshot(real, fresh))
     assert len(fresh._attached) == 1
 
+    # 7. Same schema AND carry tag but a differently-constructed pool
+    # (here: lane count) — still a versioned, actionable error, never
+    # the raw treedef/shape traceback (the tag only hashes leaf NAMES,
+    # so shape mismatches must be upgraded at the catch site).
+    from airwave_tpu.utils.checkpoint import SnapshotCompatError
+    other = StreamPool(8, 48_000.0, renderer, block_size=BLOCK)
+    mism = str(tmp_path / "mism")
+    save_pool_snapshot(mism, other.snapshot())
+    with pytest.raises(SnapshotCompatError, match="constructed differently"):
+        load_pool_snapshot(mism, pool)
+
+    # 8. A pre-versioning file whose ARRAYS fit the migratable round-3
+    # full-window layout but whose control metadata is from an even
+    # older generation (missing required keys) falls through to the
+    # versioned error — never a raw KeyError (serve's move-aside path
+    # catches ValueError).
+    import jax
+
+    from airwave_tpu.utils import checkpoint as _ckpt_mod
+    state_now = jax.tree_util.tree_map(np.asarray, pool._state)
+    kp, S, p2, c, B = state_now.conv.fdl.shape
+    legacy_conv = _ckpt_mod._LegacyConvState(
+        fdl=np.zeros((kp, S, p2 - 1, c, B), np.float32),
+        overlap=np.zeros((B, S, BLOCK), np.float32),
+        write_pos=np.zeros((), np.int32),
+    )
+    ancient = str(tmp_path / "ancient")
+    save_pytree(ancient, {"state": state_now._replace(conv=legacy_conv),
+                          "debt": np.asarray(pool._debt)},
+                extra_json={"eq_enabled": True})  # no attached/groups/...
+    with pytest.raises(ValueError, match="predates schema versioning"):
+        load_pool_snapshot(ancient, pool)
+
 
 def test_incompatible_checkpoint_degrades_to_fresh_start(tmp_path):
     """A serve checkpoint whose pool layout no longer matches (e.g. a
