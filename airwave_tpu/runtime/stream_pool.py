@@ -470,6 +470,12 @@ class StreamPool:
         # blends old->new on its NEXT rendered round, then clears.
         self._xfade_params = None
         self._xfade_pending = np.zeros(max_streams, bool)
+        # Lanes attached since the last device-state reset flush. attach()
+        # is O(1) host bookkeeping; the zeroing of a fresh lane's carry
+        # rows batches into ONE masked device op at the next pump round
+        # (or any state read) — a 1,000-client connect ramp costs one
+        # reset pass per round, not one full-tensor op per attach.
+        self._reset_pending = np.zeros(max_streams, bool)
         self._xfade_ramp = None
         self._rebuild_conv_params()
         if mesh is not None:
@@ -703,7 +709,10 @@ class StreamPool:
         self._attached_mask[stream] = True
         self.assembler.reset_stream(stream)
         self._out.reset_stream(stream)
-        self._reset_state_rows(stream)
+        # The device-row zeroing is DEFERRED and batched: see
+        # _flush_attach_resets (pump flushes before every round, so the
+        # lane's previous-tenant garbage can never reach a render).
+        self._reset_pending[stream] = True
         # A zeroed lane is rotation-invariant: valid at any shared-cursor
         # position, so a fresh stream joins with no alignment debt. It
         # also owes no hot-swap fade: a fresh history hears the active
@@ -721,17 +730,19 @@ class StreamPool:
             self.assembler.reset_stream(stream)
             self._out.reset_stream(stream)
 
-    def _reset_state_rows(self, stream: int) -> None:
+    def _flush_attach_resets(self) -> None:
+        """Zero the carry rows of every lane attached since the last
+        flush, as ONE masked device op per affected group. Runs before
+        every pump round and before any whole-state read (snapshot,
+        set_renderer), so deferred garbage can never reach a render, a
+        checkpoint, or a fade decision — while a connect ramp of K
+        attaches costs one batched pass, not K full-tensor ops."""
+        if not self._reset_pending.any():
+            return
         reset = (upols.conv_reset_paged if self.blocks_per_step > 1
                  else upols.conv_reset)
-        g = self.group_of(stream)
-        lanes = self.group_size if self.groups > 1 else self.max_streams
-        mask = np.zeros(lanes, bool)
-        mask[stream - g * self.group_size if self.groups > 1
-             else stream] = True
-        m = jnp.asarray(mask)
 
-        def reset_rows(conv, eq_state):
+        def reset_rows(conv, eq_state, m):
             eq = eq_block.eq_reset(eq_state, m)
             # A fresh lane hears the ACTIVE target directly (the reference
             # prepares new EqualizerState at the current target — no ramp
@@ -742,16 +753,25 @@ class StreamPool:
             )
             return reset(conv, m), eq
 
+        # COPY the masks: jnp.asarray may zero-copy an aligned numpy
+        # buffer on CPU backends, and _reset_pending is cleared right
+        # after these (async) dispatches.
         if self.groups == 1:
-            conv, eq = reset_rows(self._state.conv, self._state.eq)
+            m = jnp.asarray(self._reset_pending.copy())
+            conv, eq = reset_rows(self._state.conv, self._state.eq, m)
             self._state = PoolState(conv=conv, eq=eq)
-            return
-        conv_g, eq_g = reset_rows(self._state.conv[g], self._state.eq[g])
-        conv = tuple(conv_g if i == g else c
-                     for i, c in enumerate(self._state.conv))
-        eq = tuple(eq_g if i == g else e
-                   for i, e in enumerate(self._state.eq))
-        self._state = PoolState(conv=conv, eq=eq)
+        else:
+            conv = list(self._state.conv)
+            eq = list(self._state.eq)
+            for g in range(self.groups):
+                seg = self._reset_pending[g * self.group_size:
+                                          (g + 1) * self.group_size]
+                if not seg.any():
+                    continue
+                conv[g], eq[g] = reset_rows(conv[g], eq[g],
+                                            jnp.asarray(seg.copy()))
+            self._state = PoolState(conv=tuple(conv), eq=tuple(eq))
+        self._reset_pending[:] = False
 
     # --- control ----------------------------------------------------------------------
 
@@ -814,6 +834,10 @@ class StreamPool:
         `prewarm(include_hotswap=True)` at startup to keep the first
         swap's rounds compile-free."""
         self._check_renderer_lookahead(renderer)
+        # Deferred attach zeroing must land before fade marking / carry
+        # surgery: a pending lane's garbage rows must never be preserved
+        # by a crossfade or ride into a reallocated carry.
+        self._flush_attach_resets()
         if self.groups > 1:
             if group is None:
                 raise ValueError(
@@ -943,6 +967,7 @@ class StreamPool:
         live RenderServer checkpoints under its pump lock): copy under
         the lock, np.asarray/save outside it. The copies are safe against
         the step's carry donation (they are distinct buffers)."""
+        self._flush_attach_resets()  # a checkpoint never carries garbage
         snap = {
             "state": jax.tree_util.tree_map(
                 (np.asarray if materialize else jnp.copy), self._state
@@ -991,6 +1016,9 @@ class StreamPool:
 
         self._state = self._place(state)
         self._debt[:] = debt
+        # The restored carry is authoritative: any attach-reset still
+        # pending against the PREVIOUS state must not zero restored rows.
+        self._reset_pending[:] = False
         # An in-flight hot-swap fade is not checkpointed: the carry is
         # bank-independent, so restored lanes are exact under the active
         # bank — pending lanes simply complete their fade as a jump (one
@@ -1227,8 +1255,14 @@ class StreamPool:
                            or rt.pending_target is not None)
         return tuple(states), tuple(froms), tuple(tos), crossfading
 
-    def pump(self, max_rounds: int = 64) -> int:
+    def pump(self, max_rounds: int = 64, on_deliver=None) -> int:
         """Render while any stream has a full block. Returns rounds run.
+
+        `on_deliver`, if given, is invoked (host-side, no arguments) right
+        after each round's output lands in the output rings — the hook a
+        serving frontend uses to wake its delivery path per round instead
+        of per pump() call (a sustained pump() can run up to `max_rounds`
+        rounds before returning).
 
         Per round, only the harvested rows cross the host<->device
         boundary (blocks + indices up, rendered rows down — the dense
@@ -1249,6 +1283,9 @@ class StreamPool:
         roll_fn = _roll_lanes_paged if paged else _roll_lanes
         try:
             while rounds < max_rounds and self.assembler.ready_count() > 0:
+                # Batched zeroing of lanes attached since the last round
+                # (attach defers its device work here).
+                self._flush_attach_resets()
                 # Only harvest streams whose output ring can take the
                 # rendered step — a slow reader's stream stays
                 # un-harvested (and its producer eventually sees
@@ -1395,6 +1432,8 @@ class StreamPool:
                     prev_idx, prev_rows = pending
                     self._deliver(prev_idx, prev_rows)
                     inflight[prev_idx] = False
+                    if on_deliver is not None:
+                        on_deliver()
                 pending = (indices, y_rows)
                 inflight[indices] = True
                 self.rounds += 1
@@ -1404,6 +1443,8 @@ class StreamPool:
                 prev_idx, prev_rows = pending
                 pending = None
                 self._deliver(prev_idx, prev_rows)
+                if on_deliver is not None:
+                    on_deliver()
         except Exception:
             # The step donates the carry, so after a device failure the
             # old buffers may already be consumed — rebuild fresh
@@ -1414,6 +1455,7 @@ class StreamPool:
             # stays usable for the next round.
             self._state = self._place(self._fresh_state())
             self._debt[:] = 0
+            self._reset_pending[:] = False  # fresh state is already zero
             self._clear_xfade()  # zeroed histories have nothing to blend
             self.render_errors += 1
             raise

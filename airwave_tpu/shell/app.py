@@ -419,7 +419,8 @@ def cmd_serve(args) -> int:
     resumed, orphan_tokens = restore_serve_checkpoint(ckpt, pool)
     server = RenderServer(pool, host=args.host, port=args.port,
                           resume_grace=getattr(args, "resume_grace", 30.0),
-                          orphan_tokens=orphan_tokens)
+                          orphan_tokens=orphan_tokens,
+                          io_mode=getattr(args, "io_mode", "selector"))
     server.start()
     print(json.dumps({"listening": list(server.address),
                       "max_streams": args.max_streams,
@@ -585,6 +586,11 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--resume-grace", type=float, default=30.0,
                        help="seconds a restored lane stays claimable "
                             "before it is detached")
+    serve.add_argument("--io-mode", choices=["selector", "thread"],
+                       default="selector",
+                       help="data plane: 'selector' (one epoll IO thread, "
+                            "the O(1000)-connection path, default) or "
+                            "'thread' (thread-per-connection)")
     serve.add_argument("--stats-interval", type=float, default=0.0,
                        help="seconds between JSON stats lines on stdout "
                             "(0 = off): server counters + pool occupancy/"

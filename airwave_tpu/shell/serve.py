@@ -6,11 +6,31 @@ float32 PCM chunks; the server renders them through a shared StreamPool
 This is the production analog of the reference's CoreAudio transport: the
 socket replaces the HAL callback; everything downstream is the same graph.
 
-Batching: connection threads only do socket IO and ring pushes; ONE pump
+Batching: connection IO only does socket work and ring pushes; ONE pump
 thread drains every connection's pending input into shared device steps, so
 N concurrent clients ride the same `_pool_step` per block instead of
 serializing N separate steps (the pool's whole purpose). A short batch
-window lets concurrent pushes coalesce before the pump fires.
+window lets concurrent pushes coalesce before the pump fires, and the pump
+runs at most one bounded burst per window (unthrottled straggler-chasing
+degenerates into many small-bucket rounds at 100% duty).
+
+Two data planes (io_mode):
+  "selector" (default): ONE IO thread owns every client socket via
+    epoll/kqueue; per-connection state machines; the pump signals the IO
+    thread after each render round, so delivery is render-completion-
+    driven. Measured on a 1-core loopback (BENCH_NOTES "Round 5"):
+    1,024 concurrent paced clients complete with zero failures at both
+    realtime and wire-isolated pacing; wire-to-wire latency ~2.5x lower
+    than thread mode at 32 clients (9.0 vs 22.3 ms server p50) and
+    ~10-25% lower at 1,024 — and it is structurally O(1) threads
+    (thread mode's 1,024 handler threads each carry a stack + GIL
+    scheduling load the selector plane never pays).
+  "thread": thread-per-connection, blocking IO, delivery rides inbound
+    messages. The simplest-possible reference plane; kept as the
+    comparison baseline and for debugging single connections.
+Both planes share admission (_admit), wire limits, the underflow/EOF/
+truncation contract, latency accounting, and backpressure semantics; the
+full behavioral test suite runs against each (tests/test_serve.py).
 
 Wire protocol (little-endian):
   client -> server:  one JSON line {"channels": C[, "group": G]
@@ -56,6 +76,7 @@ import collections
 import hmac
 import json
 import secrets
+import selectors
 import socket
 import threading
 import time
@@ -87,8 +108,13 @@ class RenderServer:
         max_message_frames: Optional[int] = None,
         resume_grace: float = 30.0,
         orphan_tokens: Optional[dict] = None,
+        io_mode: str = "selector",
     ) -> None:
+        if io_mode not in ("thread", "selector"):
+            raise ValueError(f"io_mode must be 'thread' or 'selector', "
+                             f"got {io_mode!r}")
         self.pool = pool
+        self.io_mode = io_mode
         self.client_timeout = float(client_timeout)
         self.batch_window = float(batch_window)
         self.resume_grace = float(resume_grace)
@@ -155,14 +181,30 @@ class RenderServer:
         self._lat_lock = threading.Lock()
         self._lat_samples: collections.deque = collections.deque(maxlen=4096)
         self._lat_count = 0
+        # Selector data plane (io_mode="selector"): one IO thread owns
+        # every client socket; the pump thread signals it through a
+        # socketpair after each render round so delivery is
+        # render-completion-driven, not inbound-triggered.
+        self._sel_conns: set = set()
+        self._io_thread: Optional[threading.Thread] = None
+        self._wake_r: Optional[socket.socket] = None
+        self._wake_w: Optional[socket.socket] = None
 
     def start(self) -> None:
         self._pump_thread = threading.Thread(target=self._pump_loop,
                                              daemon=True)
         self._pump_thread.start()
-        self._accept_thread = threading.Thread(target=self._accept_loop,
+        if self.io_mode == "selector":
+            self._wake_r, self._wake_w = socket.socketpair()
+            self._wake_r.setblocking(False)
+            self._wake_w.setblocking(False)
+            self._io_thread = threading.Thread(target=self._io_loop,
                                                daemon=True)
-        self._accept_thread.start()
+            self._io_thread.start()
+        else:
+            self._accept_thread = threading.Thread(target=self._accept_loop,
+                                                   daemon=True)
+            self._accept_thread.start()
 
     def set_equalizer(self, definition, group: Optional[int] = None) -> None:
         """Live EQ retarget, serialized against the pump thread (the
@@ -231,8 +273,11 @@ class RenderServer:
         with self._lock:
             pool = self.pool.stats()
             orphans = len(self._orphans)
-        with self._threads_lock:
-            live = sum(t.is_alive() for t in self._threads)
+        if self.io_mode == "selector":
+            live = len(self._sel_conns)
+        else:
+            with self._threads_lock:
+                live = sum(t.is_alive() for t in self._threads)
         return {
             "latency": self.latency_stats(),
             "connections_served": self.connections_served,
@@ -278,6 +323,23 @@ class RenderServer:
         except OSError:
             pass
         self._data_ready.set()
+        if self._io_thread is not None:
+            # Selector data plane: the IO thread owns every client socket;
+            # wake it (it observes _stopping, tears down all connections)
+            # and join. No per-connection threads exist in this mode.
+            try:
+                self._wake_w.send(b"\x00")
+            except (BlockingIOError, OSError):
+                pass
+            self._io_thread.join(timeout=5)
+            for s in (self._wake_r, self._wake_w):
+                try:
+                    s.close()
+                except OSError:
+                    pass
+            if self._pump_thread is not None:
+                self._pump_thread.join(timeout=5)
+            return
         if self._accept_thread is not None:
             self._accept_thread.join(timeout=5)
         with self._threads_lock:
@@ -321,9 +383,27 @@ class RenderServer:
                 time.sleep(self.batch_window)
             self._data_ready.clear()
             try:
+                # ONE bounded burst per batch window. Two disciplines at
+                # once: (a) the lock hold is capped at 4 device rounds, so
+                # pushes/pulls (and the selector delivery pass) are never
+                # convoyed behind a long catch-up pump; (b) stragglers that
+                # arrive DURING a round wait for the next window instead of
+                # being chased with tiny follow-on rounds — unthrottled
+                # chasing degenerates into many small-bucket steps at 100%
+                # duty (a small-bucket round costs nearly as much as a
+                # full one), which is exactly how a loaded server falls off
+                # the batching cliff. on_deliver wakes the selector IO
+                # thread per ROUND, so rendered audio leaves for the wire
+                # as each round lands.
+                on_deliver = (self._wake_io if self._wake_w is not None
+                              else None)
+                leftover = False
                 with self._lock:
                     if self.pool.assembler.ready_count() > 0:
-                        self.pool.pump()
+                        self.pool.pump(max_rounds=4, on_deliver=on_deliver)
+                        leftover = self.pool.assembler.ready_count() > 0
+                if leftover:
+                    self._data_ready.set()  # next window picks it up
             except Exception:
                 # The pump thread must survive anything a render round can
                 # throw (e.g. transient device errors) — a dead pump wedges
@@ -338,6 +418,18 @@ class RenderServer:
             with self._pump_cond:
                 self._pump_generation += 1
                 self._pump_cond.notify_all()
+            if self._wake_w is not None:
+                self._wake_io()
+
+    def _wake_io(self) -> None:
+        """Render-completion signal to the selector IO thread: it runs a
+        delivery pass (pull rendered audio to write buffers, retry stalled
+        pushes, complete flushes). A full pipe is fine — one pending byte
+        already means "run a pass"."""
+        try:
+            self._wake_w.send(b"\x00")
+        except (BlockingIOError, OSError):
+            pass
 
     def _expire_orphans(self) -> None:
         """Detach restart orphans nobody resumed within the grace window."""
@@ -365,6 +457,76 @@ class RenderServer:
             return self._pump_generation
 
     # --- connection handling --------------------------------------------------
+
+    def _admit(self, header) -> Optional[tuple]:
+        """Validate a parsed header and attach (or resume) a lane.
+
+        Returns (stream, token, group, channels) on success, None after
+        counting the protocol error / full-pool rejection. Shared by both
+        data planes (thread-per-connection and selector), so admission
+        semantics — group bounds, channel-count check against the group's
+        live renderer, token-authenticated orphan resume, clean full-pool
+        refusal — can never diverge between them."""
+        if not isinstance(header, dict):
+            self.protocol_errors += 1
+            return None
+        try:
+            channels = int(header.get("channels", 2))
+            group = int(header.get("group", 0))
+            resume = header.get("resume")
+            resume = None if resume is None else int(resume)
+        except (TypeError, ValueError):
+            self.protocol_errors += 1
+            return None
+        if resume is not None:
+            # Resuming fixes the lane, which fixes the group.
+            group = self.pool.group_of(resume)
+        if not (0 <= group < self.pool.groups):
+            self.protocol_errors += 1
+            return None
+        with self._lock:
+            # The group's renderer is read under the pool lock so a
+            # concurrent set_renderer(group=...) cannot race the
+            # admission check against a stale layout.
+            renderer = self.pool.renderers[group]
+            if channels not in (1, renderer.num_speakers,
+                                renderer.layout_channels):
+                self.protocol_errors += 1
+                return None
+            if resume is not None:
+                # Only restart orphans are claimable, and only with
+                # the lane's resume token (lane ids are guessable
+                # ints): live lanes can never be hijacked, a wrong or
+                # missing token is an error, and a failed attempt
+                # does NOT consume the orphan.
+                want_tok = self._lane_tokens.get(resume)
+                got_tok = header.get("token")
+                # Compare ENCODED bytes: compare_digest raises
+                # TypeError on non-ASCII str input, which a hostile
+                # header could use to kill this serving thread.
+                if (resume not in self._orphans
+                        or want_tok is None
+                        or not isinstance(got_tok, str)
+                        or not hmac.compare_digest(
+                            want_tok.encode(), got_tok.encode())):
+                    self.protocol_errors += 1
+                    return None
+                self._orphans.pop(resume, None)
+                stream = resume
+                token = want_tok
+                self.resumed_streams += 1
+            else:
+                try:
+                    stream = self.pool.attach(group)
+                except RuntimeError:
+                    # Pool at max_streams: refuse THIS client cleanly
+                    # instead of killing its serving thread.
+                    self.rejected_full += 1
+                    return None
+                token = secrets.token_hex(16)
+                self._lane_tokens[stream] = token
+            self.connections_served += 1
+        return stream, token, group, channels
 
     def _accept_loop(self) -> None:
         while not self._stopping:
@@ -427,67 +589,11 @@ class RenderServer:
                     self.protocol_errors += 1
                     return
             header = json.loads(header_bytes.decode())
-            if not isinstance(header, dict):
-                self.protocol_errors += 1
+            admitted = self._admit(header)
+            if admitted is None:
                 return  # finally sends the clean EOF frame
-            try:
-                channels = int(header.get("channels", 2))
-                group = int(header.get("group", 0))
-                resume = header.get("resume")
-                resume = None if resume is None else int(resume)
-            except (TypeError, ValueError):
-                self.protocol_errors += 1
-                return
-            if resume is not None:
-                # Resuming fixes the lane, which fixes the group.
-                group = self.pool.group_of(resume)
-            if not (0 <= group < self.pool.groups):
-                self.protocol_errors += 1
-                return
-
-            with self._lock:
-                # The group's renderer is read under the pool lock so a
-                # concurrent set_renderer(group=...) cannot race the
-                # admission check against a stale layout.
-                renderer = self.pool.renderers[group]
-                if channels not in (1, renderer.num_speakers,
-                                    renderer.layout_channels):
-                    self.protocol_errors += 1
-                    return
-                if resume is not None:
-                    # Only restart orphans are claimable, and only with
-                    # the lane's resume token (lane ids are guessable
-                    # ints): live lanes can never be hijacked, a wrong or
-                    # missing token is an error, and a failed attempt
-                    # does NOT consume the orphan.
-                    want_tok = self._lane_tokens.get(resume)
-                    got_tok = header.get("token")
-                    # Compare ENCODED bytes: compare_digest raises
-                    # TypeError on non-ASCII str input, which a hostile
-                    # header could use to kill this serving thread.
-                    if (resume not in self._orphans
-                            or want_tok is None
-                            or not isinstance(got_tok, str)
-                            or not hmac.compare_digest(
-                                want_tok.encode(), got_tok.encode())):
-                        self.protocol_errors += 1
-                        return
-                    self._orphans.pop(resume, None)
-                    stream = resume
-                    token = want_tok
-                    self.resumed_streams += 1
-                else:
-                    try:
-                        stream = self.pool.attach(group)
-                    except RuntimeError:
-                        # Pool at max_streams: refuse THIS client cleanly
-                        # instead of killing its serving thread.
-                        self.rejected_full += 1
-                        return
-                    token = secrets.token_hex(16)
-                    self._lane_tokens[stream] = token
-                self.connections_served += 1
-            if header.get("want_lane"):
+            stream, token, _group, channels = admitted
+            if isinstance(header, dict) and header.get("want_lane"):
                 # Opt-in ack so the client can checkpoint its lane id +
                 # resume token for a later resume; sent before any audio
                 # frame.
@@ -585,5 +691,421 @@ class RenderServer:
                 conn.close()
             except OSError:
                 pass
+
+    # --- selector data plane (io_mode="selector") -----------------------------
+    #
+    # One IO thread owns every client socket via epoll/kqueue
+    # (selectors.DefaultSelector): at O(1000) concurrent connections,
+    # thread-per-connection pays a thread + stack per client and convoys
+    # the GIL across thousands of wakers, and — structurally — it can only
+    # deliver rendered audio when THAT client's next inbound message
+    # arrives (a blocking handler has nowhere to stand between messages).
+    # The selector plane removes both: per-connection state machines cost
+    # bytes not threads, and the pump thread signals the IO thread through
+    # a socketpair after every render round, so delivery is
+    # render-completion-driven — rendered audio leaves for the wire when
+    # rendering finishes, not when the client happens to speak next.
+    #
+    # Semantics are pinned to the thread plane: identical admission
+    # (_admit), wire limits, underflow/EOF/truncation contract, latency
+    # accounting, and backpressure (a full input ring drops the
+    # connection's READ interest — TCP pushes back on the producer — and
+    # the push retries after the next pump round; a slow READER's
+    # connection stops being pulled at 1 MiB of queued output so the
+    # pool's output-ring gating takes over, exactly as an un-drained
+    # thread-mode connection would).
+
+    def _io_loop(self) -> None:
+        sel = selectors.DefaultSelector()
+        self._listener.setblocking(False)
+        sel.register(self._listener, selectors.EVENT_READ, "accept")
+        sel.register(self._wake_r, selectors.EVENT_READ, "wake")
+        next_sweep = time.monotonic() + 0.5
+        try:
+            while not self._stopping:
+                events = sel.select(timeout=0.1)
+                run_delivery = False
+                for key, mask in events:
+                    if key.data == "accept":
+                        self._sel_accept(sel)
+                    elif key.data == "wake":
+                        try:
+                            while self._wake_r.recv(4096):
+                                pass
+                        except (BlockingIOError, OSError):
+                            pass
+                        run_delivery = True
+                    else:
+                        self._sel_io_event(sel, key.data, mask)
+                if run_delivery and not self._stopping:
+                    self._sel_delivery(sel)
+                now = time.monotonic()
+                if now >= next_sweep:
+                    self._sel_sweep(sel, now)
+                    next_sweep = now + 0.5
+        finally:
+            for c in list(self._sel_conns):
+                if not c.suppress_eof:
+                    try:
+                        c.sock.setblocking(False)
+                        c.sock.send(_LEN.pack(0))
+                    except OSError:
+                        pass
+                self._sel_teardown(sel, c)
+            sel.close()
+
+    def _sel_accept(self, sel) -> None:
+        while True:
+            try:
+                sock, _addr = self._listener.accept()
+            except (BlockingIOError, OSError):
+                return
+            sock.setblocking(False)
+            try:
+                sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            except OSError:
+                pass
+            c = _SelConn(sock)
+            self._sel_conns.add(c)
+            sel.register(sock, selectors.EVENT_READ, c)
+
+    def _sel_interest(self, c) -> int:
+        ev = 0
+        # A stalled connection (full input ring) stops reading: the kernel
+        # buffer fills and TCP backpressures the producer, mirroring the
+        # thread plane's blocking push.
+        if not c.stalled and not c.closing and not c.read_closed:
+            ev |= selectors.EVENT_READ
+        if c.outbuf:
+            ev |= selectors.EVENT_WRITE
+        return ev or selectors.EVENT_READ
+
+    def _sel_update(self, sel, c) -> None:
+        try:
+            sel.modify(c.sock, self._sel_interest(c), c)
+        except (KeyError, ValueError):
+            pass
+
+    def _sel_io_event(self, sel, c, mask) -> None:
+        if c not in self._sel_conns:
+            return
+        if mask & selectors.EVENT_WRITE and c.outbuf:
+            try:
+                sent = c.sock.send(bytes(memoryview(c.outbuf)[: 1 << 16]))
+                del c.outbuf[:sent]
+                c.last_activity = time.monotonic()
+            except BlockingIOError:
+                pass
+            except OSError:
+                self._sel_teardown(sel, c)
+                return
+        if c.closing and not c.outbuf:
+            self._sel_teardown(sel, c)
+            return
+        if mask & selectors.EVENT_READ and not c.closing:
+            try:
+                data = c.sock.recv(1 << 16)
+            except BlockingIOError:
+                data = None  # spurious wakeup
+            except OSError:
+                self._sel_teardown(sel, c)
+                return
+            if data:
+                c.inbuf += data
+                c.last_activity = time.monotonic()
+                self._sel_process(sel, c)
+            elif data == b"" and c in self._sel_conns and not c.closing:
+                # Orderly read-side close from the peer. The thread plane
+                # treats a mid-stream disconnect as implicit EOF and still
+                # flushes the tail (the write side may be half-open);
+                # mirror that. A close before admission just tears down.
+                # read_closed drops READ interest: a half-closed fd stays
+                # level-triggered-readable forever and would spin the loop.
+                c.read_closed = True
+                self._sel_process(sel, c)
+                if c in self._sel_conns and not c.closing:
+                    if c.state == _SEL_STREAM:
+                        self._sel_begin_flush(sel, c)
+                    elif c.state == _SEL_HEADER:
+                        self._sel_teardown(sel, c)
+                        return
+        self._sel_update(sel, c)
+
+    def _sel_process(self, sel, c) -> bool:
+        """Consume as much of c.inbuf as possible. Returns True if the
+        connection made progress (used by the peer-close path to decide
+        whether buffered bytes completed the stream)."""
+        progressed = False
+        while c in self._sel_conns and not c.closing:
+            if c.state == _SEL_HEADER:
+                nl = c.inbuf.find(b"\n")
+                if nl < 0:
+                    if len(c.inbuf) > 4096:
+                        self.protocol_errors += 1
+                        self._sel_finish(sel, c, eof=True)
+                    return progressed
+                try:
+                    header = json.loads(bytes(c.inbuf[:nl]).decode())
+                except (ValueError, UnicodeDecodeError):
+                    self.protocol_errors += 1
+                    self._sel_finish(sel, c, eof=True)
+                    return progressed
+                del c.inbuf[: nl + 1]
+                admitted = self._admit(header)
+                if admitted is None:
+                    self._sel_finish(sel, c, eof=True)
+                    return progressed
+                c.stream, token, _group, c.channels = admitted
+                if isinstance(header, dict) and header.get("want_lane"):
+                    c.outbuf += json.dumps(
+                        {"lane": c.stream, "token": token}
+                    ).encode() + b"\n"
+                c.state = _SEL_STREAM
+                progressed = True
+            elif c.state == _SEL_STREAM:
+                if len(c.inbuf) < _LEN.size:
+                    return progressed
+                (n,) = _LEN.unpack(bytes(c.inbuf[:_LEN.size]))
+                if n == 0:
+                    del c.inbuf[:_LEN.size]
+                    self._sel_begin_flush(sel, c)
+                    return True
+                if n > self.max_message_frames:
+                    self.protocol_errors += 1
+                    self._sel_finish(sel, c, eof=True)
+                    return progressed
+                need = _LEN.size + n * c.channels * 4
+                if len(c.inbuf) < need:
+                    return progressed
+                frames = np.frombuffer(
+                    bytes(c.inbuf[_LEN.size:need]), "<f4"
+                ).reshape(n, c.channels).T
+                try:
+                    with self._lock:
+                        self.pool.push(c.stream, frames)
+                except OverflowError:
+                    # Leave the message in inbuf; drop READ interest and
+                    # retry after the next pump round. The deadline
+                    # mirrors _push_with_backpressure's.
+                    c.stalled = True
+                    c.stall_deadline = time.monotonic() + self.client_timeout
+                    self._data_ready.set()
+                    return progressed
+                except (ValueError, AssertionError):
+                    self.protocol_errors += 1
+                    self._sel_finish(sel, c, eof=True)
+                    return progressed
+                del c.inbuf[:need]
+                c.received += n
+                c.pending_lat.append((c.received, time.monotonic()))
+                self._data_ready.set()
+                progressed = True
+            else:  # _SEL_FLUSH: the client already sent EOF — trailing
+                return progressed  # bytes are ignored, as a closed
+                # thread-mode handler would simply never read them.
+        return progressed
+
+    def _sel_begin_flush(self, sel, c) -> None:
+        remaining = c.received - c.returned
+        if remaining <= 0:
+            self._sel_finish(sel, c, eof=True)
+            return
+        c.state = _SEL_FLUSH
+        c.flush_deadline = time.monotonic() + self.client_timeout
+        pad = (-c.received) % self.pool.step_frames
+        if pad:
+            try:
+                with self._lock:
+                    self.pool.push(
+                        c.stream, np.zeros((c.channels, pad), np.float32)
+                    )
+            except OverflowError:
+                c.flush_pad = pad  # retried in the delivery pass
+        self._data_ready.set()
+        # Everything may already be rendered (no further pump round
+        # coming): resolve immediately rather than waiting on a signal.
+        self._sel_deliver_one(sel, c)
+
+    def _sel_deliver_one(self, sel, c) -> None:
+        """Pull whatever is rendered for one connection into its write
+        buffer; completes the flush when the tail is covered."""
+        if c.stream is None or c.closing or c not in self._sel_conns:
+            return
+        if len(c.outbuf) > _SEL_HIGH_WATER:
+            return  # slow reader: let output-ring gating take over
+        with self._lock:
+            if c.flush_pad:
+                try:
+                    self.pool.push(
+                        c.stream,
+                        np.zeros((c.channels, c.flush_pad), np.float32),
+                    )
+                    c.flush_pad = 0
+                    self._data_ready.set()
+                except OverflowError:
+                    pass
+            available = self.pool.available(c.stream)
+            if c.state == _SEL_FLUSH:
+                remaining = c.received - c.returned
+                out = (self.pool.pull(c.stream, min(available, remaining))
+                       if available and remaining else None)
+            else:
+                out = self.pool.pull(c.stream, available) if available \
+                    else None
+        self._sel_queue_out(c, out, time.monotonic())
+        if c.state == _SEL_FLUSH and c.returned >= c.received:
+            self._sel_finish(sel, c, eof=True)
+
+    def _sel_delivery(self, sel) -> None:
+        """Post-pump pass: deliver rendered audio, retry stalled pushes.
+
+        ONE lock hold covers the whole pull sweep (per-connection lock
+        acquisitions would cost more than the render round at O(1000)
+        connections); the byte packing and latency accounting run outside
+        it."""
+        for c in [c for c in self._sel_conns if c.stalled]:
+            c.stalled = False
+            self._sel_process(sel, c)  # re-attempts the pinned push
+            if not c.stalled:
+                c.stall_deadline = 0.0
+        pulled = []
+        with self._lock:
+            for c in self._sel_conns:
+                if c.stream is None or c.closing:
+                    continue
+                if len(c.outbuf) > _SEL_HIGH_WATER:
+                    continue  # slow reader: output-ring gating takes over
+                if c.flush_pad:
+                    try:
+                        self.pool.push(
+                            c.stream,
+                            np.zeros((c.channels, c.flush_pad), np.float32),
+                        )
+                        c.flush_pad = 0
+                        self._data_ready.set()
+                    except OverflowError:
+                        pass
+                available = self.pool.available(c.stream)
+                if not available:
+                    continue
+                if c.state == _SEL_FLUSH:
+                    remaining = c.received - c.returned
+                    if not remaining:
+                        continue
+                    out = self.pool.pull(c.stream,
+                                         min(available, remaining))
+                else:
+                    out = self.pool.pull(c.stream, available)
+                pulled.append((c, out))
+        now = time.monotonic()
+        for c, out in pulled:
+            self._sel_queue_out(c, out, now)
+            if c.state == _SEL_FLUSH and c.returned >= c.received:
+                self._sel_finish(sel, c, eof=True)
+            if c in self._sel_conns:
+                self._sel_update(sel, c)
+
+    def _sel_queue_out(self, c, out, now: float) -> None:
+        if out is None or not out.shape[1]:
+            return
+        payload = np.ascontiguousarray(out.T, np.float32).tobytes()
+        c.outbuf += _LEN.pack(out.shape[1]) + payload
+        c.returned += out.shape[1]
+        while c.pending_lat and c.pending_lat[0][0] <= c.returned:
+            _, t0 = c.pending_lat.popleft()
+            self._record_latency(now - t0)
+
+    def _sel_sweep(self, sel, now: float) -> None:
+        """Timeout discipline, mirroring the thread plane's socket
+        timeouts: silent/stuck connections get the clean-EOF close; a
+        flush that cannot complete within client_timeout closes WITHOUT
+        the EOF frame (truncation marker)."""
+        for c in list(self._sel_conns):
+            if c.state == _SEL_FLUSH and now >= c.flush_deadline:
+                self.truncated_closes += 1
+                c.suppress_eof = True
+                self._sel_teardown(sel, c)
+            elif c.stalled and now >= c.stall_deadline:
+                self._sel_finish(sel, c, eof=True)
+            elif (not c.closing and c.state != _SEL_FLUSH
+                    and now - c.last_activity > self.client_timeout):
+                self._sel_finish(sel, c, eof=True)
+            elif c.closing and now - c.last_activity > self.client_timeout:
+                self._sel_teardown(sel, c)  # peer never drained our EOF
+
+    def _sel_finish(self, sel, c, *, eof: bool) -> None:
+        """Queue the clean EOF frame and close once the write buffer
+        drains (the thread plane's `finally` contract)."""
+        if c.closing or c not in self._sel_conns:
+            return
+        if eof:
+            c.outbuf += _LEN.pack(0)
+        c.closing = True
+        c.stalled = False
+        c.last_activity = time.monotonic()
+        # The lane is released NOW (as the thread plane's finally does
+        # after its send attempt) — the remaining socket life is only
+        # draining already-rendered bytes.
+        if c.stream is not None:
+            with self._lock:
+                self._lane_tokens.pop(c.stream, None)
+                self.pool.detach(c.stream)
+            c.stream = None
+        if not c.outbuf:
+            self._sel_teardown(sel, c)
+        else:
+            self._sel_update(sel, c)
+
+    def _sel_teardown(self, sel, c) -> None:
+        if c.stream is not None:
+            with self._lock:
+                self._lane_tokens.pop(c.stream, None)
+                self.pool.detach(c.stream)
+            c.stream = None
+        try:
+            sel.unregister(c.sock)
+        except (KeyError, ValueError):
+            pass
+        try:
+            c.sock.close()
+        except OSError:
+            pass
+        self._sel_conns.discard(c)
+
+
+_SEL_HEADER = 0
+_SEL_STREAM = 1
+_SEL_FLUSH = 2
+_SEL_HIGH_WATER = 1 << 20  # stop pulling for a conn with 1 MiB queued
+
+
+class _SelConn:
+    """Per-connection state for the selector data plane."""
+
+    __slots__ = (
+        "sock", "state", "inbuf", "outbuf", "channels", "stream",
+        "received", "returned", "pending_lat", "last_activity",
+        "stalled", "stall_deadline", "flush_deadline", "flush_pad",
+        "closing", "suppress_eof", "read_closed",
+    )
+
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+        self.state = _SEL_HEADER
+        self.inbuf = bytearray()
+        self.outbuf = bytearray()
+        self.channels = 2
+        self.stream: Optional[int] = None
+        self.received = 0
+        self.returned = 0
+        self.pending_lat: collections.deque = collections.deque()
+        self.last_activity = time.monotonic()
+        self.stalled = False
+        self.stall_deadline = 0.0
+        self.flush_deadline = 0.0
+        self.flush_pad = 0
+        self.closing = False
+        self.suppress_eof = False
+        self.read_closed = False
 
 

@@ -556,6 +556,65 @@ def measure_pool_host(batch: int, rounds: int, calls: int,
     }
 
 
+def measure_serve_scale(clients: int, blocks_each: int,
+                        blocks_per_step: int = 1, speed: float = 0.01,
+                        batch_window: float = 0.25):
+    """Wire-layer SCALE artifact: O(1000) concurrent paced clients through
+    the selector data plane, driven by the selector load generator
+    (shell/loadgen.py) in a separate process so the harness never shares
+    the server's GIL. Reports completion/failure counts, admission and
+    chunk-latency percentiles, and the server's own wire-to-wire latency.
+
+    Pacing defaults keep aggregate DSP demand within the host's measured
+    capacity so the artifact reflects the WIRE layer (admission, delivery,
+    fairness), not device saturation: with the real reference HRIR (9
+    partitions) a 1-core CPU pool renders ~35x realtime at kb=1024, so the
+    default 0.01x pacing puts 1,024 clients at ~10x aggregate — the wire
+    carries the same message RATE regardless. The full-scale methodology
+    note is BENCH_NOTES "Round 5"."""
+    _enable_compile_cache()
+    import subprocess
+
+    from airwave_tpu.assets import channel_maps as cm
+    from airwave_tpu.graph.renderer import prepare_renderer
+    from airwave_tpu.runtime.stream_pool import StreamPool
+    from airwave_tpu.shell.serve import RenderServer
+
+    data = _reference_hrir_wav()
+    M = int(blocks_per_step)
+    renderer = prepare_renderer(data, cm.STEREO, SAMPLE_RATE, BLOCK,
+                                lookahead=M)
+    pool = StreamPool(clients + 8, SAMPLE_RATE, renderer,
+                      eq_definition=None, block_size=BLOCK,
+                      ring_blocks=8 * M, blocks_per_step=M)
+    pool.prewarm()
+    server = RenderServer(pool, port=0, client_timeout=300.0,
+                          batch_window=batch_window, io_mode="selector")
+    server.start()
+    try:
+        host, port = server.address
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-m", "airwave_tpu.shell.loadgen",
+             "--connect", f"{host}:{port}",
+             "--clients", str(clients),
+             "--blocks-each", str(blocks_each),
+             "--chunk", str(BLOCK),
+             "--speed", str(speed),
+             "--timeout", "280"],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        if not proc.stdout.strip():
+            raise RuntimeError(f"loadgen produced no output: "
+                               f"{proc.stderr[-500:]}")
+        load = json.loads(proc.stdout.strip().splitlines()[-1])
+        return load, server.stats()
+    finally:
+        server.stop()
+
+
 def measure_serve(clients: int, blocks_each: int, calls: int,
                   blocks_per_step: int = 1):
     """Loopback RenderServer throughput: N synthetic TCP clients stream
@@ -801,6 +860,43 @@ def main():
                       if args.serve else
                       "realtime-multiple per chip "
                       "(48kHz stereo HRIR+EQ chain)"))
+
+    if args.serve and (args.batch or 0) > 64:
+        # Wire-layer scale artifact (selector plane + selector loadgen):
+        # `bench.py --serve --batch 1024`. Value = completed clients; the
+        # latency percentiles ride along.
+        clients = args.batch
+        blocks_each = args.blocks or 20
+        try:
+            load, stats = measure_serve_scale(
+                clients, blocks_each, blocks_per_step=args.pool_blocks)
+        except Exception as err:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "render-server concurrent clients served",
+                "value": 0.0, "unit": "clients", "vs_baseline": 0.0,
+                "error": f"serve scale bench failed: {err}",
+            }))
+            if args.strict:
+                sys.exit(1)
+            return
+        _emit({
+            "metric": "render-server concurrent clients served",
+            "value": load["completed"],
+            "unit": "clients",
+            # The reference app's HAL serving surface is ONE process/
+            # device (SURVEY §1 L3) — any concurrent-client count >= 1
+            # beats it; scale vs the r4-era tested ceiling of 32.
+            "vs_baseline": round(load["completed"] / 32.0, 3),
+            "failed": load["failed"],
+            "admission_ms": load["admission"],
+            "chunk_latency_ms": load["chunk_latency"],
+            "server_latency_ms": stats["latency"],
+            "protocol_errors": stats["protocol_errors"],
+            "truncated_closes": stats["truncated_closes"],
+            "completion_spread_s": load["completion_spread_s"],
+            "pacing_speed": load["speed"],
+        })
+        return
 
     if args.serve:
         clients = args.batch or (2 if args.smoke else 32)

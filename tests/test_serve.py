@@ -15,14 +15,17 @@ from airwave_tpu.shell.serve import RenderServer, render_via_server
 BLOCK = 64
 
 
-@pytest.fixture()
-def server():
+# Both data planes run the full behavioral suite: the selector plane
+# (io_mode="selector", the O(1000)-connection path) must be
+# indistinguishable from thread-per-connection at the wire.
+@pytest.fixture(params=["thread", "selector"])
+def server(request):
     rng = np.random.default_rng(5)
     audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
     renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
                                 48_000.0, BLOCK)
     pool = StreamPool(8, 48_000.0, renderer, block_size=BLOCK)
-    srv = RenderServer(pool, port=0)
+    srv = RenderServer(pool, port=0, io_mode=request.param)
     srv.start()
     yield srv, audio
     srv.stop()
@@ -378,6 +381,109 @@ def test_pump_thread_survives_render_exceptions(server):
         assert y.shape == (2, 4 * BLOCK) and np.abs(y).max() > 1e-4
     finally:
         srv.pool.pump = real_pump
+
+
+def test_loadgen_concurrent_scale_smoke():
+    """The selector data plane under the selector LOAD GENERATOR
+    (shell/loadgen.py, the O(1000)-client harness — full-scale artifact in
+    BENCH_NOTES "Round 5"): N paced concurrent clients all complete with
+    zero failures, protocol errors, or truncations."""
+    from airwave_tpu.shell.loadgen import run_load
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(40, 48_000.0, renderer, block_size=BLOCK)
+    pool.prewarm()
+    srv = RenderServer(pool, port=0, io_mode="selector")
+    srv.start()
+    try:
+        res = run_load(tuple(srv.address), clients=32, blocks_each=6,
+                       chunk=4 * BLOCK, speed=4.0, timeout=60.0)
+        assert res["completed"] == 32, res
+        assert res["failed"] == 0, res
+        st = srv.stats()
+        assert st["protocol_errors"] == 0
+        assert st["truncated_closes"] == 0
+        assert st["rejected_full"] == 0
+        assert st["connections_served"] == 32
+    finally:
+        srv.stop()
+
+
+def test_accept_limit_saturation_is_clean():
+    """Clients beyond max_streams during a single connect wave are refused
+    cleanly (counted in rejected_full, clean EOF frame — loadgen sees an
+    early server EOF), admitted clients complete untouched, and the
+    server keeps serving afterwards."""
+    from airwave_tpu.shell.loadgen import run_load
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(8, 48_000.0, renderer, block_size=BLOCK)
+    pool.prewarm()
+    srv = RenderServer(pool, port=0, io_mode="selector")
+    srv.start()
+    try:
+        # One 16-wide connect wave against 8 lanes: stream durations
+        # (6 chunks at realtime pace) comfortably outlast the admission
+        # wave, so no lane frees up mid-wave.
+        res = run_load(tuple(srv.address), clients=16, blocks_each=6,
+                       chunk=4 * BLOCK, speed=1.0, connect_burst=16,
+                       timeout=60.0)
+        assert res["completed"] == 8, res
+        assert res["failed"] == 8, res
+        assert res["fail_reasons"] == ["rejected before ack"], res
+        assert srv.rejected_full == 8
+        assert srv.protocol_errors == 0
+        # The saturated wave left the server fully functional.
+        x = (rng.standard_normal((2, 4 * BLOCK)) * 0.2).astype(np.float32)
+        y = render_via_server(srv.address, x, chunk=BLOCK)
+        assert y.shape == x.shape and np.isfinite(y).all()
+    finally:
+        srv.stop()
+
+
+def test_serve_latency_budget_loopback():
+    """Regression gate for the wire layer's added latency (VERDICT r4 #8):
+    at trivial client counts on a prewarmed pool, the client-observed
+    chunk latency must stay within an explicit budget of the serving
+    cadence — catching any regression back toward inbound-triggered
+    delivery (thread-plane server p50 measured ~2.5x the selector
+    plane's at 32 clients) or
+    unthrottled pump chasing. Budget: p50 <= 100 ms on the CI box (the
+    render-completion-driven plane measures ~10-25 ms at 32 clients on
+    one core; a delivery regression lands in the hundreds)."""
+    from airwave_tpu.shell.loadgen import run_load
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
+    pool.prewarm()
+    srv = RenderServer(pool, port=0, io_mode="selector")
+    srv.start()
+    try:
+        # Untimed warmup pass: first-touch costs (allocator, lazy imports,
+        # socket setup) belong to startup, not the per-chunk budget.
+        run_load(tuple(srv.address), clients=2, blocks_each=4,
+                 chunk=4 * BLOCK, speed=0.25, timeout=60.0)
+        srv.reset_latency()
+        # 0.25x pacing (one 4-block message per ~21 ms): demand sits far
+        # below the 1-core CPU DSP capacity, so the measurement is the
+        # WIRE layer (batching window + delivery), not device saturation.
+        res = run_load(tuple(srv.address), clients=2, blocks_each=24,
+                       chunk=4 * BLOCK, speed=0.25, timeout=60.0)
+        assert res["completed"] == 2 and res["failed"] == 0, res
+        assert res["chunk_latency"]["p50_ms"] <= 100.0, res["chunk_latency"]
+        srv_lat = srv.latency_stats()
+        assert srv_lat["p50_ms"] <= 60.0, srv_lat
+    finally:
+        srv.stop()
 
 
 @pytest.mark.heavy
