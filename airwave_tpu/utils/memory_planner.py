@@ -184,7 +184,8 @@ def pool_capacity(speakers: int, hrir_taps, block: int,
                   lookahead: int = 1, groups: int = 1,
                   hbm_bytes: Optional[float] = None,
                   headroom: float = 0.85, ears: int = 2,
-                  eq_state_dim: int = 128, mesh_devices: int = 1) -> dict:
+                  eq_state_dim: int = 128, mesh_devices: int = 1,
+                  calibration: Optional[dict] = None) -> dict:
     """Recommend max_streams for a pool on a given HBM budget.
 
     `hrir_taps` may be one int (every group the same bank length) or a
@@ -199,7 +200,14 @@ def pool_capacity(speakers: int, hrir_taps, block: int,
     multiple of groups * mesh_devices (grouped pools need equal segments;
     each group's state shards over the mesh). Serving throughput guidance
     lives in docs/serving.md ("provision max_streams near expected
-    concurrency" — every round steps ALL lanes)."""
+    concurrency" — every round steps ALL lanes).
+
+    `calibration`: an `xla_pool_round_memory` result for this workload
+    shape. When given, the hand per-lane/params model (~2x fidelity) is
+    replaced by XLA's exact buffer-assignment numbers — per-lane cost and
+    fixed bytes from the compiled round itself — tightening the
+    recommendation to allocator truth (validated est/measured <= 1.3,
+    scripts/measure_pool_hbm.py)."""
     if hbm_bytes is None:
         hbm_bytes = device_hbm_bytes()
     kp = _padded_bins(block)
@@ -227,6 +235,17 @@ def pool_capacity(speakers: int, hrir_taps, block: int,
                                       ears, eq_state_dim)
              for t in taps_list]
     lane = sum(lanes) / len(lanes)  # equal segments: mean per-lane cost
+    calibrated = False
+    if calibration is not None:
+        # XLA buffer-assignment truth for this workload shape: per-lane
+        # cost straight from the compiled round's peak (covers carry +
+        # the round's real working set), fixed bytes from its argument
+        # accounting. Per-lane heterogeneity collapses into the mean,
+        # same as the hand model's equal-segment treatment.
+        lane = float(calibration["per_lane_bytes"])
+        params = float(calibration["fixed_bytes"])
+        lanes = [lane] * len(taps_list)
+        calibrated = True
     devices = max(1, int(mesh_devices))
     # Params are REPLICATED (every device holds the full banks/weights),
     # so they come out of each device's budget, not the pooled one.
@@ -235,7 +254,7 @@ def pool_capacity(speakers: int, hrir_taps, block: int,
     granularity = max(1, groups) * devices
     raw = lanes_per_device * devices
     max_streams = (raw // granularity) * granularity
-    return {
+    out = {
         "per_lane_bytes": int(lane),
         "per_group_lane_bytes": [int(b) for b in lanes],
         "params_bytes": int(params),
@@ -243,6 +262,145 @@ def pool_capacity(speakers: int, hrir_taps, block: int,
         "partitions": p2s if len(set(p2s)) > 1 else p2s[0],
         "max_streams": max_streams,
         "granularity": granularity,
+        "calibrated": calibrated,
+    }
+    if calibrated and "steady" in calibration.get("rounds", {}):
+        # max_streams covers the LARGEST round (at M=8 the hot-swap
+        # dual-bank round measures ~2.3x the steady one, TPU-compiled);
+        # a pool that will never hot-swap can size to the steady round.
+        steady = calibration["rounds"]["steady"]["per_lane_bytes"]
+        per_dev = max(0, int((per_device_budget
+                              - calibration["rounds"]["steady"]
+                              ["fixed_bytes"]) // steady))
+        out["max_streams_steady"] = (per_dev * devices
+                                     // granularity) * granularity
+    return out
+
+
+def xla_pool_round_memory(pool, rounds=("steady", "eq_xfade", "hotswap")):
+    """EXACT per-round memory footprint of a StreamPool's device step from
+    XLA's own buffer assignment, replacing the hand working-set model's
+    ~2-3x slack (round-4 validation measured est/carry 2.98 at M=8).
+
+    AOT-only: the full-harvest-bucket round is `.lower().compile()`d from
+    ShapeDtypeStructs and `memory_analysis()` is read — nothing executes
+    and no round-sized buffer is allocated, so this works over tunneled
+    devices (compile RPCs are reliable there even when execution is not)
+    and sizes the round for whatever backend is active.
+
+    `rounds` selects which step variants bound the peak (capacity must
+    cover the LARGEST round a serving pool can hit, not just steady
+    state): "steady" (masked ring/paged round), "eq_xfade" (EQ retarget
+    crossfade — dual EQ pass), "hotswap" (crossfaded HRIR swap — dual-ear
+    bank MAC, the largest params + output terms).
+
+    Returns per-round {peak, argument/output/alias/temp, fixed, per_lane}
+    plus the max per_lane_bytes / fixed_bytes across rounds, where
+    `fixed` = batch-invariant argument bytes (filter banks, DFT weights,
+    EQ matrices) and `per_lane` = (peak - fixed) / max_streams. Per-lane
+    cost is linear in the batch (verified: identical per-lane at B=256
+    and B=512), so one probe pool calibrates any target batch.
+    """
+    import jax
+    import numpy as np
+
+    from airwave_tpu.ops import upols
+    from airwave_tpu.runtime import stream_pool as sp
+
+    def abstr(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree
+        )
+
+    def tree_bytes(tree) -> int:
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in jax.tree_util.tree_leaves(tree))
+
+    B = pool.max_streams
+    M = pool.blocks_per_step
+    S = pool.renderer.num_speakers
+    T = pool.block_size
+    variant = "paged" if M > 1 else "ring"
+    state = abstr(pool._state)
+    blocks = jax.ShapeDtypeStruct(
+        (B, S, M, T) if M > 1 else (B, S, T), np.float32
+    )
+    idx = jax.ShapeDtypeStruct((B,), np.int32)
+    if pool.groups == 1:
+        eq_p = abstr(pool.eq_runtime.active.params)
+        base_params = pool._conv_params
+        dual_params = upols.xfade_conv_params(base_params, base_params)
+    else:
+        eq_p = tuple(abstr(rt.active.params) for rt in pool.eq_runtimes)
+        base_params = pool._conv_params
+        dual_params = tuple(upols.xfade_conv_params(p, p)
+                            for p in base_params)
+    carry = tree_bytes(pool._state)
+    harvest = tree_bytes([blocks, idx])
+    jitted = jax.jit(
+        sp.pool_step_body,
+        static_argnames=("transition_length", "eq_enabled",
+                         "eq_crossfading", "variant"),
+        donate_argnums=(3,),
+    )
+    ramp = jax.ShapeDtypeStruct((M * T,), np.float32)
+    mask = jax.ShapeDtypeStruct((B,), np.bool_)
+    configs = {
+        "steady": dict(params=base_params, crossfading=False, xfade=False),
+        "eq_xfade": dict(params=base_params, crossfading=True, xfade=False),
+        "hotswap": dict(params=dual_params, crossfading=False, xfade=True),
+    }
+    out_rounds = {}
+    for name in rounds:
+        cfg = configs[name]
+        if cfg["crossfading"] and not pool._eq_enabled:
+            continue  # no EQ -> no retarget round exists
+        kwargs = {}
+        if cfg["xfade"]:
+            kwargs = dict(xfade_ramp=ramp, xfade_mask=mask)
+        comp = jitted.lower(
+            abstr(cfg["params"]), eq_p, eq_p, state, blocks, idx,
+            transition_length=pool.eq_runtime.transition_length,
+            eq_enabled=pool._eq_enabled,
+            eq_crossfading=cfg["crossfading"],
+            variant=variant,
+            **kwargs,
+        ).compile()
+        ma = comp.memory_analysis()
+        # Allocator-true peak: argument buffers + the WHOLE temp
+        # allocation + non-donated outputs. The runtime allocates the
+        # temp assignment wholesale per execution (measured: kernel-RSS
+        # high-water delta per CPU round == temp_size exactly), so the
+        # optimistic `peak_memory_in_bytes` (live-range reuse across the
+        # temp/arg boundary) undercounts what the allocator really holds.
+        # Donated outputs (the new carry) alias the old and cost nothing.
+        peak = int(ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                   + max(0, ma.output_size_in_bytes
+                         - ma.alias_size_in_bytes))
+        fixed = int(ma.argument_size_in_bytes) - carry - harvest
+        out_rounds[name] = {
+            "peak_bytes": peak,
+            "argument_bytes": int(ma.argument_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+            "alias_bytes": int(ma.alias_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "fixed_bytes": fixed,
+            "per_lane_bytes": int(math.ceil((peak - fixed) / B)),
+        }
+    per_lane = max(r["per_lane_bytes"] for r in out_rounds.values())
+    fixed = max(r["fixed_bytes"] for r in out_rounds.values())
+    dev = None
+    try:
+        dev = str(jax.devices()[0].platform)
+    except Exception:
+        pass
+    return {
+        "per_lane_bytes": per_lane,
+        "fixed_bytes": fixed,
+        "carry_bytes_exact": carry,
+        "probe_batch": B,
+        "rounds": out_rounds,
+        "backend": dev,
     }
 
 
