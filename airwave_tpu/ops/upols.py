@@ -75,6 +75,22 @@ _PAGED_MAC_GROUPING = _os.environ.get(
     "AIRWAVE_PAGED_MAC_GROUPING", "0"
 ) != "0"
 
+# Read-side page concat for the paged MAC (VERDICT r4 Weak #2): ONE
+# k-batched dot over concatenate(pages, slot axis) against the full
+# [P2, M]-windowed filter tensor, instead of one dot per page + a sum
+# fusion — targeting the ~0.66 ms/block of Ykm term adds/layout in
+# PROFILE_r4_headline.txt. The rejected "shift concat" (1.7 ms/block,
+# BENCH_NOTES) was the WRITE side (concatenating to form the new line);
+# this is the unmeasured READ side: the pages stay separate carry
+# tensors (rotation stays free renaming) and only the MAC's operand view
+# is a concat, which XLA may fuse into the dot read. Exact math, page
+# sum merely reassociated into the dot's own reduction. Off by default
+# until measured on-chip; incompatible knobs (grouping, acc-chunk) take
+# precedence.
+_PAGED_MAC_CONCAT = _os.environ.get(
+    "AIRWAVE_PAGED_MAC_CONCAT", "0"
+) != "0"
+
 # Accumulation chunking for the paged MAC. Without it XLA schedules every
 # page's dot before the summing fusion, keeping all n_pages Ykm terms
 # (545 MB each at the production shapes) alive at once — at 13 pages
@@ -691,6 +707,23 @@ def _paged_mac(params: ConvParams, pages, hz: jax.Array, M: int,
     # acc_chunk parameter (the memory planner's knob) overrides the env
     # flag; None defers to AIRWAVE_PAGED_ACC_CHUNK (default 0 = off).
     chunk = _PAGED_ACC_CHUNK if acc_chunk is None else int(acc_chunk)
+    if _PAGED_MAC_CONCAT and g == 1 and not chunk:
+        # Read-side concat lowering (see _PAGED_MAC_CONCAT): all P2 slots
+        # in one dot; the page sum is reassociated into the contraction.
+        P2 = len(pages) * M
+        allpages = jnp.concatenate(pages, axis=3)  # [Kp, ., ., P2, B]
+        # G_full[..., jg, m] = hz[..., m + jg]: page a in-page slot j is
+        # global slot jg = a*M + j, matching the concat order.
+        G_full = jnp.stack(
+            [hz[:, :, :, m : m + P2] for m in range(M)], axis=4
+        )  # [Kp, S, C, P2, M, E, Q] (or kcsmb's axis naming)
+        Ykm = jax.lax.dot_general(
+            allpages, G_full,
+            dimension_numbers=(((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_MAC_PRECISION,
+        )  # [Kp, B, M, E, Q]
+        return Ykm.reshape(Kp, B, 1, M, E, 2)
     Ykm = None
     for a, page in enumerate(pages):
         if chunk and a and a % chunk == 0:

@@ -71,17 +71,26 @@ def _watchdog(seconds: float, message: str,
 def _emit(payload: dict) -> None:
     """Print a result JSON, stamping any non-contract matmul precision.
 
-    The accuracy contract (≤1e-5 vs the f64 oracle) holds only at
+    The strict accuracy contract (≤1e-5 vs the f64 oracle) holds only at
     Precision.HIGHEST (the measured ladder in BENCH_NOTES.md: DEFAULT
     4.9e-3 / HIGH 4.2e-5 / HIGHEST 1.5e-7), so a run under the opt-in
     fast mode (AIRWAVE_MATMUL_PRECISION=default/high) must never be
     mistakable for a headline number: the JSON carries the precision and
     an explicit accuracy_contract=false.
+
+    HIGH is additionally a SUPPORTED relaxed tier (docs/architecture.md
+    "Precision tiers"): its on-chip error is the 2^-16 bf16x6 split
+    residual (4.56e-5 at HEAD, r4d ladder), safely inside a 1e-4
+    contract, at ~1.4x the HIGHEST throughput. Such runs stamp
+    accuracy_contract_1e4=true so the relaxed tier is a first-class,
+    machine-readable claim rather than measurement lore; DEFAULT
+    (~4e-3) passes no supported contract and stamps only false.
     """
     prec = os.environ.get("AIRWAVE_MATMUL_PRECISION", "highest").lower()
     if prec != "highest":
         payload["matmul_precision"] = prec
         payload["accuracy_contract"] = False
+        payload["accuracy_contract_1e4"] = (prec == "high")
     print(json.dumps(payload))
 
 
@@ -479,6 +488,84 @@ def measure_pool(batch: int, blocks_per_call: int, calls: int,
     return audio_seconds / best, best / blocks_per_call
 
 
+def measure_pool_hotswap(batch: int, blocks_per_call: int, calls: int,
+                         hrir_seconds: float = None, speakers: int = 2,
+                         blocks_per_step: int = 1):
+    """Cost of the glitch-free HRIR hot-swap's crossfade round (VERDICT
+    r4 Missing #1 done-criterion c): the dual-ear-bank round
+    (upols.xfade_conv_params — MAC output columns doubled, delay-line
+    read NOT doubled) + the per-sample old/new blend, measured per block
+    against the steady-state round on the same shapes. A swap pays this
+    for ceil(960/T) rounds (ring tier) or one round (M-block tier);
+    every other round is the steady number."""
+    import jax
+    import jax.numpy as jnp
+
+    from airwave_tpu.ops import upols
+    from airwave_tpu.runtime.stream_pool import pool_step_body
+
+    _enable_compile_cache()
+    _, steady_s_per_block = measure_pool(
+        batch, blocks_per_call, calls, hrir_seconds=hrir_seconds,
+        speakers=speakers, blocks_per_step=blocks_per_step,
+    )
+
+    conv_params, eq_params, state, x = build_pool(
+        batch, hrir_seconds=hrir_seconds, speakers=speakers,
+        blocks_per_step=blocks_per_step,
+    )
+    M = int(blocks_per_step)
+    # The incoming bank: same shape (the same-shape swap path — the
+    # history-preserving case). Values are irrelevant to the round's
+    # cost, so a scaled copy guarantees shape compatibility with
+    # whatever HRIR asset build_pool resolved.
+    new_params = upols.ConvParams(Gflip2=conv_params.Gflip2 * 0.9,
+                                  wf=conv_params.wf, wi=conv_params.wi)
+    dual = upols.xfade_conv_params(conv_params, new_params)
+    round_frames = M * BLOCK
+    ramp = jnp.asarray(upols.xfade_ramp(min(960, round_frames),
+                                        round_frames))
+    mask = jnp.ones((batch,), jnp.bool_)
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    conv0 = state.conv[0] if type(state.conv) is tuple else state.conv
+    n_pages = len(conv0.pages) if M > 1 else 1
+    variant, steps, unroll, blocks_per_call = plan_pool_schedule(
+        M, blocks_per_call, n_pages, identity=True
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(dual_params, eq_p, st, xx, ii):
+        def body(carry, _):
+            s, acc = carry
+            s, y_rows = pool_step_body(
+                dual_params, eq_p, eq_p, s, xx, ii,
+                transition_length=960, eq_enabled=True,
+                eq_crossfading=False, variant=variant,
+                xfade_ramp=ramp, xfade_mask=mask,
+            )
+            acc = acc + jnp.sum(y_rows.reshape(-1, 8, 128), axis=0)
+            return (s, acc), None
+
+        acc0 = jnp.zeros((8, 128), jnp.float32)
+        (s, acc), _ = jax.lax.scan(body, (st, acc0), None,
+                                   length=steps, unroll=unroll)
+        return s, acc
+
+    state, acc = run(dual, eq_params, state, x, idx)
+    warm = np.asarray(acc)
+    assert np.all(np.isfinite(warm)), "non-finite hotswap bench output"
+    best = float("inf")
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        state, acc = run(dual, eq_params, state, x, idx)
+        host = np.asarray(acc)
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(host))
+        best = min(best, dt)
+    xfade_ms = best / blocks_per_call * 1e3
+    return steady_s_per_block * 1e3, xfade_ms
+
+
 def _enable_compile_cache():
     import jax
 
@@ -814,6 +901,11 @@ def main():
                              "round (StreamPool(profiles=[...]) — G "
                              "distinct HRIR banks + EQ cascades in one "
                              "step)")
+    parser.add_argument("--pool-hotswap", action="store_true",
+                        help="measure the HRIR hot-swap crossfade round "
+                             "(dual-ear bank + blend) vs the steady round "
+                             "on the same shapes; --pool-blocks M selects "
+                             "the tier")
     parser.add_argument("--pool-host", action="store_true",
                         help="end-to-end host serving loop through the real "
                              "StreamPool (rings + transfers + pulls)")
@@ -930,6 +1022,38 @@ def main():
         if args.pool_blocks > 1:
             out["blocks_per_step"] = args.pool_blocks
         _emit(out)
+        return
+
+    if args.pool_hotswap:
+        batch = args.batch or (8 if args.smoke else 8192)
+        blocks = args.blocks or (8 if args.smoke else 96)
+        blocks += (-blocks) % args.pool_blocks
+        try:
+            steady_ms, xfade_ms = measure_pool_hotswap(
+                batch, blocks, args.calls,
+                hrir_seconds=args.hrir_seconds, speakers=args.speakers,
+                blocks_per_step=args.pool_blocks)
+        except Exception as err:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "hotswap crossfade round cost",
+                "value": 0.0, "unit": "ms_per_block", "vs_baseline": 0.0,
+                "error": f"{type(err).__name__}: {err}",
+            }))
+            if args.strict:
+                sys.exit(1)
+            return
+        _emit({
+            "metric": "hotswap crossfade round cost",
+            "value": round(xfade_ms, 3),
+            "unit": "ms_per_block",
+            # vs the steady round on the same shapes: the ratio a swap
+            # round pays (the reference PAYS a full state reset instead).
+            "vs_baseline": round(xfade_ms / steady_ms, 3),
+            "steady_ms_per_block": round(steady_ms, 3),
+            "batch_streams": batch,
+            "speakers": args.speakers,
+            "blocks_per_step": args.pool_blocks,
+        })
         return
 
     if args.pool or args.pool_host:

@@ -38,6 +38,12 @@ def main() -> int:
                              "multi-profile pool (G distinct HRIR banks + "
                              "EQ cascades, each lane vs its own group's "
                              "f64 oracle)")
+    parser.add_argument("--contract", type=float, default=1e-5,
+                        help="rel-RMS pass threshold. 1e-5 is the strict "
+                             "tier (HIGHEST, the default); 1e-4 gates the "
+                             "supported relaxed tier (run with "
+                             "AIRWAVE_MATMUL_PRECISION=high — "
+                             "docs/architecture.md 'Precision tiers')")
     parser.add_argument("--hrir-seconds", default=None,
                         help="HRIR length in seconds (default 0.09 = the "
                              "bundled 4320-sample shape); with --pool "
@@ -238,8 +244,10 @@ def main() -> int:
     result = {
         "metric": "chain rel RMS vs float64 oracle",
         "value": worst,
-        "target": 1e-5,
-        "pass": worst <= 1e-5,
+        "target": args.contract,
+        "pass": worst <= args.contract,
+        "matmul_precision": os.environ.get(
+            "AIRWAVE_MATMUL_PRECISION", "highest").lower(),
         "backend": _jax.default_backend(),
         "device": str(_jax.devices()[0]),
         "pool": bool(args.pool),

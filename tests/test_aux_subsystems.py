@@ -208,3 +208,68 @@ def test_checkpoint_bf16_round_trip(tmp_path):
 
     with pytest.raises(ValueError, match="dtype"):
         checkpoint.load_pytree(path, like=eq_block.make_eq_state(2))
+
+def test_checkpoint_raw_container_roundtrip(tmp_path):
+    """container="raw" (the multi-GB serving-snapshot fast path) must
+    round-trip exactly — mixed dtypes incl. bf16 extension dtype and 0-d
+    scalar leaves — carry extra_json, and auto-detect on load so callers
+    never name the container when reading."""
+    import jax
+
+    tree = {
+        "f32": np.arange(24, dtype=np.float32).reshape(2, 3, 4),
+        "i32": np.asarray([[1, -2], [3, 4]], np.int32),
+        "bf16": jnp.asarray(np.linspace(-2, 2, 16), jnp.bfloat16),
+        "scalar": np.float64(3.25),
+        "nested": (np.zeros((5,), np.uint8), np.asarray(7, np.int64)),
+    }
+    path = str(tmp_path / "raw.npz")
+    checkpoint.save_pytree(path, tree, extra_json={"k": [1, 2]},
+                           container="raw")
+    assert checkpoint.load_pytree_extra(path) == {"k": [1, 2]}
+    restored, extra = checkpoint.load_pytree(path, like=tree,
+                                             with_extra=True)
+    assert extra == {"k": [1, 2]}
+    for got, want in zip(jax.tree_util.tree_leaves(restored),
+                         jax.tree_util.tree_leaves(tree)):
+        got, want = np.asarray(got), np.asarray(want)
+        assert got.dtype == want.dtype and got.shape == want.shape
+        np.testing.assert_array_equal(
+            got.astype(np.float64), want.astype(np.float64))
+
+    # The same validation contract as npz: shape, dtype, and structure
+    # mismatches all refuse with ValueError, never load silently.
+    with pytest.raises(ValueError, match="shape"):
+        checkpoint.load_pytree(
+            path, like={**tree, "f32": np.zeros((2, 3), np.float32)})
+    with pytest.raises(ValueError, match="dtype"):
+        checkpoint.load_pytree(
+            path, like={**tree, "i32": np.zeros((2, 2), np.int64)})
+    with pytest.raises(ValueError, match="structure"):
+        checkpoint.load_pytree(path, like=list(tree.values()))
+
+
+def test_checkpoint_raw_container_detects_truncation(tmp_path):
+    """A torn raw snapshot (payload cut short) must raise, not return a
+    silently short/garbage leaf."""
+    tree = {"a": np.arange(4096, dtype=np.float32)}
+    path = str(tmp_path / "torn.npz")
+    checkpoint.save_pytree(path, tree, container="raw")
+    full = checkpoint.checkpoint_path(path)
+    data = open(full, "rb").read()
+    with open(full, "wb") as f:
+        f.write(data[:-64])
+    with pytest.raises(ValueError, match="truncated"):
+        checkpoint.load_pytree(path, like=tree)
+
+
+def test_checkpoint_npz_still_loads_alongside_raw(tmp_path):
+    """Pre-existing npz checkpoints keep loading through the same entry
+    points after the raw container landed (dispatch is by file magic)."""
+    state = eq_block.make_eq_state(2)
+    path = str(tmp_path / "old.npz")
+    checkpoint.save_pytree(path, state, extra_json={"v": 1})  # npz default
+    assert checkpoint.load_pytree_extra(path) == {"v": 1}
+    restored = checkpoint.load_pytree(path, like=eq_block.make_eq_state(2))
+    for got, want in zip(restored, state):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -98,6 +98,8 @@ np.save(OUT_PATH, np.stack(outs))
     {"AIRWAVE_PAGED_LAYOUT": "kcsmb"},
     {"AIRWAVE_PAGED_MAC_GROUPING": "1"},
     {"AIRWAVE_PAGED_ACC_CHUNK": "2"},
+    {"AIRWAVE_PAGED_MAC_CONCAT": "1"},
+    {"AIRWAVE_PAGED_MAC_CONCAT": "1", "AIRWAVE_PAGED_LAYOUT": "kcsmb"},
 ])
 @pytest.mark.heavy
 def test_env_flag_paged_variants_match_default(tmp_path, env):
@@ -110,6 +112,7 @@ def test_env_flag_paged_variants_match_default(tmp_path, env):
     run_env.pop("AIRWAVE_PAGED_LAYOUT", None)
     run_env.pop("AIRWAVE_PAGED_MAC_GROUPING", None)
     run_env.pop("AIRWAVE_PAGED_ACC_CHUNK", None)
+    run_env.pop("AIRWAVE_PAGED_MAC_CONCAT", None)
     run_env.update(env)
     run_env["JAX_PLATFORMS"] = "cpu"
     subprocess.run([sys.executable, "-c", code], env=run_env, check=True,

@@ -106,6 +106,10 @@ def test_bench_emit_stamps_noncontract_precision(monkeypatch, capsys):
         stamped = json.loads(capsys.readouterr().out)
         assert stamped["matmul_precision"] == fast.lower()
         assert stamped["accuracy_contract"] is False
+        # HIGH is the supported relaxed tier (<=1e-4, docs/architecture.md
+        # "Precision tiers"): it alone earns the 1e-4 stamp. DEFAULT
+        # (~4e-3) passes no supported contract.
+        assert stamped["accuracy_contract_1e4"] is (fast.lower() == "high")
 
     monkeypatch.setenv("AIRWAVE_MATMUL_PRECISION", "highest")
     bench._emit({"metric": "m", "value": 1.0})

@@ -1232,3 +1232,56 @@ def test_incompatible_checkpoint_degrades_to_fresh_start(tmp_path):
     assert restore_serve_checkpoint(None, c) == (False, None)
     assert restore_serve_checkpoint(str(tmp_path / "missing"), c) == (
         False, None)
+
+def test_save_checkpoint_never_holds_lock_during_io(tmp_path, monkeypatch):
+    """The serve `--checkpoint` pump-stall contract (VERDICT r4 #5): the
+    serving lock is held only for the device-side carry copy
+    (`snapshot(materialize=False)`) — the multi-GB readback +
+    serialization + fsync'd atomic write all run OUTSIDE it, so periodic
+    checkpointing can never stall pump rounds for the file-write
+    duration. Pinned mechanically (not by wall clock, which is flaky on
+    a 1-core box): a slow write is simulated and the lock must be
+    acquirable while it runs."""
+    import time
+
+    from airwave_tpu.shell import serve as serve_mod
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(8, 48_000.0, renderer, block_size=BLOCK)
+    srv = RenderServer(pool, port=0)
+
+    in_write = threading.Event()
+    release = threading.Event()
+    calls = {}
+
+    def slow_save(path, snap):
+        calls["snap"] = snap
+        in_write.set()
+        assert release.wait(10), "test orchestration failure"
+
+    # save_checkpoint imports the symbol from utils.checkpoint at call
+    # time, so patching the module attribute intercepts the real write.
+    from airwave_tpu.utils import checkpoint as ckpt_mod
+    monkeypatch.setattr(ckpt_mod, "save_pool_snapshot", slow_save)
+
+    t = threading.Thread(
+        target=srv.save_checkpoint, args=(str(tmp_path / "ck"),))
+    t.start()
+    try:
+        assert in_write.wait(10)
+        # The write is in flight: the serving lock must be FREE (a pump
+        # round could run right now).
+        acquired = srv._lock.acquire(timeout=2)
+        assert acquired, "save_checkpoint held the serving lock into the write phase"
+        srv._lock.release()
+        # And the snapshot handed to the writer is round-consistent
+        # (carry + resume tokens were captured under the lock).
+        assert "state" in calls["snap"]
+        assert "resume_tokens" in calls["snap"]
+    finally:
+        release.set()
+        t.join(timeout=10)
+    assert not t.is_alive()
