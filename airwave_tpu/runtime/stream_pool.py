@@ -982,7 +982,143 @@ class StreamPool:
             snap["eq_runtimes"] = [rt.snapshot() for rt in self.eq_runtimes]
         return snap
 
-    def restore(self, snap: dict) -> None:
+    def state_like(self, max_streams: int) -> dict:
+        """ShapeDtypeStruct template of this pool's carry (plus debt) at a
+        DIFFERENT lane count — what a snapshot written by a pool of
+        `max_streams` lanes but otherwise identical construction looks
+        like. `utils/checkpoint.load_pool_snapshot(..., lanes=N)` uses it
+        to validate such a snapshot before `restore(..., resize=True)`
+        maps its lanes in. Allocates nothing (structs only)."""
+        if max_streams % self.groups:
+            raise ValueError(
+                f"max_streams ({max_streams}) must divide by the "
+                f"{self.groups} profile groups"
+            )
+        lanes = (max_streams // self.groups if self.groups > 1
+                 else max_streams)
+
+        def conv_like(conv):
+            if self.blocks_per_step > 1:
+                return upols.PagedConvState(pages=tuple(
+                    jax.ShapeDtypeStruct(p.shape[:-1] + (lanes,), p.dtype)
+                    for p in conv.pages
+                ))
+            return upols.ConvState(
+                fdl=jax.ShapeDtypeStruct(
+                    conv.fdl.shape[:-1] + (lanes,), conv.fdl.dtype
+                ),
+                write_pos=jax.ShapeDtypeStruct(
+                    conv.write_pos.shape, conv.write_pos.dtype
+                ),
+            )
+
+        def eq_like(eq):
+            return eq_block.EqState(
+                s_from=jax.ShapeDtypeStruct(
+                    (lanes,) + eq.s_from.shape[1:], eq.s_from.dtype),
+                s_to=jax.ShapeDtypeStruct(
+                    (lanes,) + eq.s_to.shape[1:], eq.s_to.dtype),
+                counter=jax.ShapeDtypeStruct(
+                    (lanes,) + eq.counter.shape[1:], eq.counter.dtype),
+            )
+
+        if self.groups == 1:
+            state = PoolState(conv=conv_like(self._state.conv),
+                              eq=eq_like(self._state.eq))
+        else:
+            state = PoolState(
+                conv=tuple(conv_like(c) for c in self._state.conv),
+                eq=tuple(eq_like(e) for e in self._state.eq),
+            )
+        return {
+            "state": state,
+            "debt": jax.ShapeDtypeStruct((max_streams,), np.int64),
+        }
+
+    def _resize_snapshot_lanes(self, snap: dict, state, debt):
+        """Map a snapshot written at another max_streams onto THIS pool's
+        lane space: per profile group, attached lanes compact to the head
+        of the group's new segment in ascending old-id order (one device
+        gather per leaf; free slots gather row 0 as finite filler and are
+        marked reset-pending, so the next flush zeroes them before any
+        render/checkpoint/fade). Returns (state', debt', attached',
+        lane_map {old id -> new id})."""
+        old_max = int(debt.shape[0])
+        if old_max % self.groups:
+            raise ValueError(
+                f"snapshot lane count {old_max} does not divide by the "
+                f"pool's {self.groups} profile groups"
+            )
+        old_q = old_max // self.groups
+        new_q = self.group_size
+        attached_old = sorted(int(s) for s in snap["attached"])
+        if any(not (0 <= s < old_max) for s in attached_old):
+            raise ValueError(
+                f"snapshot attached streams out of range for its own "
+                f"lane count {old_max}: {attached_old}"
+            )
+        per_group = [
+            [s for s in attached_old if g * old_q <= s < (g + 1) * old_q]
+            for g in range(self.groups)
+        ]
+        for g, lanes_g in enumerate(per_group):
+            if len(lanes_g) > new_q:
+                raise ValueError(
+                    f"cannot resize: snapshot group {g} has "
+                    f"{len(lanes_g)} attached lanes, resized pool fits "
+                    f"{new_q} per group — detach streams or size the "
+                    f"pool to hold them"
+                )
+        lane_map: dict = {}
+        idx_groups = []
+        for g, lanes_g in enumerate(per_group):
+            idx = np.zeros(new_q, np.int32)
+            idx[:len(lanes_g)] = [s - g * old_q for s in lanes_g]
+            idx_groups.append(jnp.asarray(idx))
+            for r, s_old in enumerate(lanes_g):
+                lane_map[s_old] = g * new_q + r
+
+        def remap_conv(conv, idx):
+            take_last = lambda a: jnp.take(a, idx, axis=a.ndim - 1)  # noqa: E731
+            if self.blocks_per_step > 1:
+                return upols.PagedConvState(
+                    pages=tuple(take_last(p) for p in conv.pages)
+                )
+            return upols.ConvState(fdl=take_last(conv.fdl),
+                                   write_pos=conv.write_pos)
+
+        def remap_eq(eq, idx):
+            return eq_block.EqState(
+                s_from=jnp.take(eq.s_from, idx, axis=0),
+                s_to=jnp.take(eq.s_to, idx, axis=0),
+                counter=jnp.take(eq.counter, idx, axis=0),
+            )
+
+        if self.groups == 1:
+            state = PoolState(conv=remap_conv(state.conv, idx_groups[0]),
+                              eq=remap_eq(state.eq, idx_groups[0]))
+        else:
+            state = PoolState(
+                conv=tuple(remap_conv(c, idx_groups[g])
+                           for g, c in enumerate(state.conv)),
+                eq=tuple(remap_eq(e, idx_groups[g])
+                         for g, e in enumerate(state.eq)),
+            )
+        new_debt = np.zeros(self.max_streams, np.int64)
+        for s_old, s_new in lane_map.items():
+            new_debt[s_new] = debt[s_old]
+        return state, new_debt, sorted(lane_map.values()), lane_map
+
+    def restore(self, snap: dict, resize: bool = False) -> Optional[dict]:
+        """Load a `snapshot()` back in. With `resize=True` the snapshot
+        may come from a pool of a DIFFERENT max_streams (same renderer
+        shapes / groups / blocks_per_step): attached lanes keep their
+        exact DSP history and are compacted into this pool's lane space
+        (per-group, ascending old-id order), and the return value is the
+        {old lane id -> new lane id} map — remap any external per-lane
+        bookkeeping (serving resume tokens) through it. Errors if a
+        group's attached lanes outnumber its resized segment. Returns
+        None when no remap happened."""
         # Validate EVERYTHING before mutating anything, so a bad snapshot
         # cannot leave the pool half-restored. Group count first: a
         # grouped snapshot's state is a different pytree structure and
@@ -995,19 +1131,25 @@ class StreamPool:
             )
         ref = self._state
         state = jax.tree_util.tree_map(jnp.asarray, snap["state"])
+        debt = np.asarray(snap["debt"], np.int64)
+        lane_map = None
+        if resize and debt.shape[0] != self.max_streams:
+            state, debt, attached, lane_map = self._resize_snapshot_lanes(
+                snap, state, debt
+            )
+        else:
+            attached = [int(s) for s in snap["attached"]]
         got = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), state)
         want = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), ref)
         if got != want:
             raise ValueError(
                 f"snapshot shape/dtype mismatch: {got} vs pool {want}"
             )
-        debt = np.asarray(snap["debt"], np.int64)
         if debt.shape != (self.max_streams,):
             raise ValueError(
                 f"snapshot debt length {debt.shape} vs pool "
                 f"({self.max_streams},)"
             )
-        attached = [int(s) for s in snap["attached"]]
         if any(not (0 <= s < self.max_streams) for s in attached):
             raise ValueError(
                 f"snapshot attached streams out of range for "
@@ -1018,6 +1160,8 @@ class StreamPool:
         self._debt[:] = debt
         # The restored carry is authoritative: any attach-reset still
         # pending against the PREVIOUS state must not zero restored rows.
+        # After a resize, free slots hold gather filler (old row 0), so
+        # they ARE pending — the next flush zeroes them before any use.
         self._reset_pending[:] = False
         # An in-flight hot-swap fade is not checkpointed: the carry is
         # bank-independent, so restored lanes are exact under the active
@@ -1027,6 +1171,8 @@ class StreamPool:
         self._attached = {s: True for s in attached}
         self._attached_mask[:] = False
         self._attached_mask[attached] = True
+        if lane_map is not None:
+            self._reset_pending[:] = ~self._attached_mask
         q = self.group_size
         self._free_by_group = [
             [s for s in range((g + 1) * q - 1, g * q - 1, -1)
@@ -1046,6 +1192,7 @@ class StreamPool:
             self.eq_runtime.restore(snap["eq_runtime"])
             self._eq_enabled = bool(snap.get("eq_enabled",
                                              self._eq_enabled))
+        return lane_map
 
     # --- data plane -------------------------------------------------------------------
 

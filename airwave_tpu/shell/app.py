@@ -377,33 +377,66 @@ def build_serve_pool(args):
 
 def restore_serve_checkpoint(ckpt: Optional[str], pool):
     """Restore a serve checkpoint into `pool`; returns
-    (resumed: bool, orphan_tokens: dict | None).
+    (resumed: bool, orphan_tokens: dict | None,
+    orphan_aliases: dict | None — old lane id -> new, set after a resize).
 
     An incompatible checkpoint (different pool shape/profile layout, or a
     pre-upgrade snapshot format) must not crash-loop the server:
     restart-resume degrades to a fresh start, and the unreadable file is
     moved aside to `<path>.incompatible` (never silently overwritten) so
     its lanes' audio state can be inspected or restored by a matching
-    build."""
+    build.
+
+    A checkpoint written at a DIFFERENT --max-streams resizes on load
+    (e.g. the operator re-sized the fleet to plan_capacity's
+    recommendation and restarted): attached lanes keep their exact DSP
+    history, compacted into the new lane space, and their resume tokens
+    are remapped so reconnecting clients reclaim the same audio state
+    under the new lane ids (the ack they hold names the OLD lane — the
+    server translates old-id resumes for the grace window)."""
     if not ckpt:
-        return False, None
+        return False, None, None
     from airwave_tpu.utils.checkpoint import (checkpoint_path,
-                                              load_pool_snapshot)
+                                              load_pool_snapshot,
+                                              snapshot_lane_count)
 
     if not os.path.exists(checkpoint_path(ckpt)):
-        return False, None
+        return False, None, None
     try:
-        snap = load_pool_snapshot(ckpt, pool)
-        pool.restore(snap)
+        written_lanes = snapshot_lane_count(ckpt)
+        if written_lanes != pool.max_streams:
+            snap = load_pool_snapshot(ckpt, pool, lanes=written_lanes)
+            lane_map = pool.restore(snap, resize=True) or {}
+            tokens = snap.get("resume_tokens", {}) or {}
+            snap["resume_tokens"] = {
+                lane_map[s]: tok for s, tok in tokens.items()
+                if s in lane_map
+            }
+            # Clients reclaim with the lane id the server ACKED BEFORE
+            # the restart (the old id): alias old->new for resume lookups.
+            snap["resume_aliases"] = {
+                int(s_old): int(s_new) for s_old, s_new in lane_map.items()
+            }
+            print(json.dumps({
+                "checkpoint_resized": {
+                    "from_max_streams": written_lanes,
+                    "to_max_streams": pool.max_streams,
+                    "lanes_kept": len(lane_map),
+                },
+            }), flush=True)
+        else:
+            snap = load_pool_snapshot(ckpt, pool)
+            pool.restore(snap)
     except (ValueError, KeyError) as exc:
         aside = checkpoint_path(ckpt) + ".incompatible"
         os.replace(checkpoint_path(ckpt), aside)
         print(json.dumps({"checkpoint_incompatible": str(exc),
                           "moved_to": aside}), flush=True)
-        return False, None
+        return False, None, None
     # Always a dict when restored: even a token-less checkpoint's
     # restored lanes are dead connections that must grace-expire.
-    return True, (snap.get("resume_tokens", {}) or {})
+    return (True, snap.get("resume_tokens", {}) or {},
+            snap.get("resume_aliases") or None)
 
 
 def cmd_serve(args) -> int:
@@ -416,10 +449,12 @@ def cmd_serve(args) -> int:
 
     pool, layout = build_serve_pool(args)
     ckpt = getattr(args, "checkpoint", None)
-    resumed, orphan_tokens = restore_serve_checkpoint(ckpt, pool)
+    resumed, orphan_tokens, orphan_aliases = restore_serve_checkpoint(
+        ckpt, pool)
     server = RenderServer(pool, host=args.host, port=args.port,
                           resume_grace=getattr(args, "resume_grace", 30.0),
                           orphan_tokens=orphan_tokens,
+                          orphan_aliases=orphan_aliases,
                           io_mode=getattr(args, "io_mode", "selector"))
     server.start()
     print(json.dumps({"listening": list(server.address),

@@ -108,6 +108,7 @@ class RenderServer:
         max_message_frames: Optional[int] = None,
         resume_grace: float = 30.0,
         orphan_tokens: Optional[dict] = None,
+        orphan_aliases: Optional[dict] = None,
         io_mode: str = "selector",
     ) -> None:
         if io_mode not in ("thread", "selector"):
@@ -132,6 +133,14 @@ class RenderServer:
         # embedder sharing a live pool), pre-attached lanes are left
         # alone entirely.
         self._orphans: dict = {}
+        # Resize aliasing: after a restart that RESIZED the pool
+        # (restore(..., resize=True)), the lane id a client checkpointed
+        # is the OLD id; aliases translate old->new for resume lookups
+        # during the grace window. A resuming client that set want_lane
+        # is acked the NEW id for its next checkpoint.
+        self._orphan_aliases: dict = {
+            int(k): int(v) for k, v in (orphan_aliases or {}).items()
+        }
         if orphan_tokens is not None:
             now = time.monotonic()
             for s in getattr(pool, "_attached", {}):
@@ -443,6 +452,8 @@ class RenderServer:
                 self._lane_tokens.pop(s, None)
                 self.pool.detach(s)
                 self.expired_orphans += 1
+            if not self._orphans:
+                self._orphan_aliases.clear()  # grace over: aliases done
 
     def _await_pump_round(self, generation: int, deadline: float) -> int:
         """Block until a pump round later than `generation` has run (or the
@@ -479,6 +490,9 @@ class RenderServer:
             self.protocol_errors += 1
             return None
         if resume is not None:
+            # A restart that resized the pool remapped lane ids; the
+            # client holds the OLD id from its pre-restart ack.
+            resume = self._orphan_aliases.get(resume, resume)
             # Resuming fixes the lane, which fixes the group.
             group = self.pool.group_of(resume)
         if not (0 <= group < self.pool.groups):

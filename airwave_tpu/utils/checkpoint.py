@@ -11,7 +11,7 @@ single .npz with structure metadata.
 from __future__ import annotations
 
 import json
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -624,13 +624,47 @@ def save_pool_snapshot(path: str, snap: dict) -> None:
                 extra_json=meta, container="raw")
 
 
-def load_pool_snapshot(path: str, pool) -> dict:
+def snapshot_lane_count(path: str) -> int:
+    """Lane count (max_streams) a pool snapshot was written at, read from
+    the debt leaf's shape without loading any carry arrays. The snapshot
+    tree is {"debt": [max_streams], "state": ...} and dict pytrees
+    flatten key-sorted, so debt is leaf 0 in either container (true for
+    every one-file generation incl. pre-versioning round-3 files)."""
+    norm = _normalized(path)
+    if _is_raw_snapshot(norm):
+        with _RawContainer(norm) as data:
+            shape = data._leaves[0]["shape"]
+    else:
+        with np.load(norm) as data:
+            if "leaf_0" not in data:
+                raise ValueError(
+                    f"{norm}: not a pool snapshot (no leaf_0)"
+                )
+            shape = data["leaf_0"].shape
+    if len(shape) != 1:
+        raise ValueError(
+            f"{norm}: leaf 0 is not a per-lane vector (shape {shape}) — "
+            "not a pool snapshot this build understands"
+        )
+    return int(shape[0])
+
+
+def load_pool_snapshot(path: str, pool, lanes: Optional[int] = None) -> dict:
     """Load a persisted pool snapshot back into StreamPool.restore() form.
 
     `pool` supplies the expected carry structure (strict shape/dtype
     validation, as load_pytree); call `pool.restore(load_pool_snapshot(
     path, pool))` to resume. A serving checkpoint's `resume_tokens`
     (lane -> secret) ride along for RenderServer(orphan_tokens=...).
+
+    `lanes=N` validates against the pool's carry RE-BATCHED to N lanes
+    instead of the pool's own max_streams — for loading a snapshot
+    written by a differently-SIZED pool (same renderer shapes / groups /
+    blocks_per_step) ahead of `pool.restore(snap, resize=True)`, which
+    compacts the attached lanes into the pool's lane space and returns
+    the lane map (peek the written size with `snapshot_lane_count`).
+    Pre-versioning (round-3 full-window) files are not resize-loadable:
+    migrate them at their original size first.
 
     Schema versioning runs BEFORE the array validation (same archive
     open): a checkpoint from a different format generation fails with a
@@ -641,10 +675,14 @@ def load_pool_snapshot(path: str, pool) -> dict:
     file is not rejected outright — the strict structure validation
     decides, and only if THAT fails is the error upgraded to the
     versioned pre-versioning explanation."""
-    like = {
-        "state": jax.tree_util.tree_map(np.asarray, pool._state),
-        "debt": np.asarray(pool._debt),
-    }
+    if lanes is not None and lanes != pool.max_streams:
+        like = pool.state_like(lanes)
+    else:
+        lanes = None  # same-size: the plain path (incl. migration)
+        like = {
+            "state": jax.tree_util.tree_map(np.asarray, pool._state),
+            "debt": np.asarray(pool._debt),
+        }
     expected_carry = _carry_format(like["state"])
     seen = {}
 
@@ -689,6 +727,13 @@ def load_pool_snapshot(path: str, pool) -> dict:
         if isinstance(exc, SnapshotCompatError):
             raise  # already one of our versioned errors — never re-wrap
         meta = seen.get("meta")
+        if meta is not None and "schema" not in meta and lanes is not None:
+            raise SnapshotCompatError(
+                f"{checkpoint_path(path)}: pre-versioning snapshots "
+                "cannot be loaded at a different lane count — load it "
+                "at the size it was written (the round-3 full-window "
+                "migration applies there), re-save, then resize."
+            ) from exc
         if meta is not None and "schema" not in meta:
             # Pre-versioning one-file format whose arrays do NOT match
             # this build: the FULL-window carry (ConvState with an
@@ -722,8 +767,11 @@ def load_pool_snapshot(path: str, pool) -> dict:
             "arrays do not fit this pool — the writing pool was "
             "constructed differently (lanes, block size, IR partitions, "
             "profile groups), or the carry layout changed without a "
-            "schema bump. Load it with an identically-constructed pool, "
-            f"or re-create the snapshot. (Underlying mismatch: {exc})"
+            "schema bump. Load it with an identically-constructed pool "
+            "(a size-only difference resizes: load_pool_snapshot(..., "
+            "lanes=snapshot_lane_count(path)) then restore(..., "
+            f"resize=True)), or re-create the snapshot. "
+            f"(Underlying mismatch: {exc})"
         ) from exc
     snap = {
         "state": data["state"],

@@ -1147,8 +1147,8 @@ def test_checkpoint_schema_versioning(tmp_path):
     old = str(tmp_path / "old")
     import shutil
     shutil.copy(fixture, checkpoint_path(old))
-    resumed, tokens = restore_serve_checkpoint(old, pool)
-    assert resumed is False and tokens is None
+    resumed, tokens, aliases = restore_serve_checkpoint(old, pool)
+    assert resumed is False and tokens is None and aliases is None
     assert not os.path.exists(checkpoint_path(old))
     assert os.path.exists(checkpoint_path(old) + ".incompatible")
 
@@ -1213,25 +1213,35 @@ def test_incompatible_checkpoint_degrades_to_fresh_start(tmp_path):
     path = str(tmp_path / "ckpt")
     save_pool_snapshot(path, a.snapshot())
 
-    # A pool with a different shape cannot restore this checkpoint.
+    # A size-only difference is NOT incompatible anymore: it resizes
+    # (lanes keep their history; covered in depth by test_resize.py).
     b = StreamPool(8, 48_000.0, renderer, block_size=BLOCK)
-    resumed, tokens = restore_serve_checkpoint(path, b)
-    assert resumed is False and tokens is None
-    assert not b._attached  # fresh start, nothing half-restored
+    resumed, tokens, aliases = restore_serve_checkpoint(path, b)
+    assert resumed is True and len(b._attached) == 1
+    assert os.path.exists(checkpoint_path(path))  # never moved aside
+
+    # A pool whose SHAPE differs (other block size -> other partition
+    # count) cannot restore: fresh start, file moved aside.
+    renderer2 = prepare_renderer(WAVData(48_000.0, audio14), cm.STEREO,
+                                 48_000.0, 2 * BLOCK)
+    d = StreamPool(4, 48_000.0, renderer2, block_size=2 * BLOCK)
+    resumed, tokens, aliases = restore_serve_checkpoint(path, d)
+    assert resumed is False and tokens is None and aliases is None
+    assert not d._attached  # fresh start, nothing half-restored
     assert not os.path.exists(checkpoint_path(path))
     assert os.path.exists(checkpoint_path(path) + ".incompatible")
 
     # A matching pool restores normally through the same helper.
     save_pool_snapshot(path, a.snapshot())
     c = StreamPool(4, 48_000.0, renderer, block_size=BLOCK)
-    resumed, tokens = restore_serve_checkpoint(path, c)
-    assert resumed is True and tokens == {}
+    resumed, tokens, aliases = restore_serve_checkpoint(path, c)
+    assert resumed is True and tokens == {} and aliases is None
     assert len(c._attached) == 1
 
     # No checkpoint / missing file: clean no-op.
-    assert restore_serve_checkpoint(None, c) == (False, None)
+    assert restore_serve_checkpoint(None, c) == (False, None, None)
     assert restore_serve_checkpoint(str(tmp_path / "missing"), c) == (
-        False, None)
+        False, None, None)
 
 def test_save_checkpoint_never_holds_lock_during_io(tmp_path, monkeypatch):
     """The serve `--checkpoint` pump-stall contract (VERDICT r4 #5): the
