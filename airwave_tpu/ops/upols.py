@@ -84,9 +84,12 @@ _PAGED_MAC_GROUPING = _os.environ.get(
 # this is the unmeasured READ side: the pages stay separate carry
 # tensors (rotation stays free renaming) and only the MAC's operand view
 # is a concat, which XLA may fuse into the dot read. Exact math, page
-# sum merely reassociated into the dot's own reduction. Off by default
-# until measured on-chip; incompatible knobs (grouping, acc-chunk) take
-# precedence.
+# sum merely reassociated into the dot's own reduction. MEASURED AND
+# REJECTED on-chip (r5 queue, same-session A/B): XLA materializes the
+# concatenated operand instead of fusing it — headline 4.796 vs 4.008
+# ms/block at B=16384 (−16%), 2.363 vs 2.072 at B=8192, config-5 4.016
+# vs 3.925. Kept for re-measurement on future toolchains (grouping
+# precedent); incompatible knobs (grouping, acc-chunk) take precedence.
 _PAGED_MAC_CONCAT = _os.environ.get(
     "AIRWAVE_PAGED_MAC_CONCAT", "0"
 ) != "0"

@@ -94,8 +94,36 @@ def _emit(payload: dict) -> None:
     print(json.dumps(payload))
 
 
+def effective_speakers(speakers: int, hrir_seconds=None,
+                       synthetic: bool = False) -> int:
+    """The speaker count the benched chain actually renders. With the
+    real bundled hesuvi14 asset, a layout channel the map cannot resolve
+    drops (the reference's activation contract — renderer.py
+    build_hrir_time_domain): a 12-channel 7.1.4 request renders the 8
+    mapped base speakers. The memory planner must size for THIS count,
+    not the request — planning for 12 at a 8-speaker chain shipped a
+    needlessly conservative chunk2/split2 plan for config-6 (round 5).
+    Synthetic banks (--synthetic-hrir / --hrir-seconds) carry exactly
+    the requested count."""
+    if synthetic or hrir_seconds or speakers == 2:
+        return speakers
+    try:
+        from airwave_tpu.assets import channel_maps as cm
+        from airwave_tpu.io import wav
+
+        data = wav.load("/root/reference/assets/hrtf/NeutralSH1.0.wav")
+        layout = cm.detect_layout(speakers)
+        cmap = cm.select_channel_map(data.channel_count, layout.channels)
+        mapped = sum(1 for s in layout.channels
+                     if cmap.indices(s) is not None)
+        return mapped or speakers
+    except Exception:
+        return speakers  # asset missing: build() synthesizes the request
+
+
 def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
-          lookahead: int = 1, speakers: int = 2):
+          lookahead: int = 1, speakers: int = 2,
+          synthetic: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -115,8 +143,14 @@ def build(batch: int, hrir_len: int = 4320, hrir_seconds: float = None,
                                              lookahead=lookahead)
         return _finish_build(batch, hrir, conv_params, lookahead)
 
-    # HRIR: prefer the real bundled asset; synthesize the same shape if absent.
+    # HRIR: prefer the real bundled asset; synthesize the same shape if
+    # absent. synthetic=True forces the synthesized bank so EVERY
+    # requested speaker renders (a 12-channel 7.1.4 through the real
+    # hesuvi14 asset drops its 4 unmapped height channels — see
+    # effective_speakers).
     try:
+        if synthetic:
+            raise LookupError("--synthetic-hrir")
         from airwave_tpu.assets import channel_maps as cm
         from airwave_tpu.graph.renderer import build_hrir_time_domain
         from airwave_tpu.io import wav
@@ -785,7 +819,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
             hrir_seconds: float = None,
             blocks_per_step: int = 1, speakers: int = 2,
             acc_chunk: int = 0, max_unroll: int = 0,
-            batch_split: int = 1):
+            batch_split: int = 1, synthetic: bool = False):
     # Persistent compilation cache: flaky-tunnel retries skip the multi-minute
     # compile and fit inside short healthy windows.
     _enable_compile_cache()
@@ -816,6 +850,7 @@ def measure(batch: int, blocks_per_call: int, calls: int,
         conv_params, eq_params, state, x = build(
             gb, hrir_seconds=hrir_seconds,
             lookahead=blocks_per_step, speakers=speakers,
+            synthetic=synthetic,
         )
         total = 0.0
         for g in range(batch_split):
@@ -840,7 +875,8 @@ def measure(batch: int, blocks_per_call: int, calls: int,
 
     conv_params, eq_params, state, x = build(batch, hrir_seconds=hrir_seconds,
                                              lookahead=blocks_per_step,
-                                             speakers=speakers)
+                                             speakers=speakers,
+                                             synthetic=synthetic)
     runner = make_runner(blocks_per_call,
                          blocks_per_step, acc_chunk, max_unroll)
 
@@ -880,6 +916,12 @@ def main():
     parser.add_argument("--speakers", type=int, default=2,
                         help="input/virtual-speaker count (8 = BASELINE "
                              "config 3, 7.1 surround to binaural)")
+    parser.add_argument("--synthetic-hrir", action="store_true",
+                        help="force a synthesized HRIR bank so every "
+                             "requested speaker renders (the real "
+                             "hesuvi14 asset drops 7.1.4's four height "
+                             "channels per the activation contract; this "
+                             "flag measures a TRUE 12-speaker chain)")
     parser.add_argument("--blocks-per-step", type=int, default=8,
                         help="M-block lookahead per delay-line read "
                              "(1 = classic per-block stepping)")
@@ -1132,8 +1174,13 @@ def main():
 
     hrir_taps = (int(args.hrir_seconds * SAMPLE_RATE)
                  if args.hrir_seconds else 4320)
+    # Plan for the speakers the chain will RENDER, not the request: a
+    # 7.1.4 request through the height-less hesuvi14 asset renders 8
+    # speakers, and planning for 12 shipped chunk2/split2 needlessly.
+    plan_speakers = effective_speakers(args.speakers, args.hrir_seconds,
+                                       args.synthetic_hrir)
     if args.blocks_per_step > 1 and not args.smoke:
-        plan = plan_paged_bake(batch, args.speakers, hrir_taps, BLOCK,
+        plan = plan_paged_bake(batch, plan_speakers, hrir_taps, BLOCK,
                                args.blocks_per_step,
                                hbm_bytes=device_hbm_bytes())
     else:
@@ -1167,6 +1214,7 @@ def main():
                     acc_chunk=chunk,
                     max_unroll=attempt.max_unroll,
                     batch_split=attempt.batch_split,
+                    synthetic=args.synthetic_hrir,
                 )
                 result = (multiple, per_block, attempt)
                 break
@@ -1204,6 +1252,12 @@ def main():
         "speakers": args.speakers,
         "ms_per_block_step": round(per_block * 1e3, 3),
     }
+    if plan_speakers != args.speakers:
+        # The asset's channel map dropped unmapped (height) channels —
+        # the honest render count, so a 7.1.4-labeled row can't be
+        # mistaken for a 12-speaker render (it isn't one; use
+        # --synthetic-hrir for that).
+        out["speakers_rendered"] = plan_speakers
     if (used.lookahead, used.acc_chunk, used.max_unroll,
             used.batch_split) != (args.blocks_per_step, 0, 0, 1):
         out["memory_plan"] = {"blocks_per_step": used.lookahead,

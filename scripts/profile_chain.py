@@ -72,6 +72,9 @@ def main() -> int:
                          "it selects the serving tier, default 1)")
     ap.add_argument("--hrir-seconds", type=float, default=None)
     ap.add_argument("--speakers", type=int, default=2)
+    ap.add_argument("--synthetic-hrir", action="store_true",
+                    help="synthesized bank: every requested speaker "
+                         "renders (see bench.py --synthetic-hrir)")
     ap.add_argument("--calls", type=int, default=2, help="traced calls")
     ap.add_argument("--pool", action="store_true",
                     help="profile the serving pool's ring step instead of "
@@ -139,6 +142,7 @@ def main() -> int:
         conv_params, eq_params, state, x = bench.build(
             args.batch, hrir_seconds=args.hrir_seconds,
             lookahead=args.blocks_per_step, speakers=args.speakers,
+            synthetic=args.synthetic_hrir,
         )
         run = bench.make_runner(args.blocks,
                                 blocks_per_step=args.blocks_per_step)
