@@ -118,7 +118,23 @@ def test_render_server_soak(blocks_per_step, groups):
         pool = StreamPool(12, 48_000.0, renderer, eq_definition=_eq(3.0),
                           block_size=BLOCK, ring_blocks=4 * blocks_per_step,
                           blocks_per_step=blocks_per_step)
-    pool.prewarm()
+    pool.prewarm(include_hotswap=True)
+    # Crossfaded HRIR hot-swap targets: same-shape scaled variants of
+    # each group's bank, swapped mid-traffic every few waves (the same
+    # sustained-mutation coverage that caught the round-3 EQ retirement
+    # wedge — a fade left pending or a bank that never lands only shows
+    # up under churn).
+    base_hrirs = [hrir]
+    if groups > 1:
+        base_hrirs.append(hrir_b)
+    swap_banks = [
+        [prepare_renderer(WAVData(48_000.0,
+                                  (h * s).astype(np.float32)),
+                          cm.STEREO, 48_000.0, BLOCK,
+                          lookahead=blocks_per_step)
+         for s in (0.85, 1.0)]
+        for h in base_hrirs
+    ]
     srv = RenderServer(pool, port=0, client_timeout=60.0)
     srv.start()
     stats = {"clients": 0, "frames": 0, "failures": []}
@@ -161,6 +177,7 @@ def test_render_server_soak(blocks_per_step, groups):
                 stats["failures"].append(f"slow[{i}]: {err!r}")
 
     last_def = {g: None for g in range(groups)}
+    last_bank = {g: None for g in range(groups)}
     try:
         wave = 0
         while time.monotonic() < stop:
@@ -186,6 +203,11 @@ def test_render_server_soak(blocks_per_step, groups):
                 for g in range(groups):
                     if target_group < 0 or target_group == g:
                         last_def[g] = new_def
+            if wave % 7 == 0:  # crossfaded HRIR hot-swap mid-traffic
+                g = (wave // 7) % groups
+                bank = swap_banks[g][(wave // 7) % 2]
+                srv.set_renderer(bank, group=g if groups > 1 else None)
+                last_bank[g] = bank
             for t in threads:
                 t.join(timeout=90)
             assert srv._pump_thread.is_alive(), "pump thread died mid-soak"
@@ -209,6 +231,14 @@ def test_render_server_soak(blocks_per_step, groups):
             assert rt.active.definition == want, (
                 f"group {g}: last retarget never became active")
             assert rt.pending_target is None
+        # Hot-swaps actually LAND: the newest bank is the group's active
+        # renderer and no live lane still owes a fade round.
+        for g, bank in last_bank.items():
+            if bank is None:
+                continue
+            assert pool.renderers[g] is bank, (
+                f"group {g}: last hot-swap never became active")
+        assert not (pool._xfade_pending & pool._attached_mask).any()
         # Churn leaves nothing behind once the last EOF lands.
         deadline = time.monotonic() + 10
         while pool._attached and time.monotonic() < deadline:
