@@ -17,7 +17,7 @@ degenerates into many small-bucket rounds at 100% duty).
 Two data planes (io_mode):
   "selector" (default): ONE IO thread owns every client socket via
     epoll/kqueue; per-connection state machines; the pump signals the IO
-    thread after each render round, so delivery is render-completion-
+    thread after each render burst, so delivery is render-completion-
     driven. Measured on a 1-core loopback (BENCH_NOTES "Round 5"):
     1,024 concurrent paced clients complete with zero failures at both
     realtime and wire-isolated pacing; wire-to-wire latency ~2.5x lower
@@ -192,7 +192,7 @@ class RenderServer:
         self._lat_count = 0
         # Selector data plane (io_mode="selector"): one IO thread owns
         # every client socket; the pump thread signals it through a
-        # socketpair after each render round so delivery is
+        # socketpair after each render burst so delivery is
         # render-completion-driven, not inbound-triggered.
         self._sel_conns: set = set()
         self._io_thread: Optional[threading.Thread] = None
@@ -241,7 +241,9 @@ class RenderServer:
                 or old.num_speakers != renderer.num_speakers
             )
             if prewarm and shape_changed:
-                self.pool.prewarm()
+                # include_hotswap: a LATER crossfade swap onto the new
+                # shape must find its dual-bank round already compiled.
+                self.pool.prewarm(include_hotswap=True)
 
     def _record_latency(self, seconds: float) -> None:
         with self._lat_lock:
@@ -401,15 +403,17 @@ class RenderServer:
                 # chasing degenerates into many small-bucket steps at 100%
                 # duty (a small-bucket round costs nearly as much as a
                 # full one), which is exactly how a loaded server falls off
-                # the batching cliff. on_deliver wakes the selector IO
-                # thread per ROUND, so rendered audio leaves for the wire
-                # as each round lands.
-                on_deliver = (self._wake_io if self._wake_w is not None
-                              else None)
+                # the batching cliff. The selector IO thread is woken
+                # AFTER the burst's lock release (below) — a per-round
+                # on_deliver wake is useless here: the pump holds the
+                # lock for the whole burst, so a woken delivery pass
+                # would only park the sole IO thread on the lock (no
+                # reads, writes, or accepts) for the burst remainder
+                # instead of servicing sockets.
                 leftover = False
                 with self._lock:
                     if self.pool.assembler.ready_count() > 0:
-                        self.pool.pump(max_rounds=4, on_deliver=on_deliver)
+                        self.pool.pump(max_rounds=4)
                         leftover = self.pool.assembler.ready_count() > 0
                 if leftover:
                     self._data_ready.set()  # next window picks it up
@@ -716,9 +720,11 @@ class RenderServer:
     # arrives (a blocking handler has nowhere to stand between messages).
     # The selector plane removes both: per-connection state machines cost
     # bytes not threads, and the pump thread signals the IO thread through
-    # a socketpair after every render round, so delivery is
-    # render-completion-driven — rendered audio leaves for the wire when
-    # rendering finishes, not when the client happens to speak next.
+    # a socketpair after every render burst (it holds the pool lock for
+    # the burst, so a finer-grained wake could not deliver anyway), so
+    # delivery is render-completion-driven — rendered audio leaves for
+    # the wire when rendering finishes, not when the client happens to
+    # speak next.
     #
     # Semantics are pinned to the thread plane: identical admission
     # (_admit), wire limits, underflow/EOF/truncation contract, latency
@@ -792,12 +798,34 @@ class RenderServer:
             ev |= selectors.EVENT_READ
         if c.outbuf:
             ev |= selectors.EVENT_WRITE
-        return ev or selectors.EVENT_READ
+        return ev
 
     def _sel_update(self, sel, c) -> None:
+        """Sync the selector to the connection's current interest.
+
+        Zero interest UNREGISTERS the fd (selectors reject events=0):
+        a stalled conn with an empty write buffer must NOT fall back to
+        READ — that would refill inbuf at line rate while the pinned
+        push keeps failing (backpressure defeated, unbounded memory) —
+        and a half-closed fd with nothing to write is level-triggered-
+        readable forever and would spin the IO thread. Wakeups for such
+        conns come from the pump's post-round delivery pass, which
+        re-registers them here once interest returns."""
+        if c not in self._sel_conns:
+            return
+        ev = self._sel_interest(c)
         try:
-            sel.modify(c.sock, self._sel_interest(c), c)
-        except (KeyError, ValueError):
+            if ev == 0:
+                try:
+                    sel.unregister(c.sock)
+                except KeyError:
+                    pass
+            else:
+                try:
+                    sel.modify(c.sock, ev, c)
+                except KeyError:
+                    sel.register(c.sock, ev, c)
+        except (ValueError, OSError):
             pass
 
     def _sel_io_event(self, sel, c, mask) -> None:
@@ -899,10 +927,17 @@ class RenderServer:
                         self.pool.push(c.stream, frames)
                 except OverflowError:
                     # Leave the message in inbuf; drop READ interest and
-                    # retry after the next pump round. The deadline
-                    # mirrors _push_with_backpressure's.
+                    # retry after the next pump round. The deadline is
+                    # per PINNED MESSAGE, mirroring
+                    # _push_with_backpressure's: armed on the first
+                    # failed push, held across retries (re-arming on
+                    # every delivery-pass retry would let other
+                    # traffic's pump rounds defer the sweep forever),
+                    # cleared when the push lands.
                     c.stalled = True
-                    c.stall_deadline = time.monotonic() + self.client_timeout
+                    if not c.stall_deadline:
+                        c.stall_deadline = (time.monotonic()
+                                            + self.client_timeout)
                     self._data_ready.set()
                     return progressed
                 except (ValueError, AssertionError):
@@ -910,6 +945,7 @@ class RenderServer:
                     self._sel_finish(sel, c, eof=True)
                     return progressed
                 del c.inbuf[:need]
+                c.stall_deadline = 0.0  # the pinned message landed
                 c.received += n
                 c.pending_lat.append((c.received, time.monotonic()))
                 self._data_ready.set()
@@ -982,6 +1018,9 @@ class RenderServer:
             self._sel_process(sel, c)  # re-attempts the pinned push
             if not c.stalled:
                 c.stall_deadline = 0.0
+            # A stalled conn sits UNREGISTERED (zero interest); regain
+            # READ here if the retry unstalled it.
+            self._sel_update(sel, c)
         pulled = []
         with self._lock:
             for c in self._sel_conns:

@@ -447,6 +447,110 @@ def test_accept_limit_saturation_is_clean():
         srv.stop()
 
 
+def test_selector_stall_backpressure_and_fixed_deadline():
+    """A selector connection whose pinned push cannot land (input ring
+    full, lane never draining) must (a) STOP BEING READ — the server
+    buffers only a bounded prefix and TCP backpressures the producer
+    (zero selector interest unregisters the fd; a fallback READ interest
+    would refill inbuf at line rate while the push keeps failing), and
+    (b) close at a FIXED per-message deadline even while delivery passes
+    keep retrying the push — re-arming the deadline on every retry would
+    let any concurrent traffic's pump rounds defer the stall sweep
+    forever."""
+    import json
+    import socket
+    import struct
+    import time
+
+    _len = struct.Struct("<I")
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((14, 300)) * 0.2).astype(np.float32)
+    renderer = prepare_renderer(WAVData(48_000.0, audio), cm.STEREO,
+                                48_000.0, BLOCK)
+    pool = StreamPool(2, 48_000.0, renderer, block_size=BLOCK)
+    srv = RenderServer(pool, port=0, io_mode="selector", client_timeout=2.0)
+    blocked: set = set()
+    orig_push = pool.push
+
+    def push(stream, frames):
+        if stream in blocked:
+            raise OverflowError("forced: lane cannot drain")
+        return orig_push(stream, frames)
+
+    pool.push = push
+    srv.start()
+    stop_wakes = threading.Event()
+
+    def waker():
+        # Stand-in for concurrent traffic: every wake runs a delivery
+        # pass, which retries the pinned push (the path that must NOT
+        # re-arm the stall deadline).
+        while not stop_wakes.is_set():
+            srv._wake_io()
+            time.sleep(0.05)
+
+    wt = threading.Thread(target=waker, daemon=True)
+    try:
+        conn = socket.create_connection(srv.address, timeout=10)
+        # Pin the client send buffer: TCP autotuning would otherwise grow
+        # it toward 4 MiB, and `accepted` below would mostly measure the
+        # client's OWN buffering rather than what the server consumed.
+        conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 1 << 17)
+        conn.sendall(json.dumps({"channels": 2, "want_lane": True}).encode()
+                     + b"\n")
+        line = b""
+        while not line.endswith(b"\n"):
+            line += conn.recv(64)
+        blocked.add(int(json.loads(line.decode())["lane"]))
+        wt.start()
+        # Flood: offer ~6 MiB of frames. The server must accept only a
+        # bounded prefix (its one in-flight recv + the pinned message +
+        # loopback kernel buffers), not keep draining the socket.
+        msg = (_len.pack(3 * BLOCK)
+               + np.zeros((3 * BLOCK, 2), "<f4").tobytes())
+        payload = memoryview(bytes(msg * (6 * (1 << 20) // len(msg))))
+        conn.setblocking(False)
+        accepted, closed = 0, False
+        t_end = time.monotonic() + 8.0  # well past the 2 s deadline
+        while time.monotonic() < t_end and accepted < len(payload):
+            try:
+                accepted += conn.send(payload[accepted:accepted + (1 << 16)])
+            except BlockingIOError:
+                time.sleep(0.02)
+            except OSError:  # server closed the stalled conn — expected
+                closed = True
+                break
+        assert accepted < (2 << 20), (
+            f"server kept reading a stalled connection "
+            f"({accepted} bytes accepted of {len(payload)} offered)"
+        )
+        # The FIXED deadline fires despite the retrying delivery passes.
+        deadline = time.monotonic() + 10.0
+        conn.setblocking(True)
+        conn.settimeout(1.0)
+        while not closed and time.monotonic() < deadline:
+            try:
+                data = conn.recv(4096)
+            except socket.timeout:
+                continue
+            except OSError:
+                closed = True
+                break
+            if not data or _len.unpack(data[:4])[0] == 0:
+                closed = True
+        assert closed, "stalled connection never hit the stall deadline"
+        blocked.clear()
+        conn.close()
+        # The stalled lane was released; the server still serves.
+        x = (rng.standard_normal((2, 4 * BLOCK)) * 0.2).astype(np.float32)
+        y = render_via_server(srv.address, x, chunk=96)
+        assert y.shape == x.shape and np.isfinite(y).all()
+        assert srv.pump_errors == 0
+    finally:
+        stop_wakes.set()
+        srv.stop()
+
+
 def test_serve_latency_budget_loopback():
     """Regression gate for the wire layer's added latency (VERDICT r4 #8):
     at trivial client counts on a prewarmed pool, the client-observed
