@@ -209,7 +209,10 @@ class BinauralEngine:
         (crossfade=False, no prior renderer, or an incompatible shape —
         the reference's fresh-engines semantics,
         HRIRManager.swift:406-415). A second swap mid-fade is
-        newest-wins: the fade restarts toward the newest bank."""
+        newest-wins: the fade restarts toward the newest bank FROM the
+        blend the output currently hears (the interrupted fade's banks
+        lerped at the boundary ramp position), so even swap bursts are
+        click-free."""
         old = self.renderer
         old_params = self._conv_params
         self.renderer = renderer
@@ -224,8 +227,22 @@ class BinauralEngine:
                 and renderer.partition_count
                 <= old_params.partition_count):
             cur_p = old_params.partition_count
-            # Fade FROM whatever the output currently hears: mid-fade that
-            # is the previous fade's NEW half (newest-wins).
+            # Fade FROM whatever the output currently hears. Mid-fade (a
+            # second swap interrupting a pending crossfade) that is the
+            # previous fade's blend FROZEN at the ramp position the next
+            # sample would have used — banks are linear in the output,
+            # so the lerped bank reproduces the heard blend exactly and
+            # the restart is click-free. (Fading from the pure new half
+            # instead would step the output filter by (1-r)*(new-old) at
+            # the block boundary — an audible click, the glitch this
+            # feature exists to remove.)
+            if self._xfade_params is not None and self._xfade_segments:
+                r0 = float(self._xfade_segments[0][0])
+                E = old_params.num_ears
+                prev_old = self._xfade_params._replace(
+                    Gflip2=self._xfade_params.Gflip2[:, :E]
+                )
+                old_params = upols.lerp_bank(prev_old, old_params, r0)
             self._conv_params = upols.pad_conv_params(
                 renderer.conv_params, cur_p
             )

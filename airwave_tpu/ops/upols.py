@@ -934,6 +934,30 @@ def xfade_conv_params(old: ConvParams, new: ConvParams) -> ConvParams:
     )
 
 
+def lerp_bank(old: ConvParams, new: ConvParams, t: float) -> ConvParams:
+    """Pointwise blend of two same-shape banks: (1-t)*old + t*new.
+
+    Convolution is linear in the bank, so rendering with the lerped bank
+    equals blending the two banks' outputs at ratio t for the same input
+    history. This is the frozen mid-point of an interrupted crossfade:
+    when a second hot-swap lands while an old->new fade is still
+    rendering, the NEW fade must start from the blend the listener
+    currently hears — lerp(old, new, r at the boundary) — not from the
+    pure new bank, or the output filter steps by (1-r)*(new-old) at the
+    block boundary (an audible click). See BinauralEngine.set_renderer."""
+    if old.Gflip2.shape != new.Gflip2.shape:
+        raise ValueError(
+            f"lerp banks must share [S, E, partitions, K]: "
+            f"{old.Gflip2.shape} vs {new.Gflip2.shape}"
+        )
+    t = float(t)
+    return ConvParams(
+        Gflip2=(1.0 - t) * old.Gflip2 + t * new.Gflip2,
+        wf=new.wf,
+        wi=new.wi,
+    )
+
+
 def xfade_ramp(fade: int, total: int) -> np.ndarray:
     """Linear blend weights for one crossfade window: [total] f32 rising
     to 1.0 over the first `fade` samples (the EQ ramp's convention:

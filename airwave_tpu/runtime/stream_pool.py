@@ -1241,9 +1241,9 @@ class StreamPool:
         include_hotswap=True also warms the crossfaded HRIR hot-swap
         rounds (the dual-ear bank shape — only shapes key the jit cache,
         so self-crossfade params stand in for any future same-shape
-        swap; per-group patterns on a grouped pool). Without it the first
-        `set_renderer` crossfade after startup pays one compile per
-        bucket it hits.
+        swap; on a grouped pool the single uniform all-dual shape pump
+        uses for every fade round). Without it the first `set_renderer`
+        crossfade after startup pays one compile per bucket it hits.
         """
         limit = self.max_streams if up_to is None else min(
             int(up_to), self.max_streams
@@ -1297,11 +1297,14 @@ class StreamPool:
                                                    self._conv_params)
                     param_sets.append((dual, ramp, mask))
                 else:
-                    for gd in range(self.groups):
-                        param_sets.append((tuple(
-                            upols.xfade_conv_params(p, p) if gi == gd else p
-                            for gi, p in enumerate(self._conv_params)
-                        ), ramp, mask))
+                    # Grouped fade rounds run ONE uniform shape — every
+                    # group dual (pump substitutes a self-crossfade for
+                    # groups without a pending swap), so concurrent
+                    # per-group swaps never key an unwarmed pattern.
+                    param_sets.append((tuple(
+                        upols.xfade_conv_params(p, p)
+                        for p in self._conv_params
+                    ), ramp, mask))
             for crossfading in crossfades:
                 for variant in variants:
                     for cp, ramp, mask in param_sets:
@@ -1535,8 +1538,20 @@ class StreamPool:
                     if self.groups == 1:
                         conv_params = self._xfade_params
                     else:
+                        # UNIFORM all-dual shape: groups without a swap
+                        # run a self-crossfade (identical output for any
+                        # mask). Mixing dual and steady groups would key
+                        # a jit shape per PATTERN of concurrently-fading
+                        # groups (2^G combinations) — prewarm could never
+                        # cover a second group's swap landing while the
+                        # first still has pending lanes, and the round
+                        # would compile mid-traffic. One shape, warmed
+                        # once; the extra dual MAC columns for
+                        # non-swapping groups cost one fade round only.
                         conv_params = tuple(
-                            self._xfade_params.get(gi, p)
+                            self._xfade_params[gi]
+                            if gi in self._xfade_params
+                            else upols.xfade_conv_params(p, p)
                             for gi, p in enumerate(self._conv_params)
                         )
                     xfade_ramp = self._xfade_ramp

@@ -371,7 +371,11 @@ def build_serve_pool(args):
         blocks_per_step=blocks_per_step,
         profiles=profiles,
     )
-    pool.prewarm()  # compile every bucket shape before accepting traffic
+    # Compile every bucket shape before accepting traffic — INCLUDING
+    # the crossfaded hot-swap rounds: RenderServer.set_renderer
+    # crossfades by default, and a live server's first fade round must
+    # not jit-compile mid-traffic under the serving lock.
+    pool.prewarm(include_hotswap=True)
     return pool, layout
 
 

@@ -127,29 +127,44 @@ def test_engine_same_length_swap_and_no_crossfade_reset():
     assert _rel_rms(y[:, swap_at * BLOCK:], ref_post) < 1e-5
 
 
-def test_engine_second_swap_mid_fade_is_newest_wins():
+def test_engine_second_swap_mid_fade_is_newest_wins_and_click_free():
     """A swap during an in-flight fade restarts the fade toward the newest
-    bank; once it completes, output is the newest bank over the FULL
-    history."""
+    bank FROM the blend the output currently hears: the interrupted
+    fade's banks lerped at the boundary ramp position (banks are linear
+    in the output, so the lerped bank reproduces the heard mix exactly).
+    Restarting from the pure intermediate bank instead would step the
+    output filter by (1-r)*(B-A) at the block boundary — an audible
+    click. The oracle here is the full composed trajectory, so the
+    transition region itself is checked, not just the settled tail."""
     rng = np.random.default_rng(13)
     banks = [rng.standard_normal((2, 2, 130)).astype(np.float32) * 0.3
              for _ in range(3)]
     eng = BinauralEngine(batch=1, sample_rate=SR, block_size=BLOCK,
                          renderer=_renderer(banks[0]))
-    n_blocks = 10
+    n_blocks, swap1, swap2, fade = 10, 3, 4, 96
     x = rng.standard_normal((1, 2, n_blocks * BLOCK)).astype(np.float32)
     out = []
     for b in range(n_blocks):
-        if b == 3:
+        if b == swap1:
             assert eng.set_renderer(_renderer(banks[1])) is True
-        if b == 4:  # mid-fade (fade spans blocks 3-4)
+        if b == swap2:  # mid-fade (fade spans blocks 3-4)
             assert eng.set_renderer(_renderer(banks[2])) is True
         out.append(eng.process_block(x[:, :, b * BLOCK:(b + 1) * BLOCK]))
     y = np.concatenate(out, axis=-1)[0]
 
-    # From block 6 on, every fade has completed: pure bank-3, full history.
-    ref = _full_conv(x[0], banks[2])[:, 6 * BLOCK:]
-    assert _rel_rms(y[:, 6 * BLOCK:], ref) < 1e-5
+    y_a, y_b, y_c = (_full_conv(x[0], h) for h in banks)
+    n = n_blocks * BLOCK
+    # Fade A->B from swap1, interrupted BLOCK samples into the 96-sample
+    # window; the restart freezes it at the ramp value the next sample
+    # would have used, then fades that mix -> C.
+    r1 = _ramp(n, swap1 * BLOCK, fade)
+    r0 = (BLOCK + 1) / fade
+    y_frozen = (1.0 - r0) * y_a + r0 * y_b
+    r2 = _ramp(n, swap2 * BLOCK, fade)
+    ref = (1.0 - r1) * y_a + r1 * y_b
+    t2 = swap2 * BLOCK
+    ref[:, t2:] = ((1.0 - r2) * y_frozen + r2 * y_c)[:, t2:]
+    assert _rel_rms(y, ref) < 1e-5
     assert np.all(np.isfinite(y))
 
 
@@ -310,6 +325,48 @@ def test_pool_grouped_crossfade_swaps_one_group_only():
     ref1 = _lane_ref(sigs[1], h_b, h_b2, 3 * BLOCK, BLOCK)
     assert _rel_rms(y1, ref1) < 1e-5
     assert pool._xfade_params is None
+
+
+def test_pool_grouped_concurrent_swaps_land_in_one_round_prewarmed():
+    """BOTH groups' hot-swaps pending in the SAME pump round: the round
+    runs ONE uniform all-dual shape (a group without a pending swap gets
+    a self-crossfade — identical output), so prewarm(include_hotswap=
+    True) covers every concurrent-swap pattern and the fade round never
+    jit-compiles mid-traffic. Heterogeneous per-group bank lengths keep
+    the per-group carry shapes distinct."""
+    rng = np.random.default_rng(29)
+    r_a, h_a = _pool_renderer(43, frames=700)
+    r_b, h_b = _pool_renderer(44, frames=300)
+    r_a2, h_a2 = _pool_renderer(45, frames=700)
+    r_b2, h_b2 = _pool_renderer(46, frames=300)
+    pool = StreamPool(4, SR48, profiles=[PoolProfile(r_a), PoolProfile(r_b)],
+                      block_size=BLOCK)
+    pool.prewarm(include_hotswap=True)
+    from airwave_tpu.runtime.stream_pool import _pool_step
+
+    s0 = pool.attach(group=0)
+    s1 = pool.attach(group=1)
+    sigs = [(rng.standard_normal((2, 8 * BLOCK)) * 0.3).astype(np.float32)
+            for _ in range(2)]
+    compiled = _pool_step._cache_size()
+    for it in range(8):
+        if it == 3:
+            assert pool.set_renderer(r_a2, group=0) is True
+            assert pool.set_renderer(r_b2, group=1) is True
+            assert pool.stats()["hotswap_fading"] == 2
+        pool.push(s0, sigs[0][:, it * BLOCK:(it + 1) * BLOCK])
+        pool.push(s1, sigs[1][:, it * BLOCK:(it + 1) * BLOCK])
+        pool.pump()
+    y0 = pool.pull(s0, 8 * BLOCK)
+    y1 = pool.pull(s1, 8 * BLOCK)
+    assert _rel_rms(y0, _lane_ref(sigs[0], h_a, h_a2, 3 * BLOCK,
+                                  BLOCK)) < 1e-5
+    assert _rel_rms(y1, _lane_ref(sigs[1], h_b, h_b2, 3 * BLOCK,
+                                  BLOCK)) < 1e-5
+    assert pool._xfade_params is None
+    assert _pool_step._cache_size() == compiled, (
+        "concurrent grouped swaps keyed a jit shape prewarm did not cover"
+    )
 
 
 def test_pool_shorter_hrir_pads_longer_resets():
